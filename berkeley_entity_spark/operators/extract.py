@@ -1,0 +1,123 @@
+"""Extract stage: webpages -> mention records (P1-P13 of SURVEY.md §2.2).
+
+Reference semantics re-expressed:
+  * html -> text: deterministic boilerplate strip + paragraph
+    canonicalization (preprocess/SentenceSplitter.scala:32-55) — the
+    byte-identical-text-per-url invariant.
+  * sentence split: SentenceSplitter.scala:57-96 candidate machinery.
+  * mention spans: proper-name runs of capitalized tokens — the web-text
+    analog of CorefDocAssembler.scala:66-90 (NP spans ∪ NE chunks, with the
+    closed-class/starter filter playing the role of the NE-type blacklist at
+    CorefDocAssembler.scala:71).
+  * canonical mention order + ids: CorefDocAssembler.scala:473-475 ordering
+    becomes a deterministic content hash xxhash64(url, sent, start, end)
+    (no monotonically_increasing_id — ids must not depend on partitioning).
+  * normalized name key: wiki/Query.scala:120-164 query canonicalization
+    analog (lowercase, strip periods, collapse whitespace).
+
+All row-level work happens inside Arrow-batched mapInPandas; the surrounding
+plan is pure DataFrame ops so Catalyst can prune/push down around it.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from berkeley_entity_spark.preprocess.normalize import extract_text
+from berkeley_entity_spark.preprocess.sentence import split_sentences
+from berkeley_entity_spark.synth import STARTERS_SET
+
+# Capitalized proper-name token (incl. initials "J." and acronyms "GDC").
+_CAP_TOKEN = re.compile(r"^[A-Z][A-Za-z0-9.&'\-]*$")
+
+MENTIONS_SCHEMA = (
+    "url string, sent_idx int, start int, end int, span string, head string, "
+    "norm_name string, mtype string, ner string, number string, gender string"
+)
+
+
+def normalize_name(span: str) -> str:
+    """Normalized name key: lowercase, strip periods, collapse whitespace."""
+    return " ".join(t for t in span.replace(".", "").lower().split() if t)
+
+
+def _mentions_from_text(text: str) -> list[tuple[int, int, int, str]]:
+    """(sent_idx, start, end, span) for each maximal capitalized run.
+
+    Token index 0 of every sentence is the (capitalized) sentence starter and
+    is excluded from candidacy — the closed-class filter.
+    """
+    out = []
+    for s_idx, sent in enumerate(split_sentences([text])):
+        toks = sent.split(" ")
+        run_start = None
+        for i in range(1, len(toks) + 1):
+            is_cap = i < len(toks) and bool(_CAP_TOKEN.match(toks[i]))
+            if is_cap and run_start is None:
+                run_start = i
+            elif not is_cap and run_start is not None:
+                span = " ".join(toks[run_start:i])
+                if span not in STARTERS_SET:
+                    out.append((s_idx, run_start, i, span))
+                run_start = None
+    return out
+
+
+def extract_mentions(pages: DataFrame, from_html: bool = False) -> DataFrame:
+    """webpages(url, warc_ts, html, text, lang) -> mentions DataFrame.
+
+    When from_html=True the text column is re-derived from html via the
+    deterministic extractor (used by the byte-identity test); otherwise the
+    stored text column is trusted (and html is never read — column pruning
+    keeps the 100 TB binary column out of the scan).
+    """
+    cols = ["url", "html"] if from_html else ["url", "text"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = [
+            "url", "sent_idx", "start", "end", "span", "head",
+            "norm_name", "mtype", "ner", "number", "gender",
+        ]
+        for pdf in batches:
+            rows = []
+            texts = (
+                pdf["html"].map(lambda b: extract_text(bytes(b).decode("utf-8")))
+                if from_html
+                else pdf["text"]
+            )
+            for url, text in zip(pdf["url"], texts):
+                for s_idx, start, end, span in _mentions_from_text(text):
+                    norm = normalize_name(span)
+                    head = norm.split(" ")[-1] if norm else ""
+                    rows.append(
+                        (url, s_idx, start, end, span, head, norm,
+                         "PROPER", "", "UNKNOWN", "UNKNOWN")
+                    )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    mentions = pages.select(*cols).mapInPandas(gen, schema=MENTIONS_SCHEMA)
+    return mentions.withColumn(
+        "mention_id", F.xxhash64("url", "sent_idx", "start", "end")
+    )
+
+
+def extracted_text(pages: DataFrame) -> DataFrame:
+    """(url, text) re-derived from html — byte-identity check input."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "text": pdf["html"].map(
+                        lambda b: extract_text(bytes(b).decode("utf-8"))
+                    ),
+                }
+            )
+
+    return pages.select("url", "html").mapInPandas(gen, schema="url string, text string")

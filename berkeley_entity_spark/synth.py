@@ -1,0 +1,249 @@
+"""Deterministic synthetic Common-Crawl-style corpus (FIXTURES.md §1).
+
+Generates the `webpages` table (url, warc_ts, html, text, lang) plus gold
+mention labels, distributed via ``spark.range(n).mapInPandas`` so generation
+scales with the cluster and is a pure function of (seed, page id) —
+independent of partitioning, re-runnable, identical at any parallelism.
+
+The entity pool mirrors the reference's surface-variation phenomena:
+  * initials variant        — cf. reference Mention head semantics
+  * abbreviation/acronym    — cf. sem/AbbreviationHandler.scala:7-62
+  * dropped middle token / suffix — cf. wiki/Query.scala:120-164 query slices
+  * deterministic typos (edit distance 1)
+  * hard negatives: up to 26 distinct persons share each surname (initials
+    kept distinct within a surname so clusters stay separable) — mirrors the
+    reference's "misleading head match" analysis (CorefEvaluator.scala:252-270).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+
+from berkeley_entity_spark.config import SynthConfig
+
+# ---------------------------------------------------------------- name pools
+# 26 first names, one per initial letter (keeps first-initial+surname unique
+# within a surname → "J. Smith"-style variants stay unambiguous).
+FIRST = [
+    "Alice", "Bruno", "Carla", "David", "Elena", "Felix", "Grace", "Hugo",
+    "Irene", "Jonas", "Karen", "Louis", "Maria", "Nadia", "Oscar", "Paula",
+    "Quinn", "Rosa", "Simon", "Tessa", "Ulric", "Vera", "Walter", "Xenia",
+    "Yusuf", "Zelda",
+]
+MIDDLE = ["Lee", "Marie", "Jean", "Ray", "Kim", "Ann", "Max", "Joy"]
+_LAST_BASE = [
+    "Smith", "Johnson", "Garcia", "Miller", "Davis", "Martinez", "Lopez",
+    "Wilson", "Anderson", "Taylor", "Thomas", "Moore", "Jackson", "Martin",
+    "Thompson", "White", "Harris", "Clark", "Lewis", "Walker", "Hall",
+    "Young", "King", "Wright", "Scott", "Torres", "Nguyen", "Baker",
+    "Adams", "Nelson", "Carter", "Mitchell", "Perez", "Roberts", "Turner",
+    "Phillips", "Campbell", "Parker", "Evans", "Edwards",
+]
+_LAST_SYL1 = ["Berg", "Lind", "Sand", "Fern", "Hart", "Wald", "Stein", "Vance"]
+_LAST_SYL2 = ["holm", "gren", "field", "wood", "man", "sen", "berg", "ton", "well", "er"]
+LAST = _LAST_BASE + [a + b for a in _LAST_SYL1 for b in _LAST_SYL2]  # 120 surnames
+
+# Org word pools: each pool has pairwise-distinct initials so acronyms are
+# collision-free by construction.
+ORG_W1 = [
+    "Global", "Apex", "Nimbus", "Quantum", "Vertex", "Helios", "Crimson",
+    "Sterling", "Titan", "Borealis", "Zenith", "Meridian",
+]
+ORG_W2 = [
+    "Data", "Energy", "Freight", "Holdings", "Analytics", "Robotics",
+    "Networks", "Capital", "Systems", "Logistics", "Media", "Therapeutics",
+]
+ORG_SUF = ["Corporation", "Industries", "Partners", "Ventures"]
+ORG_SUF_ABBR = {"Corporation": "Corp.", "Industries": "Ind.", "Partners": "Prtn.", "Ventures": "Vent."}
+
+PERSON_CAPACITY = len(FIRST) * len(LAST)  # 3120
+ORG_CAPACITY = len(ORG_W1) * len(ORG_W2) * len(ORG_SUF)  # 576
+
+STARTERS = [
+    "Today", "Meanwhile", "However", "Officials", "Reports", "Analysts",
+    "Yesterday", "Sources", "Locally", "Elsewhere",
+]
+STARTERS_SET = frozenset(STARTERS)
+FILLERS = [
+    "said", "that", "the", "new", "deal", "with", "plans", "for", "growth",
+    "in", "market", "terms", "while", "noting", "recent", "results", "and",
+    "steady", "progress", "on", "key", "projects", "across", "regions",
+    "despite", "early", "signals", "from", "partners", "about", "pricing",
+]
+ENDERS = ["today", "recently", "overall", "locally", "broadly"]
+DOMAIN_WORDS = [
+    "news", "daily", "post", "times", "herald", "wire", "tribune", "journal",
+    "gazette", "report", "observer", "chronicle", "monitor", "courier",
+    "register", "bulletin", "dispatch", "examiner", "standard", "record",
+]
+LANGS = ["de", "fr", "es", "zh", "ru", "pt", "ja", "it"]
+
+EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def _h(*parts: object) -> int:
+    """Stable 64-bit hash of the parts — the only randomness source.
+
+    blake2b keyed by the parts; NOT Python's hash() (per-process salt)."""
+    raw = "\x1f".join(str(p) for p in parts).encode()
+    return int.from_bytes(hashlib.blake2b(raw, digest_size=8).digest(), "big")
+
+
+def _zipf_index(h: int, n: int, s: float) -> int:
+    """Map a uniform hash to a Zipf(s)-ish rank in [0, n) via a cheap
+    inverse-CDF over rank weights 1/(r+1)^s (exact enough for skew tests)."""
+    u = (h % 10_000_019) / 10_000_019.0
+    # invert u ≈ 1 - (r/n)^(1-s') shape; use power transform for skew
+    r = int(n * (u ** (s + 0.5)))
+    return min(r, n - 1)
+
+
+# ------------------------------------------------------------- entity model
+def entity_canonical(eid: int, n_entities: int) -> tuple[str, str]:
+    """(canonical name, kind) for entity eid — pure function."""
+    if eid % 2 == 0:
+        idx = (eid // 2) % PERSON_CAPACITY
+        last = LAST[idx % len(LAST)]
+        first = FIRST[(idx // len(LAST)) % len(FIRST)]
+        middle = MIDDLE[_h("mid", idx) % len(MIDDLE)]
+        return f"{first} {middle} {last}", "person"
+    idx = (eid // 2) % ORG_CAPACITY
+    w1 = ORG_W1[idx % len(ORG_W1)]
+    w2 = ORG_W2[(idx // len(ORG_W1)) % len(ORG_W2)]
+    suf = ORG_SUF[(idx // (len(ORG_W1) * len(ORG_W2))) % len(ORG_SUF)]
+    return f"{w1} {w2} {suf}", "org"
+
+
+def _typo(name: str, h: int) -> str:
+    """Edit-distance-1 substitution on an interior lowercase letter."""
+    chars = list(name)
+    positions = [i for i, c in enumerate(chars) if c.islower() and c.isalpha() and i > 0]
+    if not positions:
+        return name
+    pos = positions[h % len(positions)]
+    old = chars[pos]
+    new = chr((ord(old) - 97 + 1 + h % 24) % 26 + 97)
+    chars[pos] = new if new != old else ("z" if old != "z" else "q")
+    return "".join(chars)
+
+
+N_VARIANTS = 6
+
+
+def entity_surface(eid: int, vid: int, n_entities: int) -> str:
+    """Surface variant vid in [0, 6) of entity eid — pure function of ids."""
+    canonical, kind = entity_canonical(eid, n_entities)
+    toks = canonical.split(" ")
+    v = vid % N_VARIANTS
+    if v == 0:
+        return canonical
+    if v == 1:
+        return canonical.upper()
+    if v == 4:
+        return _typo(canonical, _h("typo", eid, vid))
+    if kind == "person":
+        first, middle, last = toks
+        if v == 2:
+            return f"{first[0]}. {last}"
+        if v == 3:
+            return f"{first} {last}"
+        return f"{first} {middle[0]}. {last}"  # v == 5
+    w1, w2, suf = toks
+    if v == 2:
+        return "".join(t[0] for t in toks).upper()  # acronym, e.g. GDC
+    if v == 3:
+        return f"{w1} {w2}"  # dropped suffix
+    return f"{w1} {w2} {ORG_SUF_ABBR[suf]}"  # v == 5, abbreviated suffix
+
+
+# --------------------------------------------------------------- page model
+def make_page(i: int, cfg: SynthConfig) -> tuple[dict, list[dict]]:
+    """One page + its gold mentions. Pure function of (cfg.seed, i)."""
+    seed = cfg.seed
+    dom_rank = _zipf_index(_h(seed, "dom", i), cfg.n_domains, cfg.zipf_s)
+    domain = f"{DOMAIN_WORDS[dom_rank % len(DOMAIN_WORDS)]}{dom_rank}.example.com"
+    url = f"https://{domain}/articles/{i}"
+    ts = EPOCH + timedelta(seconds=i)
+    lang = "en"
+    lh = _h(seed, "lang", i)
+    if (lh % 1000) < int(cfg.pct_non_en * 1000):
+        lang = LANGS[lh % len(LANGS)]
+
+    n_sents = 1 + _h(seed, "ns", i) % 10
+    sentences: list[str] = []
+    gold: list[dict] = []
+    for s in range(n_sents):
+        toks: list[str] = [STARTERS[_h(seed, "st", i, s) % len(STARTERS)]]
+        n_ment = _h(seed, "nm", i, s) % 4
+        for m in range(n_ment):
+            for k in range(1 + _h(seed, "f1", i, s, m) % 2):
+                toks.append(FILLERS[_h(seed, "fw", i, s, m, k) % len(FILLERS)])
+            eid = _zipf_index(_h(seed, "ent", i, s, m), cfg.n_entities, cfg.zipf_s)
+            vid = _h(seed, "var", i, s, m) % N_VARIANTS
+            surface = entity_surface(eid, vid, cfg.n_entities)
+            stoks = surface.split(" ")
+            start = len(toks)
+            toks.extend(stoks)
+            gold.append(
+                {
+                    "url": url,
+                    "sent_idx": s,
+                    "start": start,
+                    "end": start + len(stoks),
+                    "surface": surface,
+                    "entity_id": eid,
+                    "lang": lang,
+                }
+            )
+        for k in range(1 + _h(seed, "f2", i, s) % 3):
+            toks.append(FILLERS[_h(seed, "fe", i, s, k) % len(FILLERS)])
+        toks.append(ENDERS[_h(seed, "en", i, s) % len(ENDERS)] + ".")
+        sentences.append(" ".join(toks))
+
+    text = " ".join(sentences)
+    html = (
+        "<html><head><style>body{font:serif}</style></head><body>"
+        "<nav>home | sections | subscribe</nav>"
+        f"<p>{text}</p>"
+        "<footer>copyright 2024 example media</footer></body></html>"
+    )
+    page = {
+        "url": url,
+        "warc_ts": ts,
+        "html": html.encode("utf-8"),
+        "text": text,
+        "lang": lang,
+    }
+    return page, gold
+
+
+# ------------------------------------------------------------ spark surface
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+GOLD_SCHEMA = (
+    "url string, sent_idx int, start int, end int, surface string, "
+    "entity_id bigint, lang string"
+)
+
+
+def generate_webpages(spark, cfg: SynthConfig):
+    """Distributed generation: (webpages_df, gold_mentions_df)."""
+
+    def gen_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [make_page(int(i), cfg)[0] for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    def gen_gold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "sent_idx", "start", "end", "surface", "entity_id", "lang"]
+        for pdf in batches:
+            rows = [g for i in pdf["id"] for g in make_page(int(i), cfg)[1]]
+            yield pd.DataFrame(rows, columns=cols)
+
+    base = spark.range(cfg.n_pages)
+    pages = base.mapInPandas(gen_pages, schema=PAGES_SCHEMA)
+    gold = base.mapInPandas(gen_gold, schema=GOLD_SCHEMA)
+    return pages, gold
