@@ -33,7 +33,7 @@ class PipelineConfig:
     score_threshold: float = 0.0  # logistic margin for a match edge
     # clustering
     max_cc_iterations: int = 50
-    checkpoint_every: int = 6
+    checkpoint_every: int = 1
     # stage checkpoint root (parquet locally; iceberg table prefix on cluster)
     checkpoint_dir: str = "/tmp/bes_checkpoints"
     checkpoint_format: str = "parquet"

@@ -1,0 +1,76 @@
+"""AdaGrad-L1 training of the pairwise logistic scorer (SURVEY.md M3-M5).
+
+Reference semantics preserved (coref/CorefFeaturizerTrainer.scala:57-123 and
+:156-193, defaults Driver.java:162-179):
+  * AdaGrad with eta=1.0, lambda=0.001, 20 epochs, per-example updates in a
+    deterministic shuffle order (Random(0) analog — fixed-seed permutation,
+    CorefSystem.scala:127).
+  * L1 via the lazy soft-threshold update: w = sign(z) * max(0, |z| - offset)
+    (CorefFeaturizerTrainer.scala:186-190 adagrad math).
+  * Asymmetric loss weights inspired by customLoss falseLink/falseNew/
+    wrongLink = 0.1/3/1 (PairwiseLossFunctions.scala:25-58): false negatives
+    (missed links) cost 3x false positives, so recall is favored exactly like
+    the reference's decoder loss.
+
+The feature matrix is computed distributed (score_pairs on labeled candidate
+pairs); only the (n_pairs x 10) float matrix is collected — after blocking,
+labeled pairs are few, so the driver-side loop is the honest scale choice
+(the reference itself trains single-node; SURVEY.md A3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from berkeley_entity_spark.operators.features import FEATURE_NAMES
+
+
+def adagrad_l1_train(
+    X: np.ndarray,
+    y: np.ndarray,
+    eta: float = 1.0,
+    lambda_reg: float = 0.001,
+    epochs: int = 20,
+    false_neg_weight: float = 3.0,
+    false_pos_weight: float = 1.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Binary logistic regression, AdaGrad + L1, per-example updates."""
+    n, d = X.shape
+    w = np.zeros(d)
+    g2 = np.full(d, 1e-8)
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(n)
+    for _ in range(epochs):
+        for i in order:
+            xi, yi = X[i], y[i]
+            p = 1.0 / (1.0 + np.exp(-np.clip(xi @ w, -30, 30)))
+            cost = false_neg_weight if yi == 1 else false_pos_weight
+            g = cost * (p - yi) * xi
+            g2 += g * g
+            rate = eta / np.sqrt(g2)
+            z = w - rate * g
+            # lazy L1 soft threshold (reference adagrad L1 semantics)
+            w = np.sign(z) * np.maximum(0.0, np.abs(z) - rate * lambda_reg)
+    return w
+
+
+def train_from_scored_pairs(scored_labeled: DataFrame, max_rows: int = 200_000) -> np.ndarray:
+    """scored_labeled must carry the feature columns + boolean `label`.
+
+    Deterministic cap: order by a content hash before limiting so the sample
+    is partition-independent."""
+    from pyspark.sql import functions as F
+
+    feat_cols = [c for c in FEATURE_NAMES if c != "bias"]
+    df = (
+        scored_labeled.select(*feat_cols, F.col("label").cast("int").alias("y"))
+        .withColumn("_h", F.xxhash64(*feat_cols, "y"))
+        .orderBy("_h")
+        .limit(max_rows)
+    )
+    pdf = df.toPandas()
+    X = np.hstack([pdf[feat_cols].to_numpy(dtype=np.float64), np.ones((len(pdf), 1))])
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    return adagrad_l1_train(X, y)

@@ -1,0 +1,250 @@
+"""Blocking stage: mentions -> candidate pairs (SURVEY.md §2.3 J1-J3).
+
+The reference generates every antecedent pair per document
+(DocumentGraph.scala:21-24) and prunes by distance / coarse score
+(DocumentGraph.scala:91-115, CorefPruner.scala:36-47).  At 10^12 web pages
+the triangular join cannot be materialized, so pruning becomes *blocking*,
+run over the **distinct normalized surfaces** rather than mention instances:
+
+  1. mentions with an identical norm_name are linked a priori ("exact" pass —
+     the reference's decisive exact-string-match feature,
+     PairwiseIndexingFeaturizerJoint.scala:241-246). Distinct-surface count is
+     orders of magnitude below mention count, so every downstream join is on
+     the small deduped table — the single most important scale decision here.
+  2. sorted-neighborhood pass over distinct surfaces: explode block keys
+     (last token / first token / acronym — cf. AbbreviationHandler.scala:7-62),
+     sort within key, pair within a row-offset band (the reference's distance
+     window, DocumentGraph.scala:91-102).
+  3. MinHash-LSH pass over character shingles of the surface: deterministic
+     seeded minhash signatures, banded; pairs sharing a (band, bucket) are
+     candidates (the reference's coarse-model cascade, CorefPruner.scala:36-47).
+
+Hot blocks (head-domain skew / common surnames) are defused by capping each
+block with a salted row_number and letting AQE skew-join handle residuals.
+Everything below is expressed as DataFrame ops (joins, windows, explode); the
+only Python is the Arrow-batched minhash kernel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from berkeley_entity_spark.config import PipelineConfig
+
+# ----------------------------------------------------------- distinct surfaces
+
+
+def distinct_surfaces(mentions: DataFrame) -> DataFrame:
+    """(norm_name, node_id, rep_url, rep_mention) — one row per distinct
+    surface; node_id is a content hash (stable under partitioning), the
+    representative mention is the min mention_id (reference convention:
+    first mention represents the cluster, OrderedClustering.scala:70-77)."""
+    return (
+        mentions.groupBy("norm_name")
+        .agg(
+            F.min("mention_id").alias("rep_mention"),
+            F.min_by("url", "mention_id").alias("rep_url"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+        .withColumn("node_id", F.xxhash64("norm_name"))
+    )
+
+
+# ----------------------------------------------------------------- block keys
+
+
+def explode_block_keys(df: DataFrame, id_col: str, norm_col: str = "norm_name") -> DataFrame:
+    """Explode each normalized surface into its blocking keys.
+
+    key passes: last token (surname / suffix), first token (org stem /
+    first name), acronym (initial letters — links "GDC" to
+    "global data corporation", cf. sem/AbbreviationHandler.scala).
+    Pure column expressions — stays inside whole-stage codegen.
+    """
+    toks = F.split(F.col(norm_col), " ")
+    acr = F.array_join(F.transform(toks, lambda t: F.substring(t, 1, 1)), "")
+    keyed = df.select(
+        F.col(id_col),
+        F.col(norm_col),
+        F.array_distinct(
+            F.array(
+                F.concat(F.lit("L:"), F.element_at(toks, -1)),
+                F.concat(F.lit("F:"), F.element_at(toks, 1)),
+                F.concat(F.lit("A:"), acr),
+                # single-token surfaces may *be* an acronym: index them under
+                # the acronym key space too so "gdc" meets "global data corp"
+                F.when(F.size(toks) == 1, F.concat(F.lit("A:"), F.element_at(toks, 1))),
+            )
+        ).alias("keys"),
+    )
+    return keyed.select(
+        F.col(id_col), F.col(norm_col), F.explode("keys").alias("block_key")
+    ).where(F.col("block_key").isNotNull() & (F.length("block_key") > 2))
+
+
+def surface_block_keys(surfaces: DataFrame) -> DataFrame:
+    return explode_block_keys(surfaces, "node_id", "norm_name")
+
+
+# ------------------------------------------------------- sorted neighborhood
+
+
+def sorted_neighborhood_pairs(keys: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Window-band self-join within each block key.
+
+    Surfaces are sorted inside the block; each row pairs with the next
+    `neighborhood` rows (equi-join on (block_key, bucket) would also work;
+    the rn-band join keeps the pair count linear in block size).  Blocks are
+    capped at max_block_size rows (salting analog: a hot key contributes a
+    bounded number of pairs per salt bucket; AQE skew-join splits residuals).
+    """
+    w = Window.partitionBy("block_key").orderBy("norm_name", "node_id")
+    ranked = keys.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= cfg.max_block_size
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("b.rn") > F.col("a.rn"))
+            & (F.col("b.rn") <= F.col("a.rn") + cfg.neighborhood),
+        )
+        .where(F.col("a.node_id") != F.col("b.node_id"))
+        .select(
+            F.col("a.block_key").alias("block_key"),
+            F.least("a.node_id", "b.node_id").alias("node_a"),
+            F.greatest("a.node_id", "b.node_id").alias("node_b"),
+            F.lit("sortedneighborhood").alias("pass"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- minhash
+
+
+def _shingles(s: str, k: int) -> set[str]:
+    padded = f" {s} "
+    if len(padded) <= k:
+        return {padded}
+    return {padded[i : i + k] for i in range(len(padded) - k + 1)}
+
+
+def minhash_signatures(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(node_id, band, bucket) via seeded minhash over char shingles.
+
+    Arrow-batched kernel: shingle -> 64-bit hash -> per-seed affine permute ->
+    min per seed; `rows` seeds are concatenated per band into the bucket key.
+    Seeds are fixed constants — signatures are reproducible anywhere.
+    """
+    n_hashes = cfg.minhash_rows * cfg.minhash_bands
+    rng = np.random.RandomState(42)
+    MOD = (1 << 61) - 1
+    a_coef = rng.randint(1, MOD, size=n_hashes, dtype=np.int64)
+    b_coef = rng.randint(0, MOD, size=n_hashes, dtype=np.int64)
+    k, rows, bands = cfg.shingle_k, cfg.minhash_rows, cfg.minhash_bands
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def sig(s: str) -> np.ndarray:
+            hs = np.fromiter(
+                (
+                    int.from_bytes(hashlib.blake2b(sh.encode(), digest_size=8).digest(), "big") >> 3
+                    for sh in _shingles(s, k)
+                ),
+                dtype=np.int64,
+            )
+            # (a*h + b) mod p for all seeds x shingles, min over shingles
+            m = (hs[None, :] * a_coef[:, None] + b_coef[:, None]) % MOD
+            return m.min(axis=1)
+
+        for pdf in batches:
+            out_node, out_band, out_bucket = [], [], []
+            for node, name in zip(pdf["node_id"], pdf["norm_name"]):
+                v = sig(name)
+                for bd in range(bands):
+                    chunk = v[bd * rows : (bd + 1) * rows]
+                    bucket = int.from_bytes(
+                        hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big", signed=True
+                    )
+                    out_node.append(node)
+                    out_band.append(bd)
+                    out_bucket.append(bucket)
+            yield pd.DataFrame({"node_id": out_node, "band": out_band, "bucket": out_bucket})
+
+    return surfaces.select("node_id", "norm_name").mapInPandas(
+        gen, schema="node_id bigint, band int, bucket bigint"
+    )
+
+
+def lsh_pairs(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Self-join on (band, bucket); buckets capped like blocks are."""
+    sigs = minhash_signatures(surfaces, cfg)
+    w = Window.partitionBy("band", "bucket").orderBy("node_id")
+    ranked = sigs.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= cfg.max_block_size
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.node_id") < F.col("b.node_id")),
+        )
+        .select(
+            F.concat(F.lit("MH:"), F.col("a.bucket").cast("string")).alias("block_key"),
+            F.col("a.node_id").alias("node_a"),
+            F.col("b.node_id").alias("node_b"),
+            F.lit("lsh").alias("pass"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ assembly
+
+
+def candidate_pairs(mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Full blocking stage: distinct surfaces -> union of passes -> dedup.
+
+    Output: (block_key, node_a, node_b, norm_a, norm_b, pass) at the distinct
+    surface level, plus representative mention/url columns for the FIXTURES
+    candidate_pairs contract.
+    """
+    surfaces = distinct_surfaces(mentions)
+    keys = surface_block_keys(surfaces)
+    pairs = sorted_neighborhood_pairs(keys, cfg).unionByName(lsh_pairs(surfaces, cfg))
+    # one candidate per unordered node pair; keep the first pass name
+    # deterministically (min) so reruns are identical
+    pairs = pairs.groupBy("node_a", "node_b").agg(
+        F.min("block_key").alias("block_key"), F.min("pass").alias("pass")
+    )
+    s = surfaces.select("node_id", "norm_name", "rep_url", "rep_mention")
+    return (
+        pairs.join(
+            s.toDF("node_a", "norm_a", "url_a", "mention_a"), "node_a"
+        )
+        .join(s.toDF("node_b", "norm_b", "url_b", "mention_b"), "node_b")
+        .select(
+            "block_key", "node_a", "node_b", "norm_a", "norm_b",
+            "url_a", "mention_a", "url_b", "mention_b", "pass",
+        )
+    )
+
+
+def exact_edges(mentions: DataFrame) -> DataFrame:
+    """'exact' pass: every mention links to the min mention of its surface.
+
+    (u, v) = (mention_id, rep_mention) — linear, no pairs materialized."""
+    w = Window.partitionBy("norm_name")
+    return (
+        mentions.withColumn("rep", F.min("mention_id").over(w))
+        .where(F.col("mention_id") != F.col("rep"))
+        .select(F.col("mention_id").alias("u"), F.col("rep").alias("v"))
+    )

@@ -1,0 +1,198 @@
+"""Pairwise similarity features (SURVEY.md §2.7/§2.8 M1).
+
+Generalizes the reference's exact/containment/head-match feature templates
+(PairwiseIndexingFeaturizerJoint.scala:132-436) to noisy web surfaces:
+Jaro-Winkler, Levenshtein ratio, token Jaccard, TF-IDF cosine, plus the
+reference-style boolean templates (exact match, head/last-token match —
+FancyHeadMatcher.scala:19-50, containment :241-270, abbreviation match —
+AbbreviationHandler.scala:7-62, first-initial compatibility).
+
+Pure-Python string kernels, executed only inside Arrow-batched pandas UDFs
+over *distinct-surface pairs* (a tiny table relative to mentions), never over
+raw rows.  Feature order is fixed — FEATURE_NAMES is the model contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FEATURE_NAMES = [
+    "jaro_winkler",
+    "levenshtein",  # 1 - dist/maxlen
+    "token_jaccard",
+    "tfidf_cosine",
+    "exact_eq",
+    "last_eq",
+    "first_eq",
+    "init_last_eq",  # first initials match AND last tokens match
+    "acronym_match",
+    "token_subset",
+    "token_align",  # full one-sided token alignment (eq/prefix/initial/edit)
+    "bias",
+]
+N_FEATURES = len(FEATURE_NAMES)
+
+
+def jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_dist = max(len1, len2) // 2 - 1
+    m1 = [False] * len1
+    m2 = [False] * len2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - match_dist)
+        hi = min(len2, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(len1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    j = jaro(s1, s2)
+    prefix = 0
+    for a, b in zip(s1[:max_prefix], s2[:max_prefix]):
+        if a == b:
+            prefix += 1
+        else:
+            break
+    return j + prefix * p * (1.0 - j)
+
+
+def levenshtein_ratio(s1: str, s2: str) -> float:
+    """1 - edit_distance/max(len) with a numpy row-DP (strings are short)."""
+    if s1 == s2:
+        return 1.0
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    if n1 < n2:
+        s1, s2, n1, n2 = s2, s1, n2, n1
+    b = np.frombuffer(s2.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.arange(n2 + 1)
+    for i, c in enumerate(s1):
+        curr = np.empty(n2 + 1, dtype=np.int64)
+        curr[0] = i + 1
+        sub = prev[:-1] + (b != ord(c))
+        ins = prev[1:] + 1
+        np.minimum(sub, ins, out=curr[1:])
+        # deletions need a scan (dependency on curr itself)
+        for j in range(1, n2 + 1):
+            if curr[j - 1] + 1 < curr[j]:
+                curr[j] = curr[j - 1] + 1
+        prev = curr
+    return 1.0 - prev[-1] / n1
+
+
+def token_jaccard(t1: set[str], t2: set[str]) -> float:
+    if not t1 or not t2:
+        return 0.0
+    inter = len(t1 & t2)
+    return inter / (len(t1) + len(t2) - inter)
+
+
+def tfidf_cosine(t1: list[str], t2: list[str], idf: dict[str, float]) -> float:
+    """Cosine over IDF-weighted token sets (A2-style counts feed idf)."""
+    if not t1 or not t2:
+        return 0.0
+    w1 = {t: idf.get(t, 1.0) for t in set(t1)}
+    w2 = {t: idf.get(t, 1.0) for t in set(t2)}
+    dot = sum(w * w2[t] for t, w in w1.items() if t in w2)
+    n1 = sum(w * w for w in w1.values()) ** 0.5
+    n2 = sum(w * w for w in w2.values()) ** 0.5
+    return dot / (n1 * n2) if n1 and n2 else 0.0
+
+
+def acronym_of(tokens: list[str]) -> str:
+    return "".join(t[0] for t in tokens if t)
+
+
+def _tok_match(a: str, b: str) -> bool:
+    """Can token `a` stand for token `b`?  exact, initial ("j" ~ "jean"),
+    abbreviating prefix ("corp" ~ "corporation"), or a single typo
+    ("smitd" ~ "smith").  The web-noise generalization of the reference's
+    head-match / clean containment predicates (FancyHeadMatcher.scala:19-50).
+
+    Directional on the initial rule: a 1-char token may seek a full token,
+    but a full token must never match a stray initial (otherwise "adams"
+    aligns to the "a" of "a davis")."""
+    if a == b:
+        return True
+    if len(a) == 1 and b.startswith(a):
+        return True
+    if len(a) >= 3 and len(b) >= 3:
+        # abbreviating prefix only: "corp" ~ "corporation" but NOT
+        # "martin" ~ "martinez" (distinct surnames sharing a stem)
+        short, full = (a, b) if len(a) <= len(b) else (b, a)
+        if full.startswith(short) and len(short) <= 0.7 * len(full):
+            return True
+    if min(len(a), len(b)) >= 4 and abs(len(a) - len(b)) <= 1:
+        # single-typo tolerance: edit distance 1 on tokens of length >= 4
+        # ("smitd" ~ "smith") but NOT stem-sharing surnames at distance 2
+        # ("martin" ~ "martinez")
+        dist = round((1.0 - levenshtein_ratio(a, b)) * max(len(a), len(b)))
+        if dist <= 1:
+            return True
+    return False
+
+
+def token_align(ta: list[str], tb: list[str]) -> float:
+    """1.0 iff every token of (at least) one side aligns to some token of
+    the other — name variants (truncation, abbreviation, typo, initials)
+    align fully; distinct entities sharing most tokens leave one distinctive
+    token unaligned on both sides."""
+    left = all(any(_tok_match(a, b) for b in tb) for a in ta)
+    if left:
+        return 1.0
+    right = all(any(_tok_match(b, a) for a in ta) for b in tb)
+    return 1.0 if right else 0.0
+
+
+def featurize_pair(norm_a: str, norm_b: str, idf: dict[str, float]) -> list[float]:
+    """The M1 kernel: one fixed-width feature vector per surface pair."""
+    ta, tb = norm_a.split(" "), norm_b.split(" ")
+    sa, sb = set(ta), set(tb)
+    exact = 1.0 if norm_a == norm_b else 0.0
+    last_eq = 1.0 if ta[-1] == tb[-1] else 0.0
+    first_eq = 1.0 if ta[0] == tb[0] else 0.0
+    init_last = (
+        1.0 if last_eq and ta[0][:1] == tb[0][:1] else 0.0
+    )
+    acr_a, acr_b = acronym_of(ta), acronym_of(tb)
+    acronym = 1.0 if (
+        (len(ta) == 1 and len(tb) > 1 and ta[0] == acr_b)
+        or (len(tb) == 1 and len(ta) > 1 and tb[0] == acr_a)
+    ) else 0.0
+    subset = 1.0 if sa <= sb or sb <= sa else 0.0
+    return [
+        jaro_winkler(norm_a, norm_b),
+        levenshtein_ratio(norm_a, norm_b),
+        token_jaccard(sa, sb),
+        tfidf_cosine(ta, tb, idf),
+        exact,
+        last_eq,
+        first_eq,
+        init_last,
+        acronym,
+        subset,
+        token_align(ta, tb),
+        1.0,
+    ]

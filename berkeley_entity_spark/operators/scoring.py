@@ -1,0 +1,140 @@
+"""Scoring stage: candidate pairs -> scored pairs (SURVEY.md §2.8 M1-M2).
+
+Mirrors the reference's featurize-then-dot-product scorer
+(DocumentGraph.scala:232-253 featurization, GUtil.scala:434-443 dot product,
+PairwiseScorer.scala:13-15) as one Arrow-batched pandas UDF over pair
+batches: numpy matvec of the fixed-width feature matrix against broadcast
+weights.  The IDF side-table (A2-style token counts,
+ner/CorpusCounts.scala:17+) is computed as a DataFrame agg, collected (it is
+bounded by the token vocabulary of *names*, tiny even at web scale after a
+min-count cutoff) and broadcast into the kernel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from berkeley_entity_spark.operators.features import FEATURE_NAMES, featurize_pair
+
+# Hand-set fallback weights (margin units): exact/structural matches dominate,
+# continuous sims carry typo variants past the threshold, bias pushes random
+# pairs well below zero.  The trained model (ml/train.py) replaces these.
+DEFAULT_WEIGHTS = {
+    "jaro_winkler": 3.0,
+    "levenshtein": 2.0,
+    "token_jaccard": 1.5,
+    "tfidf_cosine": 2.0,
+    "exact_eq": 6.0,
+    "last_eq": 1.0,
+    "first_eq": 1.0,
+    "init_last_eq": 2.0,
+    "acronym_match": 12.0,
+    "token_subset": 1.0,
+    "token_align": 7.0,
+    "bias": -12.5,
+}
+
+
+def weights_vector(weights: dict[str, float] | None = None) -> np.ndarray:
+    w = dict(DEFAULT_WEIGHTS)
+    if weights:
+        w.update(weights)
+    return np.array([w[name] for name in FEATURE_NAMES], dtype=np.float64)
+
+
+def idf_table(mentions_or_surfaces: DataFrame, norm_col: str = "norm_name") -> DataFrame:
+    """Document-frequency-based IDF over name tokens (A2 analog):
+    idf = ln((N+1)/(df+1)) + 1. Pure DataFrame agg."""
+    toks = mentions_or_surfaces.select(
+        F.explode(F.split(F.col(norm_col), " ")).alias("token")
+    ).where(F.col("token") != "")
+    n = mentions_or_surfaces.count()
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "token",
+            (F.log((F.lit(float(n + 1))) / (F.col("df") + 1)) + 1.0).alias("idf"),
+        )
+    )
+
+
+def collect_idf(idf_df: DataFrame, max_terms: int = 500_000) -> dict[str, float]:
+    """Collect the IDF table for broadcast into the scoring kernel.  Capped:
+    at web scale only the most frequent terms matter (rare tokens default to
+    idf=1 inside the kernel)."""
+    rows = idf_df.orderBy(F.asc("idf")).limit(max_terms).collect()
+    return {r["token"]: float(r["idf"]) for r in rows}
+
+
+def score_pairs(
+    pairs: DataFrame,
+    idf: dict[str, float],
+    weights: np.ndarray | None = None,
+) -> DataFrame:
+    """candidate_pairs -> scored_pairs with the FIXTURES §3 schema columns
+    (jaro_winkler, levenshtein, token_jaccard, tfidf_cosine, score) plus all
+    indicator features."""
+    w = weights if weights is not None else weights_vector()
+    spark = pairs.sparkSession
+    b_idf = spark.sparkContext.broadcast(idf)
+    b_w = spark.sparkContext.broadcast(w)
+    in_cols = pairs.columns
+    out_schema = (
+        ", ".join(f"{c} {t}" for c, t in pairs.dtypes)
+        + ", "
+        + ", ".join(f"{name} double" for name in FEATURE_NAMES if name != "bias")
+        + ", score double"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idf_map = b_idf.value
+        wv = b_w.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = np.array(
+                [
+                    featurize_pair(a, b, idf_map)
+                    for a, b in zip(pdf["norm_a"], pdf["norm_b"])
+                ],
+                dtype=np.float64,
+            )
+            scores = feats @ wv
+            out = pdf[in_cols].copy()
+            for j, name in enumerate(FEATURE_NAMES):
+                if name != "bias":
+                    out[name] = feats[:, j]
+            out["score"] = scores
+            yield out
+
+    return pairs.mapInPandas(gen, schema=out_schema)
+
+
+def match_edges(
+    scored: DataFrame, threshold: float = 0.0, decode: str = "threshold"
+) -> DataFrame:
+    """scored pairs -> (u, v) match edges for transitive closure.
+
+    decode="threshold" (default): every pair above the margin is an edge —
+    correct for cross-document resolution, where a surface's duplicates must
+    all connect regardless of which single partner scores best.
+
+    decode="argmax": the reference's within-document backpointer semantics
+    (DocumentInferencerBasic.scala:116-132) — per node keep only the
+    best-scoring antecedent, lowest node id on ties (the reference keeps the
+    first max).  Kept for parity experiments; it under-connects surface
+    graphs (a node that is nobody's argmax ends up a singleton even with
+    positive-scoring pairs)."""
+    above = scored.where(F.col("score") > threshold)
+    if decode == "argmax":
+        best = above.groupBy("node_b").agg(
+            F.max_by("node_a", F.struct(F.col("score"), -F.col("node_a"))).alias("node_a")
+        )
+        return best.select(F.col("node_b").alias("u"), F.col("node_a").alias("v"))
+    return above.select(F.col("node_b").alias("u"), F.col("node_a").alias("v"))

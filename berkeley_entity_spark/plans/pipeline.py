@@ -1,0 +1,81 @@
+"""The end-to-end ER pipeline (SURVEY.md §3.1 lifecycle, Spark form).
+
+extract -> block -> score -> cluster, each stage checkpointed (resume-safe)
+with lineage metrics; mirrors Driver -mode COREF_PREDICT
+(CorefSystem.scala:215-227) with blocking playing the pruner's role.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from berkeley_entity_spark.config import DEFAULT_PIPELINE, PipelineConfig
+from berkeley_entity_spark.operators.blocking import (
+    candidate_pairs,
+    distinct_surfaces,
+)
+from berkeley_entity_spark.operators.clustering import (
+    assign_clusters,
+    connected_components,
+)
+from berkeley_entity_spark.operators.extract import extract_mentions
+from berkeley_entity_spark.operators.scoring import (
+    collect_idf,
+    idf_table,
+    match_edges,
+    score_pairs,
+    weights_vector,
+)
+from berkeley_entity_spark.plans.checkpoint import CheckpointStore
+
+
+@dataclass
+class PipelineResult:
+    mentions: DataFrame
+    pairs: DataFrame
+    scored: DataFrame
+    clusters: DataFrame
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: PipelineConfig = DEFAULT_PIPELINE,
+    weights: np.ndarray | None = None,
+    store: CheckpointStore | None = None,
+    resume: bool = True,
+    lang: str | None = "en",
+) -> PipelineResult:
+    """webpages -> clusters(mention_id, cluster_id).
+
+    lang filter happens before extraction (partition-prunable predicate at
+    the source scan).  Stage tables: mentions, candidate_pairs, scored_pairs,
+    clusters — kill the job between any two and a rerun resumes.
+    """
+    if store is None:
+        store = CheckpointStore(cfg.checkpoint_dir, cfg.checkpoint_format)
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return store.materialize(df, name, resume=resume)
+
+    if lang is not None:
+        pages = pages.where(F.col("lang") == lang)
+
+    mentions = stage(extract_mentions(pages), "mentions")
+    pairs = stage(candidate_pairs(mentions, cfg), "candidate_pairs")
+
+    idf = collect_idf(idf_table(distinct_surfaces(mentions)))
+    w = weights if weights is not None else weights_vector()
+    scored = stage(score_pairs(pairs, idf, w), "scored_pairs")
+
+    surfaces = distinct_surfaces(mentions)
+    edges = match_edges(scored, cfg.score_threshold)
+    components = connected_components(
+        edges, cfg.max_cc_iterations, cfg.checkpoint_every
+    )
+    clusters = stage(assign_clusters(mentions, surfaces, components), "clusters")
+    return PipelineResult(mentions, pairs, scored, clusters)

@@ -61,7 +61,7 @@ ORG_SUF = ["Corporation", "Industries", "Partners", "Ventures"]
 ORG_SUF_ABBR = {"Corporation": "Corp.", "Industries": "Ind.", "Partners": "Prtn.", "Ventures": "Vent."}
 
 PERSON_CAPACITY = len(FIRST) * len(LAST)  # 3120
-ORG_CAPACITY = len(ORG_W1) * len(ORG_W2) * len(ORG_SUF)  # 576
+ORG_CAPACITY = len(ORG_W1) * len(ORG_W2)  # 144 — one org per (w1, w2) pair
 
 STARTERS = [
     "Today", "Meanwhile", "However", "Officials", "Reports", "Analysts",
@@ -114,7 +114,9 @@ def entity_canonical(eid: int, n_entities: int) -> tuple[str, str]:
     idx = (eid // 2) % ORG_CAPACITY
     w1 = ORG_W1[idx % len(ORG_W1)]
     w2 = ORG_W2[(idx // len(ORG_W1)) % len(ORG_W2)]
-    suf = ORG_SUF[(idx // (len(ORG_W1) * len(ORG_W2))) % len(ORG_SUF)]
+    # one org per (w1, w2) pair — suffix hashed, so the dropped-suffix
+    # variant "W1 W2" never collides across two org entities
+    suf = ORG_SUF[_h("suf", idx) % len(ORG_SUF)]
     return f"{w1} {w2} {suf}", "org"
 
 
@@ -247,3 +249,62 @@ def generate_webpages(spark, cfg: SynthConfig):
     pages = base.mapInPandas(gen_pages, schema=PAGES_SCHEMA)
     gold = base.mapInPandas(gen_gold, schema=GOLD_SCHEMA)
     return pages, gold
+
+
+# ----------------------------------------------------------- gold labeling
+def gold_with_ids(gold_mentions):
+    """Add mention_id = xxhash64(url, sent_idx, start, end) and the
+    normalized surface (Spark expression equal to extract.normalize_name)."""
+    from pyspark.sql import functions as F
+
+    norm = F.array_join(
+        F.filter(
+            F.split(F.regexp_replace(F.lower("surface"), r"\.", ""), " +"),
+            lambda t: t != "",
+        ),
+        " ",
+    )
+    return gold_mentions.withColumn(
+        "mention_id", F.xxhash64("url", "sent_idx", "start", "end")
+    ).withColumn("norm_name", norm)
+
+
+def gold_pair_table(gold_mentions_with_ids, band: int = 10, cap: int = 200):
+    """Labeled pairs under a shared blocking key (FIXTURES §2 gold_pairs):
+    positives = same entity_id, hard negatives = different entities sharing
+    the key (e.g. same surname).  Sorted-neighborhood banding caps volume."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from berkeley_entity_spark.operators.blocking import explode_block_keys
+
+    m = gold_mentions_with_ids.select("mention_id", "norm_name", "entity_id", "url")
+    keys = explode_block_keys(m, "mention_id").join(
+        m.select("mention_id", "entity_id", "url"), "mention_id"
+    )
+    w = Window.partitionBy("block_key").orderBy("norm_name", "mention_id")
+    r = keys.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= cap)
+    a, b = r.alias("a"), r.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("b.rn") > F.col("a.rn"))
+            & (F.col("b.rn") <= F.col("a.rn") + band),
+        )
+        .where(F.col("a.mention_id") != F.col("b.mention_id"))
+        .select(
+            F.col("a.block_key").alias("block_key"),
+            F.col("a.url").alias("url_a"),
+            F.least("a.mention_id", "b.mention_id").alias("mention_a"),
+            F.col("b.url").alias("url_b"),
+            F.greatest("a.mention_id", "b.mention_id").alias("mention_b"),
+            (F.col("a.entity_id") == F.col("b.entity_id")).alias("label"),
+        )
+    )
+    return pairs.groupBy("mention_a", "mention_b").agg(
+        F.min("block_key").alias("block_key"),
+        F.first("url_a").alias("url_a"),
+        F.first("url_b").alias("url_b"),
+        F.first("label").alias("label"),
+    )
