@@ -50,6 +50,7 @@ def distinct_surfaces(mentions: DataFrame) -> DataFrame:
             F.min("mention_id").alias("rep_mention"),
             F.min_by("url", "mention_id").alias("rep_url"),
             F.count(F.lit(1)).alias("n_mentions"),
+            F.max(F.coalesce("is_acr", F.lit(False))).alias("is_acr"),
         )
         .withColumn("node_id", F.xxhash64("norm_name"))
     )
@@ -225,15 +226,15 @@ def candidate_pairs(mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
     pairs = pairs.groupBy("node_a", "node_b").agg(
         F.min("block_key").alias("block_key"), F.min("pass").alias("pass")
     )
-    s = surfaces.select("node_id", "norm_name", "rep_url", "rep_mention")
+    s = surfaces.select("node_id", "norm_name", "rep_url", "rep_mention", "is_acr")
     return (
         pairs.join(
-            s.toDF("node_a", "norm_a", "url_a", "mention_a"), "node_a"
+            s.toDF("node_a", "norm_a", "url_a", "mention_a", "acr_a"), "node_a"
         )
-        .join(s.toDF("node_b", "norm_b", "url_b", "mention_b"), "node_b")
+        .join(s.toDF("node_b", "norm_b", "url_b", "mention_b", "acr_b"), "node_b")
         .select(
-            "block_key", "node_a", "node_b", "norm_a", "norm_b",
-            "url_a", "mention_a", "url_b", "mention_b", "pass",
+            "block_key", "node_a", "node_b", "norm_a", "norm_b", "acr_a",
+            "acr_b", "url_a", "mention_a", "url_b", "mention_b", "pass",
         )
     )
 

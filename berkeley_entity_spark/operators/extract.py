@@ -37,7 +37,8 @@ _CAP_TOKEN = re.compile(r"^[A-Z][A-Za-z0-9.&'\-]*$")
 
 MENTIONS_SCHEMA = (
     "url string, sent_idx int, start int, end int, span string, head string, "
-    "norm_name string, mtype string, ner string, number string, gender string"
+    "norm_name string, mtype string, ner string, number string, gender string, "
+    "is_acr boolean"
 )
 
 
@@ -81,7 +82,7 @@ def extract_mentions(pages: DataFrame, from_html: bool = False) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_cols = [
             "url", "sent_idx", "start", "end", "span", "head",
-            "norm_name", "mtype", "ner", "number", "gender",
+            "norm_name", "mtype", "ner", "number", "gender", "is_acr",
         ]
         for pdf in batches:
             rows = []
@@ -94,9 +95,13 @@ def extract_mentions(pages: DataFrame, from_html: bool = False) -> DataFrame:
                 for s_idx, start, end, span in _mentions_from_text(text):
                     norm = normalize_name(span)
                     head = norm.split(" ")[-1] if norm else ""
+                    # all-caps single short token = written-as-acronym
+                    is_acr = (
+                        " " not in span and span.isupper() and 2 <= len(span) <= 6
+                    )
                     rows.append(
                         (url, s_idx, start, end, span, head, norm,
-                         "PROPER", "", "UNKNOWN", "UNKNOWN")
+                         "PROPER", "", "UNKNOWN", "UNKNOWN", is_acr)
                     )
             yield pd.DataFrame(rows, columns=out_cols)
 

@@ -154,20 +154,52 @@ def _tok_match(a: str, b: str) -> bool:
     return False
 
 
+def _monotone_align(src: list[str], dst: list[str]) -> bool:
+    """Every token of src matches a distinct token of dst, in order
+    (order-preserving injective matching — name variants keep token order).
+    Injectivity matters: without it the initial "a" of "a anderson" would
+    claim the surname of "c anderson" and hub-merge whole blocks."""
+
+    def rec(i: int, j: int) -> bool:
+        if i == len(src):
+            return True
+        if len(src) - i > len(dst) - j:
+            return False
+        for k in range(j, len(dst)):
+            if _tok_match(src[i], dst[k]) and rec(i + 1, k + 1):
+                return True
+        return False
+
+    # anchor: first tokens must be compatible ("a smith" ~ "alice lee smith"
+    # but "a steinwood" must NOT claim the middle initial of
+    # "xenia a steinwood" — a first initial is not a middle initial)
+    if not src or not dst or not _tok_match(src[0], dst[0]):
+        return False
+    return rec(1, 1)
+
+
 def token_align(ta: list[str], tb: list[str]) -> float:
-    """1.0 iff every token of (at least) one side aligns to some token of
-    the other — name variants (truncation, abbreviation, typo, initials)
-    align fully; distinct entities sharing most tokens leave one distinctive
-    token unaligned on both sides."""
-    left = all(any(_tok_match(a, b) for b in tb) for a in ta)
-    if left:
+    """1.0 iff one side fully aligns into the other (order-preserving,
+    injective) — name variants (truncation, abbreviation, typo, initials)
+    align fully; distinct entities leave a distinctive token unaligned."""
+    if _monotone_align(ta, tb) or _monotone_align(tb, ta):
         return 1.0
-    right = all(any(_tok_match(b, a) for a in ta) for b in tb)
-    return 1.0 if right else 0.0
+    return 0.0
 
 
-def featurize_pair(norm_a: str, norm_b: str, idf: dict[str, float]) -> list[float]:
-    """The M1 kernel: one fixed-width feature vector per surface pair."""
+def featurize_pair(
+    norm_a: str,
+    norm_b: str,
+    idf: dict[str, float],
+    is_acr_a: bool = True,
+    is_acr_b: bool = True,
+) -> list[float]:
+    """The M1 kernel: one fixed-width feature vector per surface pair.
+
+    is_acr_{a,b}: the surface was written as an ALL-CAPS single token in the
+    raw text (an acronym).  Acronym matching requires it — otherwise a person
+    whose initials spell an org acronym ("alice ann vanceman" ~ "AAV")
+    false-merges."""
     ta, tb = norm_a.split(" "), norm_b.split(" ")
     sa, sb = set(ta), set(tb)
     exact = 1.0 if norm_a == norm_b else 0.0
@@ -178,8 +210,8 @@ def featurize_pair(norm_a: str, norm_b: str, idf: dict[str, float]) -> list[floa
     )
     acr_a, acr_b = acronym_of(ta), acronym_of(tb)
     acronym = 1.0 if (
-        (len(ta) == 1 and len(tb) > 1 and ta[0] == acr_b)
-        or (len(tb) == 1 and len(ta) > 1 and tb[0] == acr_a)
+        (len(ta) == 1 and is_acr_a and len(tb) > 1 and ta[0] == acr_b)
+        or (len(tb) == 1 and is_acr_b and len(ta) > 1 and tb[0] == acr_a)
     ) else 0.0
     subset = 1.0 if sa <= sb or sb <= sa else 0.0
     return [

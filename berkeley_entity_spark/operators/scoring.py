@@ -98,10 +98,12 @@ def score_pairs(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            acr_a = pdf["acr_a"] if "acr_a" in pdf else pd.Series(True, index=pdf.index)
+            acr_b = pdf["acr_b"] if "acr_b" in pdf else pd.Series(True, index=pdf.index)
             feats = np.array(
                 [
-                    featurize_pair(a, b, idf_map)
-                    for a, b in zip(pdf["norm_a"], pdf["norm_b"])
+                    featurize_pair(a, b, idf_map, bool(fa), bool(fb))
+                    for a, b, fa, fb in zip(pdf["norm_a"], pdf["norm_b"], acr_a, acr_b)
                 ],
                 dtype=np.float64,
             )

@@ -29,8 +29,8 @@ from berkeley_entity_spark.config import SynthConfig
 # 26 first names, one per initial letter (keeps first-initial+surname unique
 # within a surname → "J. Smith"-style variants stay unambiguous).
 FIRST = [
-    "Alice", "Bruno", "Carla", "David", "Elena", "Felix", "Grace", "Hugo",
-    "Irene", "Jonas", "Karen", "Louis", "Maria", "Nadia", "Oscar", "Paula",
+    "Alice", "Bruno", "Clara", "David", "Elena", "Felix", "Grace", "Hugo",
+    "Irene", "Jonas", "Karen", "Louis", "Maria", "Nina", "Oscar", "Paula",
     "Quinn", "Rosa", "Simon", "Tessa", "Ulric", "Vera", "Walter", "Xenia",
     "Yusuf", "Zelda",
 ]
@@ -45,7 +45,32 @@ _LAST_BASE = [
 ]
 _LAST_SYL1 = ["Berg", "Lind", "Sand", "Fern", "Hart", "Wald", "Stein", "Vance"]
 _LAST_SYL2 = ["holm", "gren", "field", "wood", "man", "sen", "berg", "ton", "well", "er"]
-LAST = _LAST_BASE + [a + b for a in _LAST_SYL1 for b in _LAST_SYL2]  # 120 surnames
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a):
+        curr = [i + 1]
+        for j, cb in enumerate(b):
+            curr.append(min(prev[j + 1] + 1, curr[j] + 1, prev[j] + (ca != cb)))
+        prev = curr
+    return prev[-1]
+
+
+def _distinct_pool(cands: list[str], min_dist: int = 3) -> list[str]:
+    """Keep only names pairwise >= min_dist apart so an edit-distance-1 typo
+    of one surname can never equal (or nearly equal) another surname —
+    otherwise gold clusters are genuinely unresolvable."""
+    pool: list[str] = []
+    for c in cands:
+        if all(_lev(c.lower(), p.lower()) >= min_dist for p in pool):
+            pool.append(c)
+    return pool
+
+
+LAST = _distinct_pool(
+    _LAST_BASE + [a + b for a in _LAST_SYL1 for b in _LAST_SYL2]
+)
 
 # Org word pools: each pool has pairwise-distinct initials so acronyms are
 # collision-free by construction.
@@ -104,20 +129,25 @@ def _zipf_index(h: int, n: int, s: float) -> int:
 
 # ------------------------------------------------------------- entity model
 def entity_canonical(eid: int, n_entities: int) -> tuple[str, str]:
-    """(canonical name, kind) for entity eid — pure function."""
-    if eid % 2 == 0:
-        idx = (eid // 2) % PERSON_CAPACITY
-        last = LAST[idx % len(LAST)]
-        first = FIRST[(idx // len(LAST)) % len(FIRST)]
-        middle = MIDDLE[_h("mid", idx) % len(MIDDLE)]
-        return f"{first} {middle} {last}", "person"
-    idx = (eid // 2) % ORG_CAPACITY
-    w1 = ORG_W1[idx % len(ORG_W1)]
-    w2 = ORG_W2[(idx // len(ORG_W1)) % len(ORG_W2)]
-    # one org per (w1, w2) pair — suffix hashed, so the dropped-suffix
-    # variant "W1 W2" never collides across two org entities
-    suf = ORG_SUF[_h("suf", idx) % len(ORG_SUF)]
-    return f"{w1} {w2} {suf}", "org"
+    """(canonical name, kind) for entity eid — pure function.
+
+    Odd eids are orgs until ORG_CAPACITY is exhausted; overflow odd eids
+    become persons in the top half of the person index space, so no two
+    entity ids ever share a canonical name (names are injective up to
+    PERSON_CAPACITY + ORG_CAPACITY ≈ 2.2k entities)."""
+    k = eid // 2
+    if eid % 2 == 1 and k < ORG_CAPACITY:
+        w1 = ORG_W1[k % len(ORG_W1)]
+        w2 = ORG_W2[(k // len(ORG_W1)) % len(ORG_W2)]
+        # one org per (w1, w2) pair — suffix hashed, so the dropped-suffix
+        # variant "W1 W2" never collides across two org entities
+        suf = ORG_SUF[_h("suf", k) % len(ORG_SUF)]
+        return f"{w1} {w2} {suf}", "org"
+    idx = (PERSON_CAPACITY - 1 - k if eid % 2 == 1 else k) % PERSON_CAPACITY
+    last = LAST[idx % len(LAST)]
+    first = FIRST[(idx // len(LAST)) % len(FIRST)]
+    middle = MIDDLE[_h("mid", idx) % len(MIDDLE)]
+    return f"{first} {middle} {last}", "person"
 
 
 def _typo(name: str, h: int) -> str:
