@@ -1,38 +1,635 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: MinHash-LSH near-dup clustering of the documents
+                 table (the ER spine: signature -> banded blocking ->
+                 candidate pairs -> connected components) at sf0.001.
+queries()      — one entry per implemented operator family (SURVEY.md §2);
+                 each callable takes (spark, sf_dir) and returns a DataFrame.
+oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query.
+                 Keys without an oracle (pandas-UDF/iterative ops) get the
+                 driver's rows-only check.
+
+Determinism rules used throughout so the value-hash comparison is exact:
+  * money/double aggregates only via order-independent forms (counts,
+    integral-valued sums, min/max) or explicit round(.., N)
+  * every computed column aliased identically in Spark and SQL
+  * ties in top-k / window ranks broken by an id column
+  * hashes via md5 (identical hex in both engines), never engine hashes
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+TOKQ = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ (documents shifted by +100000) — injects exact dups so
+    near-dup operators have positives on the driver's (all-distinct) corpus."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+
+
+_DOCS_DUP_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents"
+)
+
+
+# --------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-dup clusters over documents at sf0.001 — MinHash
+    signatures, banded LSH blocking, candidate pairs, large-star/small-star
+    transitive closure, cluster assignment (cluster = min doc_id)."""
+    from berkeley_entity_spark.operators.clustering import connected_components
+    from berkeley_entity_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs_with_dups(spark, SF_DEFAULT)
+    pairs = minhash_lsh_pairs(docs, bands=4, rows=2)
+    comp = connected_components(pairs.toDF("u", "v"))
+    return (
+        docs.select("doc_id")
+        .join(comp.toDF("doc_id", "cluster_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+    )
+
+
+# ------------------------------------------------------------------- queries
+def q_lineitem_agg(spark, sf_dir):
+    """A5/A6-style metrics rollup (TPC-H Q1 shape, order-independent aggs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum("l_quantity") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    """A1: lexical count table with cutoff (LexicalCountsBundle analog)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 10)
+    )
+
+
+def q_bigram_counts(spark, sf_dir):
+    """A2: corpus bigram counts with threshold."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 5)
+    )
+
+
+def q_top_tokens(spark, sf_dir):
+    """A9: top-20 keys by count (keepTopNKeys analog), ties by token."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def q_window_top1(spark, sf_dir):
+    """W3: per-group argmax with deterministic tie-break (best antecedent)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("best_order"),
+            F.round("o_totalprice", 2).alias("best_price"),
+        )
+    )
+
+
+def q_argmax_per_group(spark, sf_dir):
+    """W4/A10: max_by per group (wiki title vote argmax analog)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_custkey", F.struct(F.col("c_acctbal"), F.col("c_custkey"))).alias(
+            "richest_cust"
+        ),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+def q_join_align(spark, sf_dir):
+    """J4/J5: equi-join alignment + grouped sufficient stats."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+def q_broadcast_dim(spark, sf_dir):
+    """J7: broadcast dimension lookup join (surface->title DB analog)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_sorted_neighborhood(spark, sf_dir):
+    """J2: sorted-neighborhood banding — adjacent pairs in key order."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_name", "c_custkey")
+    return (
+        c.withColumn("next_cust", F.lead("c_custkey", 1).over(w))
+        .where(F.col("next_cust").isNotNull())
+        .select(
+            "c_mktsegment",
+            F.col("c_custkey").alias("cust_a"),
+            F.col("next_cust").alias("cust_b"),
+        )
+    )
+
+
+def q_fold_assign(spark, sf_dir):
+    """W6/M10: deterministic k-fold assignment (CorefPruner fold analog)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("fold", F.pmod(F.col("o_orderkey"), F.lit(5)))
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_set_dedup(spark, sf_dir):
+    """SO1: union + dedup across two sources (proto-mention union analog)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+def q_pairwise_f1(spark, sf_dir):
+    """A7: pairwise P/R/F1 via per-cluster combinatorics, no pair table
+    (CorefEvaluator.scala:364-396 formula).  pred=lang, gold=source."""
+    d = _t(spark, sf_dir, "documents")
+    npairs = lambda c: F.sum(c * (c - 1) / 2)  # noqa: E731
+    pred = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).agg(
+        npairs(F.col("c")).alias("pred_pairs")
+    )
+    gold = d.groupBy("source").agg(F.count(F.lit(1)).alias("c")).agg(
+        npairs(F.col("c")).alias("gold_pairs")
+    )
+    tp = (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(npairs(F.col("c")).alias("tp_pairs"))
+    )
+    return (
+        tp.crossJoin(pred)
+        .crossJoin(gold)
+        .select(
+            F.col("tp_pairs").cast("long").alias("tp_pairs"),
+            F.col("pred_pairs").cast("long").alias("pred_pairs"),
+            F.col("gold_pairs").cast("long").alias("gold_pairs"),
+            F.round(F.col("tp_pairs") / F.col("pred_pairs"), 6).alias("precision"),
+            F.round(F.col("tp_pairs") / F.col("gold_pairs"), 6).alias("recall"),
+            F.round(
+                2 * F.col("tp_pairs") / (F.col("pred_pairs") + F.col("gold_pairs")), 6
+            ).alias("f1"),
+        )
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Dedup (exact): survivor = min id per key group."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt")
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """Dedup (MinHash+LSH): banded md5-min signatures -> candidate pairs."""
+    from berkeley_entity_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), bands=4, rows=2)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Dedup (n-gram Jaccard): exact Jaccard >= 0.9 on shared-ngram pairs."""
+    from berkeley_entity_spark.operators.dedup import ngram_jaccard_pairs
+
+    p = ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), n=3, threshold=0.9)
+    return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Dedup (SimHash): hamming<=3 candidate pairs (no SQL oracle — the
+    bit-vote kernel is a pandas UDF)."""
+    from berkeley_entity_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
+
+
+def q_ann_topk(spark, sf_dir):
+    """Similarity search: exact brute-force cosine top-3 (ids + rank)."""
+    from berkeley_entity_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Similarity search (scale path): hyperplane-LSH bucketed top-k
+    (no SQL oracle — signature kernel is a pandas UDF)."""
+    from berkeley_entity_spark.operators.similarity import lsh_bucket_topk
+
+    t = lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), k=3)
+    return t.select("query_id", "neighbor_id", "rank")
+
+
+def q_quality_score(spark, sf_dir):
+    """Text analysis: composite quality score."""
+    from berkeley_entity_spark.operators.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    """Text analysis: stopword-ratio English detector."""
+    from berkeley_entity_spark.operators.textstats import lang_id_en
+
+    return lang_id_en(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    """Text analysis: md5 document fingerprint."""
+    from berkeley_entity_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_event_hourly(spark, sf_dir):
+    """Windowed aggregation over the events table (streaming-shape agg)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) via window cumulative sum."""
+    e = _t(spark, sf_dir, "events")
+    e = e.withColumn("ts_utc", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts_utc", "event_id")
+    gap_ms = F.unix_millis(F.col("ts_utc")) - F.unix_millis(F.lag("ts_utc", 1).over(w))
+    brk = F.when(gap_ms.isNull() | (gap_ms > 1_800_000), 1).otherwise(0)
+    sess = (
+        e.withColumn("brk", brk)
+        .withColumn(
+            "session_id",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def q_er_clusters(spark, sf_dir):
+    """The ER spine on a deterministic synthetic web corpus (no SQL oracle —
+    pandas-UDF featurization + iterative CC): extract -> block -> score ->
+    cluster; returns clusters(mention_id, cluster_id)."""
+    from berkeley_entity_spark.config import PipelineConfig, SynthConfig
+    from berkeley_entity_spark.operators.blocking import candidate_pairs, distinct_surfaces
+    from berkeley_entity_spark.operators.clustering import assign_clusters, connected_components
+    from berkeley_entity_spark.operators.extract import extract_mentions
+    from berkeley_entity_spark.operators.scoring import (
+        collect_idf,
+        idf_table,
+        match_edges,
+        score_pairs,
+    )
+    from berkeley_entity_spark.synth import generate_webpages
+
+    cfg = PipelineConfig()
+    pages, _ = generate_webpages(spark, SynthConfig(n_pages=300, n_entities=40))
+    mentions = extract_mentions(pages.where("lang = 'en'")).localCheckpoint(eager=True)
+    pairs = candidate_pairs(mentions, cfg)
+    idf = collect_idf(idf_table(distinct_surfaces(mentions)))
+    scored = score_pairs(pairs, idf)
+    comp = connected_components(match_edges(scored))
+    return assign_clusters(mentions, distinct_surfaces(mentions), comp)
+
+
+def q_er_mentions(spark, sf_dir):
+    """Extract stage on the synthetic corpus (no SQL oracle — pandas UDF)."""
+    from berkeley_entity_spark.config import SynthConfig
+    from berkeley_entity_spark.operators.extract import extract_mentions
+    from berkeley_entity_spark.synth import generate_webpages
+
+    pages, _ = generate_webpages(spark, SynthConfig(n_pages=300, n_entities=40))
+    return extract_mentions(pages.where("lang = 'en'"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_lineitem_agg": q_lineitem_agg,
+        "q_token_counts": q_token_counts,
+        "q_bigram_counts": q_bigram_counts,
+        "q_top_tokens": q_top_tokens,
+        "q_window_top1": q_window_top1,
+        "q_argmax_per_group": q_argmax_per_group,
+        "q_join_align": q_join_align,
+        "q_broadcast_dim": q_broadcast_dim,
+        "q_sorted_neighborhood": q_sorted_neighborhood,
+        "q_fold_assign": q_fold_assign,
+        "q_set_dedup": q_set_dedup,
+        "q_pairwise_f1": q_pairwise_f1,
+        "q_exact_dedup": q_exact_dedup,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_ann_topk": q_ann_topk,
+        "q_ann_lsh": q_ann_lsh,
+        "q_quality_score": q_quality_score,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        "q_event_hourly": q_event_hourly,
+        "q_sessionize": q_sessionize,
+        "q_er_clusters": q_er_clusters,
+        "q_er_mentions": q_er_mentions,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------------- oracles
+def _minhash_oracle(bands: int = 4, rows: int = 2) -> str:
+    n = bands * rows
+    mh = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS mh{i}"
+        for i in range(n)
+    )
+    buckets = ", ".join(
+        "'" + str(b) + "#' || " + " || '#' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        for b in range(bands)
+    )
+    return f"""
+WITH docs AS ({_DOCS_DUP_SQL}),
+tok AS (SELECT doc_id, {TOKQ} AS toks FROM docs),
+sh AS (SELECT doc_id,
+       CASE WHEN len(toks) >= 3
+            THEN list_transform(generate_series(1, len(toks) - 2),
+                                i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+            ELSE [array_to_string(toks, ' ')] END AS shingles
+       FROM tok),
+sig AS (SELECT doc_id, {mh} FROM sh),
+b AS (SELECT doc_id, unnest([{buckets}]) AS bucket FROM sig)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+GROUP BY 1, 2
+"""
+
+
+def _ngram_jaccard_oracle(n: int = 3, threshold: float = 0.9, max_df: int = 500) -> str:
+    return f"""
+WITH docs AS ({_DOCS_DUP_SQL}),
+tok AS (SELECT doc_id, {TOKQ} AS toks FROM docs),
+sh AS (SELECT doc_id,
+       CASE WHEN len(toks) >= {n}
+            THEN list_transform(generate_series(1, len(toks) - {n - 1}),
+                                i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))
+            ELSE [array_to_string(toks, ' ')] END AS shingles
+       FROM tok),
+dn AS (SELECT DISTINCT doc_id, unnest(shingles) AS ngram FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dn GROUP BY doc_id),
+hot AS (SELECT ngram FROM dn GROUP BY ngram HAVING count(*) > {max_df}),
+cold AS (SELECT * FROM dn WHERE ngram NOT IN (SELECT ngram FROM hot)),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM cold a JOIN cold b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {threshold}
+"""
+
+
+_EN_STOP_SQL = (
+    "['the','of','and','to','a','in','that','is','was','he','for','it','with',"
+    "'as','his','on','be','at','by','i','this','had','not','are','but','from',"
+    "'or','have','an','they','which','one','you','were','her','all','she',"
+    "'there','would','their','we']"
+)
+
+_STATS_SQL = f"""
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(text) * 1.0 / greatest(len(toks), 1) AS mean_tok_len,
+       len(list_filter(toks, t -> list_contains({_EN_STOP_SQL}, lower(t)))) * 1.0
+         / greatest(len(toks), 1) AS stopword_ratio,
+       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+         / greatest(length(text), 1) AS punct_ratio
+FROM (SELECT doc_id, text, {TOKQ} AS toks FROM documents)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   count(*) AS count_order,
+                   round(sum(l_quantity) / count(*), 6) AS avg_qty,
+                   round(min(l_extendedprice), 2) AS min_price,
+                   round(max(l_extendedprice), 2) AS max_price
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2024-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_token_counts": f"""
+            SELECT token, count(*) AS cnt
+            FROM (SELECT unnest({TOKQ}) AS token FROM documents)
+            GROUP BY token HAVING count(*) >= 10
+        """,
+        "q_bigram_counts": f"""
+            WITH tok AS (SELECT {TOKQ} AS toks FROM documents)
+            SELECT bigram, count(*) AS cnt FROM (
+              SELECT unnest(CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                ELSE [] END) AS bigram
+              FROM tok)
+            GROUP BY bigram HAVING count(*) >= 5
+        """,
+        "q_top_tokens": f"""
+            SELECT token, count(*) AS cnt
+            FROM (SELECT unnest({TOKQ}) AS token FROM documents)
+            GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
+        """,
+        "q_window_top1": """
+            SELECT o_custkey, o_orderkey AS best_order,
+                   round(o_totalprice, 2) AS best_price
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                  FROM orders)
+            WHERE rn = 1
+        """,
+        "q_argmax_per_group": """
+            SELECT c_nationkey, c_custkey AS richest_cust,
+                   round(c_acctbal, 2) AS max_bal
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+                  FROM customer)
+            WHERE rn = 1
+        """,
+        "q_join_align": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   count(DISTINCT c_custkey) AS n_customers,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q_broadcast_dim": """
+            SELECT p_brand, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "q_sorted_neighborhood": """
+            SELECT c_mktsegment, c_custkey AS cust_a, next_cust AS cust_b
+            FROM (SELECT c_mktsegment, c_custkey,
+                         lead(c_custkey, 1) OVER
+                           (PARTITION BY c_mktsegment
+                            ORDER BY c_name, c_custkey) AS next_cust
+                  FROM customer)
+            WHERE next_cust IS NOT NULL
+        """,
+        "q_fold_assign": """
+            SELECT o_orderkey % 5 AS fold, count(*) AS n
+            FROM orders GROUP BY o_orderkey % 5
+        """,
+        "q_set_dedup": """
+            SELECT DISTINCT nationkey FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              UNION ALL SELECT s_nationkey FROM supplier)
+        """,
+        "q_pairwise_f1": """
+            WITH pred AS (SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS pred_pairs
+                          FROM (SELECT count(*) AS c FROM documents GROUP BY lang)),
+            gold AS (SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS gold_pairs
+                     FROM (SELECT count(*) AS c FROM documents GROUP BY source)),
+            tp AS (SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS tp_pairs
+                   FROM (SELECT count(*) AS c FROM documents GROUP BY lang, source))
+            SELECT tp_pairs, pred_pairs, gold_pairs,
+                   round(tp_pairs * 1.0 / pred_pairs, 6) AS precision,
+                   round(tp_pairs * 1.0 / gold_pairs, 6) AS recall,
+                   round(2.0 * tp_pairs / (pred_pairs + gold_pairs), 6) AS f1
+            FROM tp, pred, gold
+        """,
+        "q_exact_dedup": """
+            SELECT lang, source, min(doc_id) AS keep_id, count(*) AS dup_cnt
+            FROM documents GROUP BY lang, source
+        """,
+        "q_minhash_lsh": _minhash_oracle(),
+        "q_ngram_jaccard": _ngram_jaccard_oracle(),
+        "q_ann_topk": """
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(
+                                  list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                  list_transform(b.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                                b.vec_id ASC) AS rank
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+            WHERE rank <= 3
+        """,
+        "q_quality_score": f"""
+            SELECT doc_id,
+                   round(0.4 * least(n_tokens / 100.0, 1.0)
+                       + 0.4 * least(stopword_ratio * 4.0, 1.0)
+                       + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality
+            FROM ({_STATS_SQL})
+        """,
+        "q_lang_id": f"""
+            SELECT doc_id, stopword_ratio >= 0.08 AS pred_en
+            FROM ({_STATS_SQL})
+        """,
+        "q_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "q_event_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+                   round(min(value), 2) AS min_value,
+                   round(max(value), 2) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                  FROM g)
+            SELECT user_id, session_id, count(*) AS n_events
+            FROM s GROUP BY user_id, session_id
+        """,
+    }

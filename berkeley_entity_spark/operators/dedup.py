@@ -1,0 +1,239 @@
+"""Document deduplication operators (training-data pipeline ops).
+
+Exact + near-dup over a `documents(doc_id, text, ...)` table:
+
+  * exact_dedup           — hash-groupBy, keep min doc_id
+  * minhash_lsh_pairs     — MinHash over word shingles with the *string-min*
+    trick: minhash_i = min(md5(seed_i || shingle)).  Using md5 keeps the
+    signature reproducible in ANY engine (the DuckDB oracle runs the exact
+    same expression), unlike engine-specific hash functions.
+  * simhash               — 64-bit simhash in an Arrow kernel + banded
+    hamming candidate pairs
+  * ngram_jaccard_pairs   — token n-gram Jaccard via explode/groupBy counting
+    (|A∩B| from a pair count, no per-row set ops)
+  * embedding近-dup lives in similarity.py (cosine threshold join)
+
+All shapes are chosen for 100 TB: candidates come only from key-equality
+joins (band bucket / shared ngram), every hot bucket is capped with a
+window, and verification happens on the candidate set only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokens; empty tokens removed (matches the DuckDB oracle
+    `string_split` + filter)."""
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(text, keep_id, dup_cnt) — the survivor is the min doc_id."""
+    return (
+        documents.groupBy(text_col)
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+def shingles_col(n: int = 3, text_col: str = "text"):
+    """Word n-gram shingles as an array column (pure SQL expressions:
+    transform over a sequence of slices — stays in codegen)."""
+    toks = tokens_col(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def minhash_signature_cols(n_hashes: int, shingle_expr):
+    """minhash_i = min(md5(i || '|' || shingle)) — engine-portable MinHash.
+
+    A lexicographic min over md5 hex digests is a valid min-hash family
+    (md5 is a uniform permutation of the shingle space for each seed)."""
+    def mk(i: int):
+        prefix = f"{i}|"
+        # NB: the lambda must take exactly one arg — PySpark passes
+        # (element, index) to two-arg lambdas, clobbering defaults
+        return F.array_min(
+            F.transform(shingle_expr, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        ).alias(f"mh{i}")
+
+    return [mk(i) for i in range(n_hashes)]
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    bands: int = 4,
+    rows: int = 2,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing an LSH band bucket."""
+    n_hashes = bands * rows
+    sig = documents.select(
+        F.col("doc_id"), *minhash_signature_cols(n_hashes, shingles_col(shingle_n, text_col))
+    )
+    band_cols = [
+        F.concat_ws("#", F.lit(str(b)), *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
+            "bucket"
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    ranked = buckets.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= max_bucket)
+    a, b = ranked.alias("a"), ranked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_ngram_df: int = 500,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing >=1 n-gram.
+
+    |A ∩ B| via pair counting on exploded distinct (doc, ngram) rows;
+    |A ∪ B| = |A| + |B| − |∩|.  Stop-ngrams (df > max_ngram_df) are dropped
+    before the self-join — the standard guard against quadratic hot keys.
+    """
+    dn = (
+        documents.select("doc_id", F.explode(shingles_col(n, text_col)).alias("ngram"))
+        .distinct()
+    )
+    sizes = dn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    hot = dn.groupBy("ngram").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") > max_ngram_df
+    )
+    cold = dn.join(hot, "ngram", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.ngram") == F.col("b.ngram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.toDF("id_a", "sz_a"), "id_a")
+        .join(sizes.toDF("id_b", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash64(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash bigint) — 64-bit SimHash over tokens, Arrow kernel.
+
+    Token hash = blake2b-64 (stable everywhere); bit-majority vote over the
+    token set.  Vectorized with numpy bit unpacking per batch."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def sh(text: str) -> int:
+            toks = [t for t in text.split(" ") if t]
+            if not toks:
+                return 0
+            hs = np.fromiter(
+                (
+                    int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+                    for t in set(toks)
+                ),
+                dtype=np.uint64,
+            )
+            bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+            votes = bits.sum(axis=0) * 2 - len(hs)
+            out = np.packbits((votes > 0).astype(np.uint8), bitorder="little")
+            return int(np.frombuffer(out.tobytes(), dtype=np.uint64)[0])
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "simhash": pdf[text_col].map(lambda t: np.int64(np.uint64(sh(t)))),
+                }
+            )
+
+    return documents.select("doc_id", text_col).mapInPandas(
+        gen, schema="doc_id bigint, simhash bigint"
+    )
+
+
+def simhash_near_pairs(
+    documents: DataFrame, max_hamming: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Candidate pairs with hamming(simhash) <= max_hamming via 4x16-bit
+    banding (a pair within hamming 3 shares at least one exact 16-bit band;
+    wider radii still yield high recall), verified exactly with bit_count."""
+    sig = simhash64(documents, text_col)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "#", F.lit(str(i)), F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).cast("string")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,134 @@
+"""Text analysis operators (training-data pipeline ops).
+
+All pure column expressions (whole-stage codegen; zero Python) except the
+winnowing fingerprint, which is an Arrow kernel.
+
+  * token_count / char stats
+  * quality_score       — length, punctuation ratio, stopword ratio, mean
+    token length (the usual web-corpus quality heuristics)
+  * lang_id_en          — n-gram/stopword-ratio heuristic English detector
+  * doc_fingerprint     — md5 of canonical text (exact-dup key)
+  * winnowing_fingerprints — rolling-hash winnowing (Schleimer et al.) for
+    partial-overlap detection; Arrow kernel, k-gram window minima
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = [
+    "the", "of", "and", "to", "a", "in", "that", "is", "was", "he", "for",
+    "it", "with", "as", "his", "on", "be", "at", "by", "i", "this", "had",
+    "not", "are", "but", "from", "or", "have", "an", "they", "which", "one",
+    "you", "were", "her", "all", "she", "there", "would", "their", "we",
+]
+
+
+def _tokens(text_col: str):
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+def token_count(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    return documents.select(
+        "doc_id", F.size(_tokens(text_col)).alias("n_tokens")
+    )
+
+
+def text_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc stats: token count, mean token length, stopword ratio,
+    punctuation ratio — each a plain SQL expression."""
+    toks = _tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (F.length(F.col(text_col)).cast("double") / F.greatest(F.size(toks), F.lit(1))).alias(
+            "mean_tok_len"
+        ),
+        (n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1))).alias("stopword_ratio"),
+        (n_punct.cast("double") / F.greatest(F.length(F.col(text_col)), F.lit(1))).alias(
+            "punct_ratio"
+        ),
+    )
+
+
+def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality in [0,1]-ish: favors mid-length docs with a healthy
+    stopword ratio — the standard pretraining-corpus filter shape."""
+    s = text_stats(documents, text_col)
+    ln = F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+    return s.select(
+        "doc_id",
+        F.round(
+            0.4 * ln
+            + 0.4 * F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
+            + 0.2 * (1.0 - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))),
+            6,
+        ).alias("quality"),
+    )
+
+
+def lang_id_en(documents: DataFrame, text_col: str = "text", threshold: float = 0.08) -> DataFrame:
+    """Predict is_en from the English-stopword token ratio (cheap n-gram
+    LID stand-in; a real fastText-style model would slot into the same
+    column contract)."""
+    s = text_stats(documents, text_col)
+    return s.select(
+        "doc_id", (F.col("stopword_ratio") >= threshold).alias("pred_en")
+    )
+
+
+def doc_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint) — md5 of the text, the exact-dup key."""
+    return documents.select("doc_id", F.md5(F.col(text_col)).alias("fingerprint"))
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, k: int = 5, window: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fp) exploded winnowing fingerprints: rolling 64-bit hash of
+    char k-grams, per-window minima (Schleimer et al. 2003).  Detects partial
+    overlap (quotes, boilerplate) that whole-doc hashing misses."""
+    B, MOD = np.uint64(1000003), np.uint64((1 << 61) - 1)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fps(text: str) -> list[int]:
+            s = text.encode("utf-8", "ignore")
+            n = len(s)
+            if n < k:
+                return []
+            arr = np.frombuffer(s, dtype=np.uint8).astype(np.uint64)
+            h = np.zeros(n - k + 1, dtype=np.uint64)
+            acc = np.uint64(0)
+            for i in range(k):
+                acc = (acc * B + arr[i]) % MOD
+            h[0] = acc
+            top = np.uint64(1)
+            for _ in range(k - 1):
+                top = (top * B) % MOD
+            for i in range(1, n - k + 1):
+                acc = ((acc + MOD * B - arr[i - 1] * top % MOD) * B + arr[i + k - 1]) % MOD
+                h[i] = acc
+            if len(h) <= window:
+                return [int(h.min())]
+            sw = np.lib.stride_tricks.sliding_window_view(h, window)
+            return sorted({int(x) for x in sw.min(axis=1)})
+
+        for pdf in batches:
+            rows = [
+                (int(d), int(fp))
+                for d, t in zip(pdf["doc_id"], pdf[text_col])
+                for fp in fps(t)
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "fp"])
+
+    return documents.select("doc_id", text_col).mapInPandas(
+        gen, schema="doc_id bigint, fp bigint"
+    )
