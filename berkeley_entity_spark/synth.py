@@ -85,8 +85,11 @@ ORG_W2 = [
 ORG_SUF = ["Corporation", "Industries", "Partners", "Ventures"]
 ORG_SUF_ABBR = {"Corporation": "Corp.", "Industries": "Ind.", "Partners": "Prtn.", "Ventures": "Vent."}
 
-PERSON_CAPACITY = len(FIRST) * len(LAST)  # 3120
+PERSON_CAPACITY = len(FIRST) * len(LAST)
 ORG_CAPACITY = len(ORG_W1) * len(ORG_W2)  # 144 — one org per (w1, w2) pair
+# canonical names are injective for eid < ENTITY_CAPACITY (even eids fill the
+# person index space bottom-up, overflow odd eids fill it top-down)
+ENTITY_CAPACITY = PERSON_CAPACITY - 2
 
 STARTERS = [
     "Today", "Meanwhile", "However", "Officials", "Reports", "Analysts",

@@ -1,0 +1,49 @@
+"""Multimodal plumbing tests: schema, determinism, stub gating."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from berkeley_entity_spark.operators.multimodal import (
+    decode_media,
+    frame_sample_plan,
+    make_media_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    return make_media_table(spark, docs).cache()
+
+
+def test_media_schema(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    assert media.schema["meta"].dataType.fieldNames() == [
+        "width", "height", "sample_rate", "duration_ms",
+    ]
+
+
+def test_decode_fake_deterministic(media):
+    a = {r["media_id"]: r["features"] for r in decode_media(media, dim=16).collect()}
+    b = {r["media_id"]: r["features"] for r in decode_media(media, dim=16).collect()}
+    assert a == b
+    assert all(len(v) == 16 for v in a.values())
+
+
+def test_decode_real_is_stubbed(media):
+    with pytest.raises(Exception, match="NotImplemented|codec"):
+        decode_media(media, fake=False).collect()
+
+
+def test_frame_sample_plan(media):
+    plan = frame_sample_plan(media, every_ms=500)
+    counts = (
+        plan.groupBy("media_id").count()
+        .join(media.select("media_id", F.col("meta.duration_ms").alias("d")), "media_id")
+    )
+    bad = counts.where(
+        F.col("count") != (F.floor((F.col("d") - 1) / 500) + 1)
+    ).count()
+    assert bad == 0

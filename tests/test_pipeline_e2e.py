@@ -1,0 +1,98 @@
+"""End-to-end ER pipeline: F1 target, blocking recall, resume idempotence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from berkeley_entity_spark.config import PipelineConfig
+from berkeley_entity_spark.evaluate import (
+    blocking_recall,
+    mention_detection_prf,
+    pairwise_f1_combinatorial,
+    pairwise_f1_on_labeled,
+)
+from berkeley_entity_spark.plans.checkpoint import CheckpointStore
+from berkeley_entity_spark.plans.pipeline import run_pipeline
+from berkeley_entity_spark.synth import gold_pair_table
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, tiny_corpus, tmp_path_factory):
+    _, pages, gold = tiny_corpus
+    root = str(tmp_path_factory.mktemp("ckpt"))
+    cfg = PipelineConfig(checkpoint_dir=root)
+    store = CheckpointStore(root)
+    res = run_pipeline(spark, pages, cfg, store=store, resume=False)
+    res.clusters.cache().count()
+    return cfg, store, res
+
+
+def test_mention_detection_perfect(pipeline_result, tiny_corpus):
+    _, _, gold = tiny_corpus
+    _, _, res = pipeline_result
+    md = mention_detection_prf(res.mentions, gold.where("lang = 'en'"))
+    assert md["f1"] == pytest.approx(1.0)
+
+
+def test_pairwise_f1_meets_target(pipeline_result, tiny_corpus):
+    _, _, gold = tiny_corpus
+    _, _, res = pipeline_result
+    f1 = pairwise_f1_combinatorial(
+        res.clusters, gold.where("lang = 'en'").select("mention_id", "entity_id")
+    )
+    assert f1["f1"] >= 0.99, f1
+
+
+def test_pairwise_f1_on_labeled_pairs(pipeline_result, tiny_corpus, spark):
+    """The BASELINE.json metric: F1 on labeled pairs under shared block key."""
+    _, _, gold = tiny_corpus
+    _, _, res = pipeline_result
+    gp = gold_pair_table(gold.where("lang = 'en'")).cache()
+    assert gp.where("label").count() > 0 and gp.where("NOT label").count() > 0
+    f1 = pairwise_f1_on_labeled(gp, res.clusters)
+    assert f1["f1"] >= 0.99, f1
+
+
+def test_blocking_recall(pipeline_result, tiny_corpus):
+    _, _, gold = tiny_corpus
+    _, _, res = pipeline_result
+    gp = gold_pair_table(gold.where("lang = 'en'"))
+    rec = blocking_recall(gp, res.mentions, res.pairs)
+    assert rec >= 0.98, rec
+
+
+def test_resume_identical(pipeline_result, tiny_corpus, spark):
+    """Kill-and-resume: rerun with resume=True must reuse stage tables and
+    produce identical clusters."""
+    cfg, store, res = pipeline_result
+    _, pages, _ = tiny_corpus
+    before = {(r["mention_id"], r["cluster_id"]) for r in res.clusters.collect()}
+    res2 = run_pipeline(spark, pages, cfg, store=store, resume=True)
+    after = {(r["mention_id"], r["cluster_id"]) for r in res2.clusters.collect()}
+    assert before == after
+
+
+def test_resume_from_partial(pipeline_result, tiny_corpus, spark, tmp_path_factory):
+    """Resume after a simulated mid-run kill (only early stages on disk)."""
+    import os
+    import shutil
+
+    cfg, store, res = pipeline_result
+    _, pages, _ = tiny_corpus
+    root2 = str(tmp_path_factory.mktemp("ckpt2"))
+    # copy only the first two stage tables = killed after blocking
+    for name in ("mentions", "candidate_pairs"):
+        shutil.copytree(os.path.join(store.root, name), os.path.join(root2, name))
+        shutil.copy(store._done_marker(name), os.path.join(root2, f"{name}._DONE"))
+    cfg2 = PipelineConfig(checkpoint_dir=root2)
+    res2 = run_pipeline(spark, pages, cfg2, store=CheckpointStore(root2), resume=True)
+    before = {(r["mention_id"], r["cluster_id"]) for r in res.clusters.collect()}
+    after = {(r["mention_id"], r["cluster_id"]) for r in res2.clusters.collect()}
+    assert before == after
+
+
+def test_metrics_lineage_written(pipeline_result, spark):
+    _, store, _ = pipeline_result
+    m = store.metrics(spark)
+    stages = {r["stage"] for r in m.collect()}
+    assert {"mentions", "candidate_pairs", "scored_pairs", "clusters"} <= stages
+    assert m.where(F.col("rows_out") <= 0).count() == 0

@@ -1,0 +1,63 @@
+"""ANN operators vs a numpy oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from berkeley_entity_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+SF = "/root/testdata/sf0.001"
+K = 3
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def numpy_topk(emb):
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    M = np.stack(pdf["embedding"].map(np.asarray).to_list()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    np.fill_diagonal(S, -np.inf)
+    out = {}
+    for i, qid in enumerate(ids):
+        # sort by (-sim, id) for deterministic ties
+        order = sorted(range(len(ids)), key=lambda j: (-S[i, j], ids[j]))[:K]
+        out[int(qid)] = [int(ids[j]) for j in order]
+    return out
+
+
+def test_cosine_topk_matches_numpy(emb, numpy_topk):
+    got = {}
+    for r in cosine_topk(emb, k=K).collect():
+        got.setdefault(r["query_id"], {})[r["rank"]] = r["neighbor_id"]
+    assert len(got) == len(numpy_topk)
+    mismatch = sum(
+        1
+        for q, neigh in numpy_topk.items()
+        if [got[q][r] for r in sorted(got[q])] != neigh
+    )
+    # identical double arithmetic → exact match expected
+    assert mismatch == 0
+
+
+def test_lsh_topk_recall(emb, numpy_topk):
+    got = {}
+    for r in lsh_bucket_topk(emb, k=K).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for q, neigh in numpy_topk.items():
+        total += 1
+        if q in got and neigh[0] in got[q]:
+            hits += 1
+    # approximate path: top-1 recall must be reasonable
+    assert hits / total >= 0.5, hits / total
+
+
+def test_lsh_is_subsetless_join_not_crossjoin(emb):
+    plan = lsh_bucket_topk(emb, k=K)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

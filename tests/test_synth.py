@@ -1,0 +1,66 @@
+"""Generator invariants: determinism, injectivity, gold/extraction agreement."""
+
+from berkeley_entity_spark.config import SynthConfig
+from berkeley_entity_spark.operators.extract import _mentions_from_text
+from berkeley_entity_spark.synth import (
+    FIRST,
+    LAST,
+    ORG_CAPACITY,
+    PERSON_CAPACITY,
+    _lev,
+    entity_canonical,
+    entity_surface,
+    make_page,
+)
+
+
+def test_determinism():
+    cfg = SynthConfig(n_pages=10, n_entities=30)
+    assert make_page(3, cfg) == make_page(3, cfg)
+    assert entity_surface(4, 2, 30) == entity_surface(4, 2, 30)
+
+
+def test_canonical_injective():
+    from berkeley_entity_spark.synth import ENTITY_CAPACITY
+
+    n = ENTITY_CAPACITY
+    names = set()
+    for e in range(n):
+        name, _ = entity_canonical(e, n)
+        assert name not in names, f"duplicate canonical at eid {e}: {name}"
+        names.add(name)
+
+
+def test_pool_edit_distances():
+    for pool in (LAST, FIRST):
+        for i, a in enumerate(pool):
+            for b in pool[i + 1 :]:
+                assert _lev(a.lower(), b.lower()) >= 3, (a, b)
+
+
+def test_initials_unique_within_surname():
+    # within one surname, all first names have distinct initials
+    assert len({f[0] for f in FIRST}) == len(FIRST)
+
+
+def test_gold_matches_extractor():
+    cfg = SynthConfig(n_pages=120, n_entities=40)
+    for i in range(120):
+        page, gold = make_page(i, cfg)
+        pred = {(s, a, b) for s, a, b, _ in _mentions_from_text(page["text"])}
+        expect = {(m["sent_idx"], m["start"], m["end"]) for m in gold}
+        assert pred == expect, f"page {i}"
+
+
+def test_surface_variants_cover_phenomena():
+    # person: canonical, caps, initials, drop-middle, typo, middle-initial
+    surfs = {entity_surface(0, v, 40) for v in range(6)}
+    assert len(surfs) == 6
+    canon, kind = entity_canonical(0, 40)
+    assert kind == "person"
+    assert canon in surfs and canon.upper() in surfs
+    # org acronym exists
+    canon_o, kind_o = entity_canonical(1, 40)
+    assert kind_o == "org"
+    acr = entity_surface(1, 2, 40)
+    assert acr.isupper() and len(acr) == 3

@@ -1,0 +1,71 @@
+"""Text-analysis operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from berkeley_entity_spark.operators.textstats import (
+    doc_fingerprint,
+    lang_id_en,
+    quality_score,
+    text_stats,
+    token_count,
+    winnowing_fingerprints,
+)
+
+
+@pytest.fixture(scope="module")
+def small_docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and it was happy there all day"),
+        (2, "xyzzy plugh qwerty asdf zxcv"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_token_count(small_docs):
+    got = {r["doc_id"]: r["n_tokens"] for r in token_count(small_docs).collect()}
+    assert got == {1: 13, 2: 5, 3: 13, 4: 0}
+
+
+def test_stats_ranges(small_docs):
+    for r in text_stats(small_docs).collect():
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+
+
+def test_lang_id_heuristic(small_docs):
+    got = {r["doc_id"]: r["pred_en"] for r in lang_id_en(small_docs).collect()}
+    assert got[1] is True  # stopword-rich English
+    assert got[2] is False  # gibberish
+
+
+def test_quality_orders_sensibly(small_docs):
+    q = {r["doc_id"]: r["quality"] for r in quality_score(small_docs).collect()}
+    assert q[1] > q[2] > q[4]
+
+
+def test_fingerprint_is_md5(small_docs):
+    import hashlib
+
+    got = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(small_docs).collect()}
+    assert got[1] == hashlib.md5(
+        b"the cat sat on the mat and it was happy there all day"
+    ).hexdigest()
+
+
+def test_winnowing_detects_overlap(spark):
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"{shared} alpha beta gamma"),
+        (2, f"delta epsilon {shared}"),
+        (3, "totally different words nothing in common whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnowing_fingerprints(df).cache()
+    a = fp.where("doc_id = 1").select("fp")
+    b = fp.where("doc_id = 2").select("fp")
+    c = fp.where("doc_id = 3").select("fp")
+    assert a.intersect(b).count() > 0  # shared passage detected
+    assert a.intersect(c).count() == 0

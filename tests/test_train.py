@@ -1,0 +1,50 @@
+"""AdaGrad-L1 trainer tests (reference semantics M3-M5)."""
+
+import numpy as np
+
+from berkeley_entity_spark.ml.train import adagrad_l1_train
+
+
+def test_learns_separable_data():
+    rng = np.random.RandomState(0)
+    n, d = 2000, 6
+    X = rng.standard_normal((n, d))
+    X[:, -1] = 1.0  # bias
+    true_w = np.array([3.0, -2.0, 1.5, 0.0, 0.0, 0.2])
+    y = ((X @ true_w) > 0).astype(float)
+    w = adagrad_l1_train(X, y, epochs=10)
+    acc = (((X @ w) > 0) == (y == 1)).mean()
+    assert acc >= 0.97, acc
+
+
+def test_l1_sparsifies_noise_features():
+    rng = np.random.RandomState(1)
+    n = 3000
+    signal = rng.standard_normal((n, 2))
+    noise = rng.standard_normal((n, 4)) * 0.01
+    X = np.hstack([signal, noise, np.ones((n, 1))])
+    y = ((signal @ np.array([2.0, -2.0])) > 0).astype(float)
+    w = adagrad_l1_train(X, y, lambda_reg=0.01, epochs=10)
+    assert np.abs(w[:2]).min() > 10 * np.abs(w[2:6]).max()
+
+
+def test_deterministic():
+    rng = np.random.RandomState(2)
+    X = rng.standard_normal((500, 4))
+    y = (rng.rand(500) > 0.5).astype(float)
+    assert np.array_equal(adagrad_l1_train(X, y), adagrad_l1_train(X, y))
+
+
+def test_asymmetric_loss_favors_recall():
+    """With 3x false-negative cost (reference customLoss 0.1/3/1 semantics)
+    the decision boundary shifts toward predicting positive."""
+    rng = np.random.RandomState(3)
+    n = 4000
+    x = rng.standard_normal((n, 1))
+    X = np.hstack([x, np.ones((n, 1))])
+    y = (x[:, 0] + rng.standard_normal(n) * 0.8 > 0).astype(float)
+    w_sym = adagrad_l1_train(X, y, false_neg_weight=1.0, epochs=5)
+    w_asym = adagrad_l1_train(X, y, false_neg_weight=3.0, epochs=5)
+    rec_sym = (((X @ w_sym) > 0) & (y == 1)).sum() / (y == 1).sum()
+    rec_asym = (((X @ w_asym) > 0) & (y == 1)).sum() / (y == 1).sum()
+    assert rec_asym >= rec_sym
