@@ -96,7 +96,9 @@ def winnowing_fingerprints(
     """(doc_id, fp) exploded winnowing fingerprints: rolling 64-bit hash of
     char k-grams, per-window minima (Schleimer et al. 2003).  Detects partial
     overlap (quotes, boilerplate) that whole-doc hashing misses."""
-    B, MOD = np.uint64(1000003), np.uint64((1 << 61) - 1)
+    # 31-bit Mersenne modulus: every intermediate (acc*B, arr*top) stays
+    # under 2^52, safely inside uint64 — a 61-bit modulus would overflow
+    B, MOD = np.uint64(1000003), np.uint64((1 << 31) - 1)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def fps(text: str) -> list[int]:
@@ -114,7 +116,8 @@ def winnowing_fingerprints(
             for _ in range(k - 1):
                 top = (top * B) % MOD
             for i in range(1, n - k + 1):
-                acc = ((acc + MOD * B - arr[i - 1] * top % MOD) * B + arr[i + k - 1]) % MOD
+                drop = (arr[i - 1] * top) % MOD
+                acc = ((acc + MOD - drop) * B + arr[i + k - 1]) % MOD
                 h[i] = acc
             if len(h) <= window:
                 return [int(h.min())]
