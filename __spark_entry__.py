@@ -368,11 +368,12 @@ def q_er_clusters(spark, sf_dir):
     cfg = PipelineConfig()
     pages, _ = generate_webpages(spark, SynthConfig(n_pages=300, n_entities=40))
     mentions = extract_mentions(pages.where("lang = 'en'")).localCheckpoint(eager=True)
-    pairs = candidate_pairs(mentions, cfg)
-    idf = collect_idf(idf_table(distinct_surfaces(mentions)))
+    surfaces = distinct_surfaces(mentions).persist()
+    pairs = candidate_pairs(mentions, cfg, surfaces=surfaces)
+    idf = collect_idf(idf_table(surfaces))
     scored = score_pairs(pairs, idf)
     comp = connected_components(match_edges(scored))
-    return assign_clusters(mentions, distinct_surfaces(mentions), comp)
+    return assign_clusters(mentions, surfaces, comp)
 
 
 def q_er_mentions(spark, sf_dir):

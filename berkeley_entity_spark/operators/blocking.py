@@ -105,8 +105,12 @@ def sorted_neighborhood_pairs(keys: DataFrame, cfg: PipelineConfig) -> DataFrame
     bounded number of pairs per salt bucket; AQE skew-join splits residuals).
     """
     w = Window.partitionBy("block_key").orderBy("norm_name", "node_id")
-    ranked = keys.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") <= cfg.max_block_size
+    # persist before the self-join: both aliases would otherwise recompute
+    # the whole upstream (window + key explode) independently
+    ranked = (
+        keys.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cfg.max_block_size)
+        .persist()
     )
     a, b = ranked.alias("a"), ranked.alias("b")
     return (
@@ -188,8 +192,11 @@ def lsh_pairs(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Self-join on (band, bucket); buckets capped like blocks are."""
     sigs = minhash_signatures(surfaces, cfg)
     w = Window.partitionBy("band", "bucket").orderBy("node_id")
-    ranked = sigs.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") <= cfg.max_block_size
+    # persist before the self-join (avoids running the minhash kernel twice)
+    ranked = (
+        sigs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cfg.max_block_size)
+        .persist()
     )
     a, b = ranked.alias("a"), ranked.alias("b")
     return (
@@ -211,14 +218,17 @@ def lsh_pairs(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
 # ------------------------------------------------------------------ assembly
 
 
-def candidate_pairs(mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def candidate_pairs(
+    mentions: DataFrame, cfg: PipelineConfig, surfaces: DataFrame | None = None
+) -> DataFrame:
     """Full blocking stage: distinct surfaces -> union of passes -> dedup.
 
     Output: (block_key, node_a, node_b, norm_a, norm_b, pass) at the distinct
     surface level, plus representative mention/url columns for the FIXTURES
     candidate_pairs contract.
     """
-    surfaces = distinct_surfaces(mentions)
+    if surfaces is None:
+        surfaces = distinct_surfaces(mentions).persist()
     keys = surface_block_keys(surfaces)
     pairs = sorted_neighborhood_pairs(keys, cfg).unionByName(lsh_pairs(surfaces, cfg))
     # one candidate per unordered node pair; keep the first pass name

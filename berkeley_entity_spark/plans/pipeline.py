@@ -66,13 +66,13 @@ def run_pipeline(
         pages = pages.where(F.col("lang") == lang)
 
     mentions = stage(extract_mentions(pages), "mentions")
-    pairs = stage(candidate_pairs(mentions, cfg), "candidate_pairs")
+    surfaces = distinct_surfaces(mentions).persist()
+    pairs = stage(candidate_pairs(mentions, cfg, surfaces=surfaces), "candidate_pairs")
 
-    idf = collect_idf(idf_table(distinct_surfaces(mentions)))
+    idf = collect_idf(idf_table(surfaces))
     w = weights if weights is not None else weights_vector()
     scored = stage(score_pairs(pairs, idf, w), "scored_pairs")
 
-    surfaces = distinct_surfaces(mentions)
     edges = match_edges(scored, cfg.score_threshold)
     components = connected_components(
         edges, cfg.max_cc_iterations, cfg.checkpoint_every
