@@ -74,3 +74,40 @@ def train_from_scored_pairs(scored_labeled: DataFrame, max_rows: int = 200_000) 
     X = np.hstack([pdf[feat_cols].to_numpy(dtype=np.float64), np.ones((len(pdf), 1))])
     y = pdf["y"].to_numpy(dtype=np.float64)
     return adagrad_l1_train(X, y)
+
+
+def train_pipeline_weights(
+    spark,
+    mentions,
+    gold_pairs,
+    max_rows: int = 200_000,
+):
+    """End-to-end trainer: label candidate-style surface pairs from
+    gold_pairs, featurize them with the production scoring kernel, fit
+    AdaGrad-L1, return the weight vector for run_pipeline(weights=...).
+
+    Mirrors the reference train loop shape (CorefSystem.runTrain,
+    CorefSystem.scala:122-156): lexical counts (IDF) -> featurize -> AdaGrad.
+    """
+    from pyspark.sql import functions as F
+
+    from berkeley_entity_spark.operators.blocking import distinct_surfaces
+    from berkeley_entity_spark.operators.scoring import collect_idf, idf_table, score_pairs
+
+    surfaces = distinct_surfaces(mentions).persist()
+    m = mentions.select("mention_id", "norm_name")
+    sn = surfaces.select(
+        F.col("norm_name"), F.col("node_id"), F.col("is_acr")
+    )
+    labeled = (
+        gold_pairs.join(m.toDF("mention_a", "norm_a"), "mention_a")
+        .join(m.toDF("mention_b", "norm_b"), "mention_b")
+        .join(sn.toDF("norm_a", "node_a", "acr_a"), "norm_a")
+        .join(sn.toDF("norm_b", "node_b", "acr_b"), "norm_b")
+        .where(F.col("norm_a") != F.col("norm_b"))
+        .select("norm_a", "norm_b", "acr_a", "acr_b", "label")
+        .distinct()
+    )
+    idf = collect_idf(idf_table(surfaces))
+    scored = score_pairs(labeled, idf)
+    return train_from_scored_pairs(scored, max_rows=max_rows)
