@@ -86,9 +86,9 @@ def run_er(n_pages: int, cpus: int | None = None) -> dict:
     root = f"/tmp/bes_bench_ckpt_{cpus or 'auto'}"
     shutil.rmtree(root, ignore_errors=True)
     cfg = SynthConfig(n_pages=n_pages, n_entities=min(1500, max(60, n_pages // 130)))
-    pages, _ = generate_webpages(spark, cfg)
-    # fixed work decomposition so both parallelism levels run identical tasks
-    pages = pages.repartition(64)
+    # fixed 256-task decomposition at the source (no shuffle) so both
+    # parallelism levels run identical work units
+    pages, _ = generate_webpages(spark, cfg, num_partitions=256)
     pcfg = PipelineConfig(checkpoint_dir=root)
     t0 = time.monotonic()
     res = run_pipeline(spark, pages, pcfg, store=CheckpointStore(root), resume=False)

@@ -82,6 +82,11 @@ def score_pairs(
     indicator features."""
     w = weights if weights is not None else weights_vector()
     spark = pairs.sparkSession
+    # checkpointed pair tables are often 1-2 coalesced files; fan back out so
+    # the Python kernel runs at full parallelism
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if pairs.rdd.getNumPartitions() < n_part:
+        pairs = pairs.repartition(n_part)
     b_idf = spark.sparkContext.broadcast(idf)
     b_w = spark.sparkContext.broadcast(w)
     in_cols = pairs.columns

@@ -264,8 +264,12 @@ GOLD_SCHEMA = (
 )
 
 
-def generate_webpages(spark, cfg: SynthConfig):
-    """Distributed generation: (webpages_df, gold_mentions_df)."""
+def generate_webpages(spark, cfg: SynthConfig, num_partitions: int | None = None):
+    """Distributed generation: (webpages_df, gold_mentions_df).
+
+    num_partitions fixes the work decomposition at the range source (no
+    shuffle) — pass the same value at different parallelism levels to run
+    identical task sets."""
 
     def gen_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -278,7 +282,11 @@ def generate_webpages(spark, cfg: SynthConfig):
             rows = [g for i in pdf["id"] for g in make_page(int(i), cfg)[1]]
             yield pd.DataFrame(rows, columns=cols)
 
-    base = spark.range(cfg.n_pages)
+    base = (
+        spark.range(cfg.n_pages, numPartitions=num_partitions)
+        if num_partitions
+        else spark.range(cfg.n_pages)
+    )
     pages = base.mapInPandas(gen_pages, schema=PAGES_SCHEMA)
     gold = base.mapInPandas(gen_gold, schema=GOLD_SCHEMA)
     return pages, gold
