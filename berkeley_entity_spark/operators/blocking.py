@@ -223,14 +223,57 @@ def candidate_pairs(
 ) -> DataFrame:
     """Full blocking stage: distinct surfaces -> union of passes -> dedup.
 
+    Both passes go through ONE ranked window + ONE band self-join: LSH bucket
+    keys ("MH:band:bucket") are unioned into the block-key table with the
+    sorted-neighborhood keys ("L:/F:/A:"), and the per-key pairing width is a
+    column (full-width inside an LSH bucket — its members are already
+    near-dups; `neighborhood` rows inside a sorted key).  One shuffle sort +
+    one join instead of two of each — at web scale this halves the shuffle
+    count of the dominant stage; at bench scale it halves its fixed job cost.
+
     Output: (block_key, node_a, node_b, norm_a, norm_b, pass) at the distinct
     surface level, plus representative mention/url columns for the FIXTURES
     candidate_pairs contract.
     """
     if surfaces is None:
         surfaces = distinct_surfaces(mentions).persist()
-    keys = surface_block_keys(surfaces)
-    pairs = sorted_neighborhood_pairs(keys, cfg).unionByName(lsh_pairs(surfaces, cfg))
+    sn_keys = surface_block_keys(surfaces)
+    mh_keys = minhash_signatures(surfaces, cfg).join(
+        surfaces.select("node_id", "norm_name"), "node_id"
+    ).select(
+        "node_id",
+        "norm_name",
+        F.concat_ws(":", F.lit("MH"), "band", "bucket").alias("block_key"),
+    )
+    keys = sn_keys.unionByName(mh_keys)
+
+    w = Window.partitionBy("block_key").orderBy("norm_name", "node_id")
+    ranked = (
+        keys.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cfg.max_block_size)
+        .persist()
+    )
+    width = F.when(
+        F.col("a.block_key").startswith("MH:"), F.lit(cfg.max_block_size)
+    ).otherwise(F.lit(cfg.neighborhood))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("b.rn") > F.col("a.rn"))
+            & (F.col("b.rn") <= F.col("a.rn") + width),
+        )
+        .where(F.col("a.node_id") != F.col("b.node_id"))
+        .select(
+            F.col("a.block_key").alias("block_key"),
+            F.least("a.node_id", "b.node_id").alias("node_a"),
+            F.greatest("a.node_id", "b.node_id").alias("node_b"),
+            F.when(F.col("a.block_key").startswith("MH:"), F.lit("lsh"))
+            .otherwise(F.lit("sortedneighborhood"))
+            .alias("pass"),
+        )
+    )
     # one candidate per unordered node pair; keep the first pass name
     # deterministically (min) so reruns are identical
     pairs = pairs.groupBy("node_a", "node_b").agg(

@@ -41,12 +41,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .agg(F.min("v").alias("mv"))
         .select("u", F.least("mv", "u").alias("m"))
     )
+    # no distinct here: small_star dedups at end-of-round — one shuffle less
+    # per round (duplicates are harmless multiplicities for min-aggregation)
     return (
         und.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -115,14 +116,31 @@ def assign_clusters(
     clusters(mention_id, cluster_id) with cluster_id = min mention_id in the
     cluster (FIXTURES §3 convention).  Surfaces with no component (singletons
     that never met a candidate pair) become their own cluster.
-    """
-    surf = surfaces.select("norm_name", "node_id").join(
-        components, "node_id", "left"
+
+    The min-mention-id per cluster is computed entirely at the surface level:
+    each surface already carries rep_mention = min mention_id of that surface
+    (distinct_surfaces), and the cluster minimum is the min over member
+    surfaces' rep_mentions — so the only mention-level operation is the final
+    map-side join from norm_name to cluster_id.  That join broadcasts when
+    the surface table is small enough, else falls back to a shuffle hash join
+    (at 10^12 pages the surface table can exceed broadcast limits)."""
+    surf = (
+        surfaces.select("norm_name", "node_id", "rep_mention")
+        .join(components, "node_id", "left")
+        .withColumn("component", F.coalesce("component", "node_id"))
     )
-    surf = surf.withColumn("component", F.coalesce("component", "node_id"))
-    m = mentions.select("mention_id", "norm_name").join(surf, "norm_name")
-    w_min = m.groupBy("component").agg(F.min("mention_id").alias("cluster_id"))
+    w_min = surf.groupBy("component").agg(
+        F.min("rep_mention").alias("cluster_id")
+    )
+    surf_assign = surf.join(w_min, "component").select("norm_name", "cluster_id")
+    try:
+        n_surf = surfaces.count()  # cheap: surfaces is persisted by the caller
+    except Exception:
+        n_surf = None
+    if n_surf is not None and n_surf <= 5_000_000:
+        surf_assign = F.broadcast(surf_assign)
     return (
-        m.join(w_min, "component")
+        mentions.select("mention_id", "norm_name")
+        .join(surf_assign, "norm_name")
         .select("mention_id", "cluster_id")
     )
