@@ -84,32 +84,56 @@ def connected_components(
     plan doubles per round and the job dies re-deriving lineage (measured:
     tiny input went from minutes to <1s/round with per-round checkpoints).
     """
+    # AQE off for the duration of the loop: every round runs 4-6 exchanges
+    # over an already-contracted (small, evenly hashed) edge set, and AQE's
+    # per-exchange re-planning round-trip triples the job count for zero
+    # benefit here (measured 49 jobs/113 stages -> 14 jobs/60 stages on the
+    # 300-page pipeline).  Restored afterwards — the blocking joins upstream
+    # DO want AQE's runtime skew splitting.
+    spark = edges.sparkSession
+    # the initial canonicalization may pull a big upstream DAG (scoring,
+    # blocking) — run it WITH adaptivity, checkpoint, then switch off
     curr = _canonical(edges).localCheckpoint(eager=True)
-    prev_sig = None
-    for it in range(max_iterations):
-        curr = _small_star(_large_star(curr))
-        if checkpoint_every <= 1 or (it + 1) % checkpoint_every == 0:
-            curr = curr.localCheckpoint(eager=True)
-        sig_row = curr.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).collect()[0]
-        sig = (sig_row["n"], sig_row["h"])
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    # after convergence every edge is (member -> root)
-    members = curr.select(F.col("u").alias("node_id"), F.col("v").alias("component"))
-    roots = curr.select(F.col("v").alias("node_id")).distinct().withColumn(
-        "component", F.col("node_id")
-    )
-    return members.unionByName(roots).groupBy("node_id").agg(
-        F.min("component").alias("component")
-    )
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        prev_sig = None
+        for it in range(max_iterations):
+            curr = _small_star(_large_star(curr))
+            if checkpoint_every <= 1 or (it + 1) % checkpoint_every == 0:
+                curr = curr.localCheckpoint(eager=True)
+            sig_row = curr.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            ).collect()[0]
+            sig = (sig_row["n"], sig_row["h"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        # after convergence every edge is (member -> root); materialize the
+        # final mapping HERE (still non-adaptive, one job) — callers consume
+        # it from multiple branches and would otherwise re-derive it each time
+        members = curr.select(
+            F.col("u").alias("node_id"), F.col("v").alias("component")
+        )
+        roots = curr.select(F.col("v").alias("node_id")).distinct().withColumn(
+            "component", F.col("node_id")
+        )
+        return (
+            members.unionByName(roots)
+            .groupBy("node_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 def assign_clusters(
-    mentions: DataFrame, surfaces: DataFrame, components: DataFrame
+    mentions: DataFrame,
+    surfaces: DataFrame,
+    components: DataFrame,
+    n_surfaces: int | None = None,
 ) -> DataFrame:
     """Expand surface-level components back to mention level.
 
@@ -133,10 +157,13 @@ def assign_clusters(
         F.min("rep_mention").alias("cluster_id")
     )
     surf_assign = surf.join(w_min, "component").select("norm_name", "cluster_id")
-    try:
-        n_surf = surfaces.count()  # cheap: surfaces is persisted by the caller
-    except Exception:
-        n_surf = None
+    if n_surfaces is not None:
+        n_surf = n_surfaces
+    else:
+        try:
+            n_surf = surfaces.count()  # cheap: surfaces is persisted by caller
+        except Exception:
+            n_surf = None
     if n_surf is not None and n_surf <= 5_000_000:
         surf_assign = F.broadcast(surf_assign)
     return (

@@ -47,13 +47,19 @@ def weights_vector(weights: dict[str, float] | None = None) -> np.ndarray:
     return np.array([w[name] for name in FEATURE_NAMES], dtype=np.float64)
 
 
-def idf_table(mentions_or_surfaces: DataFrame, norm_col: str = "norm_name") -> DataFrame:
+def idf_table(
+    mentions_or_surfaces: DataFrame,
+    norm_col: str = "norm_name",
+    n: int | None = None,
+) -> DataFrame:
     """Document-frequency-based IDF over name tokens (A2 analog):
-    idf = ln((N+1)/(df+1)) + 1. Pure DataFrame agg."""
+    idf = ln((N+1)/(df+1)) + 1. Pure DataFrame agg.  Pass `n` (the row count)
+    when the caller already knows it — saves a count job."""
     toks = mentions_or_surfaces.select(
         F.explode(F.split(F.col(norm_col), " ")).alias("token")
     ).where(F.col("token") != "")
-    n = mentions_or_surfaces.count()
+    if n is None:
+        n = mentions_or_surfaces.count()
     return (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -76,16 +82,21 @@ def score_pairs(
     pairs: DataFrame,
     idf: dict[str, float],
     weights: np.ndarray | None = None,
+    repartition: bool = False,
 ) -> DataFrame:
     """candidate_pairs -> scored_pairs with the FIXTURES §3 schema columns
     (jaro_winkler, levenshtein, token_jaccard, tfidf_cosine, score) plus all
-    indicator features."""
+    indicator features.
+
+    repartition=True fans the input back out to the configured shuffle
+    parallelism — pass it when `pairs` is a checkpointed table (often 1-2
+    coalesced files) so the Python kernel runs at full width.  It is a flag,
+    not an automatic `.rdd.getNumPartitions()` probe: under AQE that probe
+    force-materializes the whole upstream DAG as extra jobs."""
     w = weights if weights is not None else weights_vector()
     spark = pairs.sparkSession
-    # checkpointed pair tables are often 1-2 coalesced files; fan back out so
-    # the Python kernel runs at full parallelism
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if pairs.rdd.getNumPartitions() < n_part:
+    if repartition:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         pairs = pairs.repartition(n_part)
     b_idf = spark.sparkContext.broadcast(idf)
     b_w = spark.sparkContext.broadcast(w)

@@ -67,15 +67,19 @@ def run_pipeline(
 
     mentions = stage(extract_mentions(pages), "mentions")
     surfaces = distinct_surfaces(mentions).persist()
+    n_surfaces = surfaces.count()  # materializes the cache; reused below
     pairs = stage(candidate_pairs(mentions, cfg, surfaces=surfaces), "candidate_pairs")
 
-    idf = collect_idf(idf_table(surfaces))
+    idf = collect_idf(idf_table(surfaces, n=n_surfaces))
     w = weights if weights is not None else weights_vector()
-    scored = stage(score_pairs(pairs, idf, w), "scored_pairs")
+    scored = stage(score_pairs(pairs, idf, w, repartition=True), "scored_pairs")
 
     edges = match_edges(scored, cfg.score_threshold)
     components = connected_components(
         edges, cfg.max_cc_iterations, cfg.checkpoint_every
     )
-    clusters = stage(assign_clusters(mentions, surfaces, components), "clusters")
+    clusters = stage(
+        assign_clusters(mentions, surfaces, components, n_surfaces=n_surfaces),
+        "clusters",
+    )
     return PipelineResult(mentions, pairs, scored, clusters)

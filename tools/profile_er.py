@@ -73,7 +73,7 @@ def main() -> None:
     t = tick("blocking", t)
     idf = collect_idf(idf_table(surfaces))
     t = tick("idf_collect", t)
-    scored = store.save(score_pairs(pairs, idf, weights_vector()), "scored_pairs")
+    scored = store.save(score_pairs(pairs, idf, weights_vector(), repartition=True), "scored_pairs")
     t = tick("scoring", t)
     edges = match_edges(scored, pcfg.score_threshold)
     comp = connected_components(edges, pcfg.max_cc_iterations, pcfg.checkpoint_every)
