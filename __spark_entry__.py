@@ -294,6 +294,16 @@ def q_ann_lsh(spark, sf_dir):
     return t.select("query_id", "neighbor_id", "rank")
 
 
+def q_embed_near_dup(spark, sf_dir):
+    """Embedding near-dup (exact form): all pairs with cosine >= 0.35,
+    id_a < id_b.  The broadcast-matmul kernel; the LSH-bucketed variant
+    (`embedding_near_dup`) approximates this at scale."""
+    from berkeley_entity_spark.operators.similarity import cosine_threshold_pairs
+
+    t = cosine_threshold_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+    return t.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def q_quality_score(spark, sf_dir):
     """Text analysis: composite quality score."""
     from berkeley_entity_spark.operators.textstats import quality_score
@@ -369,11 +379,12 @@ def q_er_clusters(spark, sf_dir):
     pages, _ = generate_webpages(spark, SynthConfig(n_pages=300, n_entities=40))
     mentions = extract_mentions(pages.where("lang = 'en'")).localCheckpoint(eager=True)
     surfaces = distinct_surfaces(mentions).persist()
+    n_surfaces = surfaces.count()
     pairs = candidate_pairs(mentions, cfg, surfaces=surfaces)
-    idf = collect_idf(idf_table(surfaces))
+    idf = collect_idf(idf_table(surfaces, n=n_surfaces))
     scored = score_pairs(pairs, idf)
     comp = connected_components(match_edges(scored))
-    return assign_clusters(mentions, surfaces, comp)
+    return assign_clusters(mentions, surfaces, comp, n_surfaces=n_surfaces)
 
 
 def q_er_mentions(spark, sf_dir):
@@ -406,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
+        "q_embed_near_dup": q_embed_near_dup,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
@@ -600,6 +612,16 @@ def oracle_sql() -> dict[str, str]:
                                 b.vec_id ASC) AS rank
               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
             WHERE rank <= 3
+        """,
+        "q_embed_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                    list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.35
         """,
         "q_quality_score": f"""
             SELECT doc_id,

@@ -56,6 +56,11 @@ def run_headline() -> dict:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
     spark = _spark()
     qs = entrymod.queries()
+    # untimed warm-up: codegen/JIT + python worker pool + parquet footer reads,
+    # so per-query numbers are steady-state (the first query otherwise absorbs
+    # several seconds of one-time session cost)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    qs["q_token_counts"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

@@ -11,7 +11,7 @@ Exact + near-dup over a `documents(doc_id, text, ...)` table:
     hamming candidate pairs
   * ngram_jaccard_pairs   — token n-gram Jaccard via explode/groupBy counting
     (|A∩B| from a pair count, no per-row set ops)
-  * embedding近-dup lives in similarity.py (cosine threshold join)
+  * embedding near-dup lives in similarity.py (cosine threshold join)
 
 All shapes are chosen for 100 TB: candidates come only from key-equality
 joins (band bucket / shared ngram), every hot bucket is capped with a

@@ -91,6 +91,42 @@ def cosine_topk(
     )
 
 
+def cosine_threshold_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id_a, id_b, cosine) with cosine >= threshold and id_a < id_b — the
+    EXACT embedding near-dup operator (oracle-checkable; the LSH variant
+    `embedding_near_dup` approximates it at scale).  Same broadcast-matmul
+    kernel as cosine_topk; at 100 TB the corpus side is block-chunked."""
+    corpus_pdf = embeddings.select(id_col, vec_col).toPandas()
+    c_ids = np.asarray(corpus_pdf[id_col], dtype=np.int64)
+    C = np.stack(corpus_pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    spark = embeddings.sparkSession
+    b = spark.sparkContext.broadcast((c_ids, C))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, M = b.value
+        for pdf in batches:
+            Q = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
+            Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+            S = Q @ M.T
+            qids = np.asarray(pdf[id_col], dtype=np.int64)
+            # keep only id_a < id_b (dedups the symmetric matrix) and >= thr
+            keep = (S >= threshold) & (qids[:, None] < ids[None, :])
+            r, c = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": qids[r], "id_b": ids[c], "cosine": S[r, c]}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        gen, schema="id_a bigint, id_b bigint, cosine double"
+    )
+
+
 def hyperplane_signatures(
     embeddings: DataFrame,
     n_planes: int = 16,

@@ -61,3 +61,44 @@ def test_lsh_topk_recall(emb, numpy_topk):
 def test_lsh_is_subsetless_join_not_crossjoin(emb):
     plan = lsh_bucket_topk(emb, k=K)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_cosine_threshold_pairs_matches_numpy(emb):
+    from berkeley_entity_spark.operators.similarity import cosine_threshold_pairs
+
+    thr = 0.35
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_threshold_pairs(emb, threshold=thr).collect()
+    }
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    M = np.stack(pdf["embedding"].map(np.asarray).to_list()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    want = {
+        (int(ids[i]), int(ids[j])): S[i, j]
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and S[i, j] >= thr
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9
+
+
+def test_embedding_near_dup_finds_exact_duplicates(spark, emb):
+    """Inject exact duplicate vectors (cosine=1): the LSH near-dup operator
+    must recover every injected duplicate pair (same vector -> same bucket in
+    every table, so recall on exact dups is structural, not probabilistic)."""
+    from berkeley_entity_spark.operators.similarity import embedding_near_dup
+
+    dup = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    both = emb.unionByName(dup)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup(both, threshold=0.999).collect()
+    }
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    missing = [(i, i + 100000) for i in ids if (i, i + 100000) not in pairs]
+    assert not missing, f"missed {len(missing)} exact-dup pairs, e.g. {missing[:3]}"
