@@ -27,8 +27,14 @@ class PipelineConfig:
     minhash_bands: int = 8  # bands (total sigs = rows*bands)
     shingle_k: int = 3  # char-shingle width
     neighborhood: int = 6  # sorted-neighborhood window (row offset band)
-    max_block_size: int = 200  # hot-block cap before salted pair capping
+    max_block_size: int = 200  # hot-block threshold (cap, or salt trigger)
     salt_buckets: int = 16  # salt fan-out for hot blocks
+    # False: rows beyond max_block_size in a block are dropped from pairing
+    # (bounded work, bounded recall).  True: hot blocks are instead SALTED
+    # into salt_buckets sorted sub-blocks — nothing dropped, work bounded per
+    # sub-block, and the single-task hot-key window becomes salt_buckets
+    # parallel tasks (the 10^12-page head-domain-skew setting).
+    salt_hot_blocks: bool = False
     # scoring
     score_threshold: float = 0.0  # logistic margin for a match edge
     # clustering

@@ -247,12 +247,36 @@ def candidate_pairs(
     )
     keys = sn_keys.unionByName(mh_keys)
 
-    w = Window.partitionBy("block_key").orderBy("norm_name", "node_id")
-    ranked = (
-        keys.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= cfg.max_block_size)
-        .persist()
-    )
+    if cfg.salt_hot_blocks:
+        # head-domain skew: a hot key (mega-surname, boilerplate LSH bucket)
+        # would otherwise sort in ONE window task.  Salt only keys above the
+        # threshold (broadcast the hot-key list — it is tiny by definition)
+        # into deterministic sorted sub-blocks; nothing is dropped.
+        hot = (
+            keys.groupBy("block_key")
+            .agg(F.count(F.lit(1)).alias("_kn"))
+            .where(F.col("_kn") > cfg.max_block_size)
+            .select("block_key", F.lit(True).alias("_hot"))
+        )
+        keys = (
+            keys.join(F.broadcast(hot), "block_key", "left")
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("_hot"),
+                    F.pmod(F.xxhash64("node_id"), F.lit(cfg.salt_buckets)).cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_hot")
+        )
+    else:
+        keys = keys.withColumn("salt", F.lit(0))
+
+    w = Window.partitionBy("block_key", "salt").orderBy("norm_name", "node_id")
+    ranked = keys.withColumn("rn", F.row_number().over(w))
+    if not cfg.salt_hot_blocks:
+        ranked = ranked.where(F.col("rn") <= cfg.max_block_size)
+    ranked = ranked.persist()
     width = F.when(
         F.col("a.block_key").startswith("MH:"), F.lit(cfg.max_block_size)
     ).otherwise(F.lit(cfg.neighborhood))
@@ -261,6 +285,7 @@ def candidate_pairs(
         a.join(
             b,
             (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("b.rn") > F.col("a.rn"))
             & (F.col("b.rn") <= F.col("a.rn") + width),
         )

@@ -69,20 +69,34 @@ def _mentions_from_text(text: str) -> list[tuple[int, int, int, str]]:
     return out
 
 
-def extract_mentions(pages: DataFrame, from_html: bool = False) -> DataFrame:
+def extract_mentions(
+    pages: DataFrame,
+    from_html: bool = False,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """webpages(url, warc_ts, html, text, lang) -> mentions DataFrame.
 
     When from_html=True the text column is re-derived from html via the
     deterministic extractor (used by the byte-identity test); otherwise the
     stored text column is trusted (and html is never read — column pruning
     keeps the 100 TB binary column out of the scan).
+
+    passthrough: extra page columns copied onto every emitted mention (e.g.
+    warc_ts for the streaming rate aggregation — avoids a stream-stream join
+    back to the source).
     """
     cols = ["url", "html"] if from_html else ["url", "text"]
+    pt = [c for c in passthrough if c not in cols]
+    pt_schema = "".join(
+        f", {name} {dtype}"
+        for name, dtype in pages.select(*pt).dtypes
+    ) if pt else ""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_cols = [
             "url", "sent_idx", "start", "end", "span", "head",
             "norm_name", "mtype", "ner", "number", "gender", "is_acr",
+            *pt,
         ]
         for pdf in batches:
             rows = []
@@ -91,7 +105,9 @@ def extract_mentions(pages: DataFrame, from_html: bool = False) -> DataFrame:
                 if from_html
                 else pdf["text"]
             )
-            for url, text in zip(pdf["url"], texts):
+            pt_vals = [pdf[c] for c in pt]
+            for i, (url, text) in enumerate(zip(pdf["url"], texts)):
+                extra = tuple(v.iloc[i] for v in pt_vals)
                 for s_idx, start, end, span in _mentions_from_text(text):
                     norm = normalize_name(span)
                     head = norm.split(" ")[-1] if norm else ""
@@ -101,11 +117,13 @@ def extract_mentions(pages: DataFrame, from_html: bool = False) -> DataFrame:
                     )
                     rows.append(
                         (url, s_idx, start, end, span, head, norm,
-                         "PROPER", "", "UNKNOWN", "UNKNOWN", is_acr)
+                         "PROPER", "", "UNKNOWN", "UNKNOWN", is_acr, *extra)
                     )
             yield pd.DataFrame(rows, columns=out_cols)
 
-    mentions = pages.select(*cols).mapInPandas(gen, schema=MENTIONS_SCHEMA)
+    mentions = pages.select(*cols, *pt).mapInPandas(
+        gen, schema=MENTIONS_SCHEMA + pt_schema
+    )
     return mentions.withColumn(
         "mention_id", F.xxhash64("url", "sent_idx", "start", "end")
     )

@@ -78,7 +78,9 @@ def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float
 
 
 def levenshtein_ratio(s1: str, s2: str) -> float:
-    """1 - edit_distance/max(len) with a numpy row-DP (strings are short)."""
+    """1 - edit_distance/max(len).  Two-row pure-Python DP: surfaces are
+    short (<~40 chars), where list DP beats numpy (array allocation per row
+    dominated the profile at 76% of the whole feature kernel)."""
     if s1 == s2:
         return 1.0
     n1, n2 = len(s1), len(s2)
@@ -86,20 +88,47 @@ def levenshtein_ratio(s1: str, s2: str) -> float:
         return 0.0
     if n1 < n2:
         s1, s2, n1, n2 = s2, s1, n2, n1
-    b = np.frombuffer(s2.encode("utf-32-le"), dtype=np.uint32)
-    prev = np.arange(n2 + 1)
-    for i, c in enumerate(s1):
-        curr = np.empty(n2 + 1, dtype=np.int64)
-        curr[0] = i + 1
-        sub = prev[:-1] + (b != ord(c))
-        ins = prev[1:] + 1
-        np.minimum(sub, ins, out=curr[1:])
-        # deletions need a scan (dependency on curr itself)
+    prev = list(range(n2 + 1))
+    for i in range(n1):
+        c = s1[i]
+        curr = [i + 1]
+        append = curr.append
+        p_jm1 = prev[0]  # prev[j-1] (diagonal)
+        v = i + 1  # curr[j-1] (deletion source)
         for j in range(1, n2 + 1):
-            if curr[j - 1] + 1 < curr[j]:
-                curr[j] = curr[j - 1] + 1
+            p_j = prev[j]
+            if c == s2[j - 1]:
+                # diagonal neighbor is always <= min(ins, del) + 1 - 1
+                v = p_jm1
+            else:
+                m = p_jm1 if p_jm1 < p_j else p_j
+                if v < m:
+                    m = v
+                v = m + 1
+            append(v)
+            p_jm1 = p_j
         prev = curr
     return 1.0 - prev[-1] / n1
+
+
+def within_edit1(a: str, b: str) -> bool:
+    """edit_distance(a, b) <= 1 in O(n) with no allocation — the only
+    question token-level typo matching actually asks."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la > 1:
+        return False
+    # first mismatch, then compare suffixes (skip one char of the longer —
+    # insertion — or one of each — substitution)
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    if la == lb:
+        return a[i + 1 :] == b[i + 1 :]
+    return a[i:] == b[i + 1 :]
 
 
 def token_jaccard(t1: set[str], t2: set[str]) -> float:
@@ -147,9 +176,8 @@ def _tok_match(a: str, b: str) -> bool:
     if min(len(a), len(b)) >= 4 and abs(len(a) - len(b)) <= 1:
         # single-typo tolerance: edit distance 1 on tokens of length >= 4
         # ("smitd" ~ "smith") but NOT stem-sharing surnames at distance 2
-        # ("martin" ~ "martinez")
-        dist = round((1.0 - levenshtein_ratio(a, b)) * max(len(a), len(b)))
-        if dist <= 1:
+        # ("martin" ~ "martinez"); O(n) scan, no DP
+        if within_edit1(a, b):
             return True
     return False
 

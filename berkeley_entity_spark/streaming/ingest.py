@@ -54,16 +54,22 @@ def start_extract_stream(
     return writer.start()
 
 
-def mention_rate_stream(pages_stream: DataFrame, window: str = "1 minute") -> DataFrame:
-    """Watermarked windowed mention counts per language — late pages beyond
-    2 minutes are dropped from the aggregation state."""
-    m = extract_mentions(pages_stream)
-    with_ts = m.join(
-        pages_stream.select("url", "warc_ts"), "url"
-    )
+def mention_rate_stream(
+    pages_stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked windowed mention counts — late pages beyond the watermark
+    delay are dropped from the aggregation state.
+
+    warc_ts rides through the extraction kernel as a passthrough column (a
+    stream-stream join back to the source would need watermarks + time-range
+    bounds on both sides and a second shuffle; the passthrough costs one
+    column in the Arrow batch)."""
+    m = extract_mentions(pages_stream, passthrough=("warc_ts",))
     return (
-        with_ts.withWatermark("warc_ts", "2 minutes")
-        .groupBy(F.window("warc_ts", window), F.col("url").isNotNull().alias("_all"))
+        m.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window))
         .agg(F.count(F.lit(1)).alias("n_mentions"))
         .select("window", "n_mentions")
     )

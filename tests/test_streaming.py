@@ -1,0 +1,105 @@
+"""Structured Streaming extract: incremental == batch, watermarked windows.
+
+The reference is batch-only (SURVEY.md §2.10); the streaming analog must be
+*semantics-preserving*: draining the page stream through the incremental
+extract yields exactly the batch extraction of the same corpus.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from berkeley_entity_spark.config import SynthConfig
+from berkeley_entity_spark.operators.extract import extract_mentions
+from berkeley_entity_spark.streaming.ingest import (
+    mention_rate_stream,
+    read_page_stream,
+    start_extract_stream,
+)
+from berkeley_entity_spark.synth import generate_webpages
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    """Two parquet 'drops' into one stream source dir (arrival batches)."""
+    root = str(tmp_path_factory.mktemp("stream_pages"))
+    pages, _ = generate_webpages(spark, SynthConfig(n_pages=120, n_entities=20))
+    pages = pages.cache()
+    pages.where("pmod(xxhash64(url), 2) = 0").write.mode("append").parquet(root)
+    pages.where("pmod(xxhash64(url), 2) = 1").write.mode("append").parquet(root)
+    return root, pages
+
+
+def test_streaming_extract_equals_batch(spark, pages_dir, tmp_path):
+    root, pages = pages_dir
+    out = str(tmp_path / "mentions")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_extract_stream(spark, root, out, ckpt, available_now=True)
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    want = extract_mentions(pages.where("lang = 'en'"))
+    got_ids = {r["mention_id"] for r in got.select("mention_id").collect()}
+    want_ids = {r["mention_id"] for r in want.select("mention_id").collect()}
+    assert got_ids == want_ids and len(got_ids) > 0
+
+
+def test_streaming_extract_resume_is_incremental(spark, pages_dir, tmp_path):
+    """A third drop after a completed availableNow run: only the new files
+    are processed on restart (checkpoint offsets) and the union matches the
+    full batch result — the stage-boundary resume contract, streaming form."""
+    root, pages = pages_dir
+    out = str(tmp_path / "mentions")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_extract_stream(spark, root, out, ckpt, available_now=True)
+    q.awaitTermination(300)
+    n_first = spark.read.parquet(out).count()
+
+    more, _ = generate_webpages(
+        spark, SynthConfig(n_pages=40, n_entities=20, seed=77)
+    )
+    more = more.withColumn("url", F.concat(F.lit("drop3-"), "url")).cache()
+    more.write.mode("append").parquet(root)
+    q2 = start_extract_stream(spark, root, out, ckpt, available_now=True)
+    q2.awaitTermination(300)
+    got = spark.read.parquet(out)
+    want_more = extract_mentions(more.where("lang = 'en'"))
+    assert got.count() == n_first + want_more.count()
+
+
+def test_mention_rate_stream_windows(spark, pages_dir, tmp_path):
+    root, pages = pages_dir
+    ckpt = str(tmp_path / "ckpt_rate")
+    # synth timestamps advance 1s/page (120 pages = 2 min span): a 10s
+    # watermark lets the early windows finalize inside the drain
+    stream = mention_rate_stream(
+        read_page_stream(spark, root).where("lang = 'en'"), watermark="10 seconds"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["window"]["start"]: r["n_mentions"]
+        for r in spark.sql("SELECT * FROM rate_sink").collect()
+    }
+    want = {
+        r["window"]["start"]: r["n_mentions"]
+        for r in (
+            extract_mentions(pages.where("lang = 'en'"), passthrough=("warc_ts",))
+            .groupBy(F.window("warc_ts", "1 minute"))
+            .agg(F.count(F.lit(1)).alias("n_mentions"))
+            .collect()
+        )
+    }
+    # append mode emits a window only once its watermark passes, and rows
+    # arriving in a later micro-batch with timestamps behind the watermark
+    # are dropped (file drops are not time-ordered) — so every emitted
+    # window exists in the batch result with count <= the batch count.
+    # That under-count IS the documented late-data semantics, not a bug.
+    assert got, "no windows were finalized by the watermark"
+    for start, n in got.items():
+        assert start in want and n <= want[start], (start, n, want.get(start))
