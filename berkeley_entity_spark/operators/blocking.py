@@ -170,7 +170,7 @@ def minhash_signatures(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
             return m.min(axis=1)
 
         for pdf in batches:
-            out_node, out_band, out_bucket = [], [], []
+            out_node, out_name, out_band, out_bucket = [], [], [], []
             for node, name in zip(pdf["node_id"], pdf["norm_name"]):
                 v = sig(name)
                 for bd in range(bands):
@@ -179,12 +179,22 @@ def minhash_signatures(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
                         hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big", signed=True
                     )
                     out_node.append(node)
+                    out_name.append(name)
                     out_band.append(bd)
                     out_bucket.append(bucket)
-            yield pd.DataFrame({"node_id": out_node, "band": out_band, "bucket": out_bucket})
+            # norm_name rides through the kernel: the caller needs it for the
+            # in-block sort, and a join back to surfaces would cost a shuffle
+            yield pd.DataFrame(
+                {
+                    "node_id": out_node,
+                    "norm_name": out_name,
+                    "band": out_band,
+                    "bucket": out_bucket,
+                }
+            )
 
     return surfaces.select("node_id", "norm_name").mapInPandas(
-        gen, schema="node_id bigint, band int, bucket bigint"
+        gen, schema="node_id bigint, norm_name string, band int, bucket bigint"
     )
 
 
@@ -219,7 +229,10 @@ def lsh_pairs(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def candidate_pairs(
-    mentions: DataFrame, cfg: PipelineConfig, surfaces: DataFrame | None = None
+    mentions: DataFrame,
+    cfg: PipelineConfig,
+    surfaces: DataFrame | None = None,
+    n_surfaces: int | None = None,
 ) -> DataFrame:
     """Full blocking stage: distinct surfaces -> union of passes -> dedup.
 
@@ -238,9 +251,7 @@ def candidate_pairs(
     if surfaces is None:
         surfaces = distinct_surfaces(mentions).persist()
     sn_keys = surface_block_keys(surfaces)
-    mh_keys = minhash_signatures(surfaces, cfg).join(
-        surfaces.select("node_id", "norm_name"), "node_id"
-    ).select(
+    mh_keys = minhash_signatures(surfaces, cfg).select(
         "node_id",
         "norm_name",
         F.concat_ws(":", F.lit("MH"), "band", "bucket").alias("block_key"),
@@ -305,6 +316,11 @@ def candidate_pairs(
         F.min("block_key").alias("block_key"), F.min("pass").alias("pass")
     )
     s = surfaces.select("node_id", "norm_name", "rep_url", "rep_mention", "is_acr")
+    if n_surfaces is not None and n_surfaces <= 5_000_000:
+        # the attribute lookups broadcast when the (already counted) surface
+        # table is small — two map-side joins instead of two pair shuffles;
+        # at 10^12 pages the table exceeds broadcast limits and we shuffle
+        s = F.broadcast(s)
     return (
         pairs.join(
             s.toDF("node_a", "norm_a", "url_a", "mention_a", "acr_a"), "node_a"

@@ -68,7 +68,10 @@ def run_pipeline(
     mentions = stage(extract_mentions(pages), "mentions")
     surfaces = distinct_surfaces(mentions).persist()
     n_surfaces = surfaces.count()  # materializes the cache; reused below
-    pairs = stage(candidate_pairs(mentions, cfg, surfaces=surfaces), "candidate_pairs")
+    pairs = stage(
+        candidate_pairs(mentions, cfg, surfaces=surfaces, n_surfaces=n_surfaces),
+        "candidate_pairs",
+    )
 
     idf = collect_idf(idf_table(surfaces, n=n_surfaces))
     w = weights if weights is not None else weights_vector()
