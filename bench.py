@@ -120,6 +120,33 @@ def run_er(n_pages: int, cpus: int | None = None, warmup: bool = True) -> dict:
     }
 
 
+_SPIN = (
+    "import time\nt0=time.monotonic()\nx=0\n"
+    "for i in range(20_000_000): x+=i\n"
+    "print(time.monotonic()-t0)\n"
+)
+
+
+def _cpu_ceiling(lo: int, hi: int) -> float:
+    """The host's own parallel-scaling ceiling: throughput ratio of `hi` vs
+    `lo` concurrent pure-CPU python processes, normalized by hi/lo.  On this
+    sandbox's oversubscribed VM this fluctuates (measured 0.75-0.95) — the
+    pipeline cannot scale better than the CPUs do, so the ceiling contextualizes
+    the pipeline efficiency number."""
+
+    def tput(n: int) -> float:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", _SPIN], stdout=subprocess.PIPE, text=True
+            )
+            for _ in range(n)
+        ]
+        walls = [float(p.communicate()[0].strip()) for p in procs]
+        return n / (sum(walls) / len(walls))
+
+    return (tput(hi) / tput(lo)) / (hi / lo)
+
+
 def run_scaling(n_pages: int, cpus_pair: tuple[int, int] = (4, 16), reps: int = 3) -> dict:
     """North-rule scaling evidence: same job, same input, N vs 4N cores.
 
@@ -134,6 +161,7 @@ def run_scaling(n_pages: int, cpus_pair: tuple[int, int] = (4, 16), reps: int = 
     """
     lo, hi = cpus_pair
     runs: dict[int, list[dict]] = {lo: [], hi: []}
+    ceilings: list[float] = [round(_cpu_ceiling(lo, hi), 3)]
     for _ in range(reps):
         for cpus in (lo, hi):
             out = subprocess.run(
@@ -145,9 +173,11 @@ def run_scaling(n_pages: int, cpus_pair: tuple[int, int] = (4, 16), reps: int = 
             )
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
             runs[cpus].append(json.loads(line))
+        ceilings.append(round(_cpu_ceiling(lo, hi), 3))
     best = {c: min(rs, key=lambda r: r["wall_sec"]) for c, rs in runs.items()}
     t_lo, t_hi = best[lo]["wall_sec"], best[hi]["wall_sec"]
     eff = (t_lo / t_hi) / (hi / lo)
+    ceiling = max(ceilings)
     summary = {
         "metric": f"scaling_efficiency_{lo}_to_{hi}",
         "value": round(eff, 3),
@@ -156,6 +186,9 @@ def run_scaling(n_pages: int, cpus_pair: tuple[int, int] = (4, 16), reps: int = 
         f"local{lo}": best[lo],
         f"local{hi}": best[hi],
         "all_walls": {c: [r["wall_sec"] for r in rs] for c, rs in runs.items()},
+        "cpu_ceiling": ceiling,
+        "cpu_ceilings": ceilings,
+        "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -181,6 +214,13 @@ which caps even embarrassingly parallel spin loops at ~0.55 efficiency.
 | local[{hi}] | {t_hi} | {best[hi]['value']} | {summary['all_walls'][hi]} |
 
 **Scaling efficiency (T{lo} / T{hi}) / {hi // lo} = {eff:.3f}** (target >= 0.8).
+
+Host CPU ceiling measured around the runs (pure-CPU spin processes at the
+same {lo}->{hi} parallelism, best of {len(ceilings)} samples): **{ceiling:.3f}** —
+the pipeline cannot scale better than the host's CPUs do.  Pipeline
+efficiency relative to that attainable ceiling: **{eff / ceiling:.3f}**.
+All ceiling samples: {ceilings} (the spread is the host's multi-tenant
+noise, visible identically in the raw pipeline walls).
 
 Clusters produced (identical at both levels expected): local[{lo}] ->
 {best[lo]['clusters']}, local[{hi}] -> {best[hi]['clusters']}.

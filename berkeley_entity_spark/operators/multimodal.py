@@ -89,6 +89,40 @@ def decode_media(
     )
 
 
+def resize_media(
+    media: DataFrame, width: int = 32, height: int = 32, fake: bool = True
+) -> DataFrame:
+    """Resize plumbing: same schema out as in, meta updated to the target
+    dims.  fake=True passes payload bytes through (deterministic stand-in);
+    fake=False is the real-resampler slot (PIL/ffmpeg), NotImplemented here.
+    The Spark shape is what matters at scale: one mapInPandas pass, binary in
+    / binary out, metadata maintained columnar-side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real resizing requires codec libraries not present in "
+                    "this environment; pass fake=True for the test path"
+                )
+            yield pdf
+
+    resized = media.select("media_id", "kind", "payload").mapInPandas(
+        gen, schema="media_id bigint, kind string, payload binary"
+    )
+    return resized.join(media.select("media_id", "meta"), "media_id").select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Pure-SQL frame sampling plan for video rows: explode the timestamp
     grid from meta.duration_ms — the decode of each frame would be another
