@@ -19,8 +19,10 @@ run over the **distinct normalized surfaces** rather than mention instances:
      seeded minhash signatures, banded; pairs sharing a (band, bucket) are
      candidates (the reference's coarse-model cascade, CorefPruner.scala:36-47).
 
-Hot blocks (head-domain skew / common surnames) are defused by capping each
-block with a salted row_number and letting AQE skew-join handle residuals.
+Hot blocks (head-domain skew / common surnames) are defused either by a
+row_number cap (default) or, with cfg.salt_hot_blocks, by deterministic
+salting of over-threshold keys into sorted sub-blocks (nothing dropped);
+AQE skew-join handles residual join-side imbalance.
 Everything below is expressed as DataFrame ops (joins, windows, explode); the
 only Python is the Arrow-batched minhash kernel.
 """
@@ -92,44 +94,6 @@ def surface_block_keys(surfaces: DataFrame) -> DataFrame:
     return explode_block_keys(surfaces, "node_id", "norm_name")
 
 
-# ------------------------------------------------------- sorted neighborhood
-
-
-def sorted_neighborhood_pairs(keys: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Window-band self-join within each block key.
-
-    Surfaces are sorted inside the block; each row pairs with the next
-    `neighborhood` rows (equi-join on (block_key, bucket) would also work;
-    the rn-band join keeps the pair count linear in block size).  Blocks are
-    capped at max_block_size rows (salting analog: a hot key contributes a
-    bounded number of pairs per salt bucket; AQE skew-join splits residuals).
-    """
-    w = Window.partitionBy("block_key").orderBy("norm_name", "node_id")
-    # persist before the self-join: both aliases would otherwise recompute
-    # the whole upstream (window + key explode) independently
-    ranked = (
-        keys.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= cfg.max_block_size)
-        .persist()
-    )
-    a, b = ranked.alias("a"), ranked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.block_key") == F.col("b.block_key"))
-            & (F.col("b.rn") > F.col("a.rn"))
-            & (F.col("b.rn") <= F.col("a.rn") + cfg.neighborhood),
-        )
-        .where(F.col("a.node_id") != F.col("b.node_id"))
-        .select(
-            F.col("a.block_key").alias("block_key"),
-            F.least("a.node_id", "b.node_id").alias("node_a"),
-            F.greatest("a.node_id", "b.node_id").alias("node_b"),
-            F.lit("sortedneighborhood").alias("pass"),
-        )
-    )
-
-
 # ------------------------------------------------------------------- minhash
 
 
@@ -197,32 +161,6 @@ def minhash_signatures(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
         gen, schema="node_id bigint, norm_name string, band int, bucket bigint"
     )
 
-
-def lsh_pairs(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Self-join on (band, bucket); buckets capped like blocks are."""
-    sigs = minhash_signatures(surfaces, cfg)
-    w = Window.partitionBy("band", "bucket").orderBy("node_id")
-    # persist before the self-join (avoids running the minhash kernel twice)
-    ranked = (
-        sigs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= cfg.max_block_size)
-        .persist()
-    )
-    a, b = ranked.alias("a"), ranked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.node_id") < F.col("b.node_id")),
-        )
-        .select(
-            F.concat(F.lit("MH:"), F.col("a.bucket").cast("string")).alias("block_key"),
-            F.col("a.node_id").alias("node_a"),
-            F.col("b.node_id").alias("node_b"),
-            F.lit("lsh").alias("pass"),
-        )
-    )
 
 
 # ------------------------------------------------------------------ assembly
@@ -332,14 +270,3 @@ def candidate_pairs(
         )
     )
 
-
-def exact_edges(mentions: DataFrame) -> DataFrame:
-    """'exact' pass: every mention links to the min mention of its surface.
-
-    (u, v) = (mention_id, rep_mention) — linear, no pairs materialized."""
-    w = Window.partitionBy("norm_name")
-    return (
-        mentions.withColumn("rep", F.min("mention_id").over(w))
-        .where(F.col("mention_id") != F.col("rep"))
-        .select(F.col("mention_id").alias("u"), F.col("rep").alias("v"))
-    )
