@@ -304,6 +304,39 @@ def q_embed_near_dup(spark, sf_dir):
     return t.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_wiki_title(spark, sf_dir):
+    """S6/J7/A10 shape: surface->title vote DB with redirect following and
+    deterministic argmax (WikipediaTitleGivenSurfaceDB semantics over a
+    synthetic link table derived from documents)."""
+    from berkeley_entity_spark.operators.wiki import (
+        best_title_per_surface,
+        resolve_redirects,
+        title_given_surface,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), x -> x != '')")
+    links = (
+        d.select(toks.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            F.lower(F.element_at("t", 1)).alias("surface"),
+            F.lower(F.element_at("t", 2)).alias("title"),
+        )
+    )
+    redirects = (
+        links.select("title")
+        .distinct()
+        .where(F.col("title").startswith("a"))
+        .select(
+            F.col("title").alias("src"),
+            F.concat("title", F.lit("0")).alias("dst"),
+        )
+    )
+    resolved = resolve_redirects(links, redirects, hops=2)
+    return best_title_per_surface(title_given_surface(resolved))
+
+
 def q_quality_score(spark, sf_dir):
     """Text analysis: composite quality score."""
     from berkeley_entity_spark.operators.textstats import quality_score
@@ -418,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
         "q_embed_near_dup": q_embed_near_dup,
+        "q_wiki_title": q_wiki_title,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
@@ -622,6 +656,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                     list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
                     list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.35
+        """,
+        "q_wiki_title": f"""
+            WITH t AS (SELECT {TOKQ} AS t FROM documents),
+            l AS (SELECT lower(t[1]) AS surface, lower(t[2]) AS title
+                  FROM t WHERE len(t) >= 2),
+            r AS (SELECT DISTINCT title AS src, title || '0' AS dst
+                  FROM l WHERE title LIKE 'a%'),
+            res AS (SELECT l.surface,
+                           coalesce(r2.dst, coalesce(r1.dst, l.title)) AS title
+                    FROM l
+                    LEFT JOIN r r1 ON l.title = r1.src
+                    LEFT JOIN r r2 ON coalesce(r1.dst, l.title) = r2.src),
+            c AS (SELECT surface, title, count(*) AS votes
+                  FROM res GROUP BY surface, title)
+            SELECT surface, title AS best_title, votes FROM (
+              SELECT c.*, row_number() OVER (
+                  PARTITION BY surface ORDER BY votes DESC, title ASC) AS rn
+              FROM c) WHERE rn = 1
         """,
         "q_quality_score": f"""
             SELECT doc_id,
