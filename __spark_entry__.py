@@ -420,6 +420,18 @@ def q_er_clusters(spark, sf_dir):
     return assign_clusters(mentions, surfaces, comp, n_surfaces=n_surfaces)
 
 
+def q_ner_tags(spark, sf_dir):
+    """P5/M9: BIO NER tagging via per-sentence Viterbi over reference-ported
+    shape/class features + broadcast dictionaries (no SQL oracle — the DP is
+    a pandas kernel; the Viterbi is verified against brute-force in tests)."""
+    from berkeley_entity_spark.config import SynthConfig
+    from berkeley_entity_spark.operators.ner import ner_tag_pages
+    from berkeley_entity_spark.synth import generate_webpages
+
+    pages, _ = generate_webpages(spark, SynthConfig(n_pages=200, n_entities=30))
+    return ner_tag_pages(pages.where("lang = 'en'"))
+
+
 def q_er_mentions(spark, sf_dir):
     """Extract stage on the synthetic corpus (no SQL oracle — pandas UDF)."""
     from berkeley_entity_spark.config import SynthConfig
@@ -457,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_event_hourly": q_event_hourly,
         "q_sessionize": q_sessionize,
+        "q_ner_tags": q_ner_tags,
         "q_er_clusters": q_er_clusters,
         "q_er_mentions": q_er_mentions,
     }
