@@ -48,3 +48,34 @@ def test_asymmetric_loss_favors_recall():
     rec_sym = (((X @ w_sym) > 0) & (y == 1)).sum() / (y == 1).sum()
     rec_asym = (((X @ w_asym) > 0) & (y == 1)).sum() / (y == 1).sum()
     assert rec_asym >= rec_sym
+
+
+def test_weights_roundtrip_through_pipeline(spark, tmp_path):
+    """S8 model serialization: trained weights -> .npy -> pipeline run.
+
+    The reference gzip-serializes its PairwiseScorer (GUtil.save/load,
+    EntitySystem.scala:181); our model artifact is the weight vector, saved
+    with numpy and fed to run_pipeline(weights=...) / the CLI --weights flag.
+    """
+    import numpy as np
+
+    from berkeley_entity_spark.config import PipelineConfig, SynthConfig
+    from berkeley_entity_spark.operators.scoring import weights_vector
+    from berkeley_entity_spark.plans.checkpoint import CheckpointStore
+    from berkeley_entity_spark.plans.pipeline import run_pipeline
+    from berkeley_entity_spark.synth import generate_webpages
+
+    w = weights_vector({"jaro_winkler": 3.5})  # a "trained" perturbation
+    path = tmp_path / "weights.npy"
+    np.save(path, w)
+    loaded = np.load(path)
+    assert np.array_equal(w, loaded)
+
+    pages, _ = generate_webpages(spark, SynthConfig(n_pages=150, n_entities=25))
+    root = str(tmp_path / "ckpt")
+    res = run_pipeline(
+        spark, pages, PipelineConfig(checkpoint_dir=root),
+        weights=loaded, store=CheckpointStore(root), resume=False,
+    )
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    assert n_clusters >= 25  # all entities resolved into clusters
