@@ -384,11 +384,13 @@ def q_sessionize(spark, sf_dir):
         e.withColumn("brk", brk)
         .withColumn(
             "session_id",
-            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            F.sum("brk")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
         )
     )
     return sess.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events")
+        F.count(F.lit(1)).cast("long").alias("n_events")
     )
 
 
@@ -714,10 +716,11 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS brk
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             s AS (SELECT user_id,
-                         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS session_id
                   FROM g)
-            SELECT user_id, session_id, count(*) AS n_events
+            SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, session_id
         """,
     }
