@@ -3,8 +3,8 @@
 `embeddings(vec_id bigint, embedding array<float>, label int)`:
 
   * cosine_topk        — exact brute-force top-k neighbors; the baseline.
-    Expressed with built-in higher-order functions (zip_with/aggregate) so
-    the dot products run JVM-side in codegen, no Python in the loop.
+    Distributed blocked matmul (cogrouped applyInPandas over corpus-block x
+    query-chunk cells) — no driver-side corpus collect, task memory bounded.
   * lsh_bucket_topk    — random-hyperplane LSH: signature via fixed seeded
     plane matrix (Arrow kernel), candidates from bucket equality, exact
     cosine re-rank inside the bucket.  The 100 TB path: the cross join is
@@ -43,51 +43,108 @@ def with_unit_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFra
     ).drop("_n")
 
 
+def _unit_matrix(pdf: pd.DataFrame, vec_col: str) -> np.ndarray:
+    M = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+    return M
+
+
+def _blocked_cross(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    kernel,
+    schema: str,
+    n_blocks: int,
+    n_qchunks: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Fully-distributed blocked cross product: corpus split into `n_blocks`
+    by pmod(id), queries into `n_qchunks`; each (block, qchunk) cell is one
+    cogrouped-applyInPandas task running a numpy matmul over bounded slices.
+    Nothing is collected to the driver; shuffle volume is
+    n_qchunks x |corpus| + n_blocks x |queries| — the standard blocked-GEMM
+    tradeoff.  At scale, size n_blocks ≈ |corpus| x dim x 8B / 256MB so one
+    corpus slice fits an executor task."""
+    spark = embeddings.sparkSession
+    blk_ids = spark.range(n_blocks).select(F.col("id").alias("_blk"))
+    qch_ids = spark.range(n_qchunks).select(F.col("id").alias("_qch"))
+    corpus = (
+        embeddings.select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).alias("_cvec"),
+            F.pmod(F.col(id_col), F.lit(n_blocks)).cast("long").alias("_blk"),
+        )
+        .join(F.broadcast(qch_ids), how="cross")
+    )
+    qrep = (
+        queries.select(
+            F.col(id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            F.pmod(F.col(id_col), F.lit(n_qchunks)).cast("long").alias("_qch"),
+        )
+        .join(F.broadcast(blk_ids), how="cross")
+    )
+    return (
+        qrep.groupBy("_blk", "_qch")
+        .cogroup(corpus.groupBy("_blk", "_qch"))
+        .applyInPandas(kernel, schema=schema)
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame | None = None,
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_blocks: int = 4,
+    n_qchunks: int = 4,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank) — exact top-k by cosine; ties break on
     neighbor id for cross-engine determinism.
 
-    Implementation: broadcast the unit-normalized corpus matrix and run one
-    numpy matmul per Arrow batch of queries (the classic brute-force ANN
-    baseline).  ~25x faster than a crossJoin with higher-order-function dot
-    products, which Spark interprets per element.  At 100 TB the corpus is
-    chunked (broadcast one block at a time, union the per-block top-k, re-rank)
-    — same kernel, outer loop over blocks."""
+    Implementation: distributed blocked brute force.  Each (corpus-block,
+    query-chunk) cell computes a numpy matmul and emits its per-block top-k
+    candidates; one global window re-ranks by (-cosine, neighbor_id).  The
+    per-block top-k is taken under the SAME ordering, so the union provably
+    contains the global top-k.  No driver-side corpus materialization
+    (the round-1 `toPandas()` broadcast is gone); task memory is bounded by
+    |corpus|/n_blocks + |queries|/n_qchunks rows."""
     src = queries if queries is not None else embeddings
-    corpus_pdf = embeddings.select(id_col, vec_col).toPandas()
-    c_ids = np.asarray(corpus_pdf[id_col], dtype=np.int64)
-    C = np.stack(corpus_pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
-    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
-    spark = embeddings.sparkSession
-    b = spark.sparkContext.broadcast((c_ids, C))
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, M = b.value
-        for pdf in batches:
-            Q = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
-            Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
-            S = Q @ M.T
-            qids = np.asarray(pdf[id_col], dtype=np.int64)
-            rows = []
-            for r in range(len(qids)):
-                s = S[r].copy()
-                s[ids == qids[r]] = -np.inf
-                # deterministic: sort by (-sim, neighbor_id)
-                idx = np.lexsort((ids, -s))[:k]
-                rows.extend(
-                    (int(qids[r]), int(ids[j]), rank + 1)
-                    for rank, j in enumerate(idx)
-                )
-            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+    def cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        qids = np.asarray(left["_qid"], dtype=np.int64)
+        cids = np.asarray(right["_cid"], dtype=np.int64)
+        S = _unit_matrix(left, "_qvec") @ _unit_matrix(right, "_cvec").T
+        S[qids[:, None] == cids[None, :]] = -np.inf
+        rows = []
+        kk = min(k, len(cids))
+        for r in range(len(qids)):
+            idx = np.lexsort((cids, -S[r]))[:kk]
+            rows.extend(
+                (int(qids[r]), int(cids[j]), float(S[r, j]))
+                for j in idx
+                if S[r, j] > -np.inf
+            )
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
-    return src.select(id_col, vec_col).mapInPandas(
-        gen, schema="query_id bigint, neighbor_id bigint, rank int"
+    partial = _blocked_cross(
+        embeddings, src, cell,
+        "query_id bigint, neighbor_id bigint, cosine double",
+        n_blocks, n_qchunks, vec_col, id_col,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )
 
 
@@ -96,34 +153,38 @@ def cosine_threshold_pairs(
     threshold: float = 0.35,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_blocks: int = 4,
+    n_qchunks: int = 4,
 ) -> DataFrame:
     """(id_a, id_b, cosine) with cosine >= threshold and id_a < id_b — the
     EXACT embedding near-dup operator (oracle-checkable; the LSH variant
-    `embedding_near_dup` approximates it at scale).  Same broadcast-matmul
-    kernel as cosine_topk; at 100 TB the corpus side is block-chunked."""
-    corpus_pdf = embeddings.select(id_col, vec_col).toPandas()
-    c_ids = np.asarray(corpus_pdf[id_col], dtype=np.int64)
-    C = np.stack(corpus_pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
-    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
-    spark = embeddings.sparkSession
-    b = spark.sparkContext.broadcast((c_ids, C))
+    `embedding_near_dup` approximates it at scale).  Same distributed blocked
+    kernel as cosine_topk; each unordered pair lands in exactly one
+    (block, qchunk) cell (corpus blocks partition the id space), so no
+    distinct() is needed and no driver materialization happens.
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, M = b.value
-        for pdf in batches:
-            Q = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
-            Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
-            S = Q @ M.T
-            qids = np.asarray(pdf[id_col], dtype=np.int64)
-            # keep only id_a < id_b (dedups the symmetric matrix) and >= thr
-            keep = (S >= threshold) & (qids[:, None] < ids[None, :])
-            r, c = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"id_a": qids[r], "id_b": ids[c], "cosine": S[r, c]}
+    Cosine values are reproducible only to ~1 ULP across different n_blocks
+    choices (BLAS reduction order varies with matrix shape); consumers must
+    round before comparing across runs with different blocking."""
+
+    def cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
             )
+        qids = np.asarray(left["_qid"], dtype=np.int64)
+        cids = np.asarray(right["_cid"], dtype=np.int64)
+        S = _unit_matrix(left, "_qvec") @ _unit_matrix(right, "_cvec").T
+        keep = (S >= threshold) & (qids[:, None] < cids[None, :])
+        r, c = np.nonzero(keep)
+        return pd.DataFrame({"id_a": qids[r], "id_b": cids[c], "cosine": S[r, c]})
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        gen, schema="id_a bigint, id_b bigint, cosine double"
+    return _blocked_cross(
+        embeddings, embeddings, cell,
+        "id_a bigint, id_b bigint, cosine double",
+        n_blocks, n_qchunks, vec_col, id_col,
     )
 
 
