@@ -8,8 +8,10 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
 --er [N]      run the ER pipeline on N synthetic pages (default 60000) and
               print a JSON line with pages/sec (used by --scaling).
---scaling     run the same ER job at local[8] and local[32] in subprocesses,
-              compute scaling efficiency = (T8 / T32) / 4, and write
+--scaling     run the same ER job at local[4] and local[16] in subprocesses
+              (physical-core pair — the box's 32 vCPUs are SMT-paired, so
+              8/32 measures hyperthread contention, not scaling), compute
+              scaling efficiency = (T4 / T16) / 4, and write
               BENCH/BASELINE.md.
 """
 
@@ -58,9 +60,14 @@ def run_headline() -> dict:
     qs = entrymod.queries()
     # untimed warm-up: codegen/JIT + python worker pool + parquet footer reads,
     # so per-query numbers are steady-state (the first query otherwise absorbs
-    # several seconds of one-time session cost)
+    # several seconds of one-time session cost).  Uses only NON-headline work
+    # (q_top_tokens + a throwaway pandas kernel) so no timed query gets an
+    # unfair second-run advantage.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    qs["q_token_counts"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    qs["q_top_tokens"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.range(1000).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

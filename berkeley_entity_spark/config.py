@@ -31,9 +31,12 @@ class PipelineConfig:
     salt_buckets: int = 16  # salt fan-out for hot blocks
     # False: rows beyond max_block_size in a block are dropped from pairing
     # (bounded work, bounded recall).  True: hot blocks are instead SALTED
-    # into salt_buckets sorted sub-blocks — nothing dropped, work bounded per
+    # into salt_buckets sorted sub-blocks — no rows dropped, work bounded per
     # sub-block, and the single-task hot-key window becomes salt_buckets
-    # parallel tasks (the 10^12-page head-domain-skew setting).
+    # parallel tasks (the 10^12-page head-domain-skew setting).  Note the
+    # recall trade: pairs between rows hashed into DIFFERENT sub-blocks of
+    # the same hot key are not generated (the salt destroys sorted-
+    # neighborhood locality across sub-blocks).
     salt_hot_blocks: bool = False
     # scoring
     score_threshold: float = 0.0  # logistic margin for a match edge

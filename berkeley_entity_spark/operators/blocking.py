@@ -21,7 +21,9 @@ run over the **distinct normalized surfaces** rather than mention instances:
 
 Hot blocks (head-domain skew / common surnames) are defused either by a
 row_number cap (default) or, with cfg.salt_hot_blocks, by deterministic
-salting of over-threshold keys into sorted sub-blocks (nothing dropped);
+salting of over-threshold keys into sorted sub-blocks (no rows dropped,
+but cross-sub-block pairs within a hot key are not generated — a bounded
+recall trade, see tests/test_blocking_salt.py);
 AQE skew-join handles residual join-side imbalance.
 Everything below is expressed as DataFrame ops (joins, windows, explode); the
 only Python is the Arrow-batched minhash kernel.
@@ -200,7 +202,13 @@ def candidate_pairs(
         # head-domain skew: a hot key (mega-surname, boilerplate LSH bucket)
         # would otherwise sort in ONE window task.  Salt only keys above the
         # threshold (broadcast the hot-key list — it is tiny by definition)
-        # into deterministic sorted sub-blocks; nothing is dropped.
+        # into deterministic sorted sub-blocks.  No rows are dropped, but
+        # pairs between rows landing in different sub-blocks of the same hot
+        # key are not generated (the salt is a hash, so neighborhood locality
+        # does not survive the split) — a bounded recall trade vs the cap.
+        # `keys` (which embeds the minhash Arrow kernel) feeds BOTH the hot
+        # aggregate and the join below; persist so the kernel runs once.
+        keys = keys.persist()
         hot = (
             keys.groupBy("block_key")
             .agg(F.count(F.lit(1)).alias("_kn"))
@@ -226,6 +234,11 @@ def candidate_pairs(
     if not cfg.salt_hot_blocks:
         ranked = ranked.where(F.col("rn") <= cfg.max_block_size)
     ranked = ranked.persist()
+    if cfg.salt_hot_blocks:
+        # materialize ranked now (we pay this window either way), then free
+        # the keys cache — the minhash kernel never recomputes.
+        ranked.count()
+        keys.unpersist()
     width = F.when(
         F.col("a.block_key").startswith("MH:"), F.lit(cfg.max_block_size)
     ).otherwise(F.lit(cfg.neighborhood))
@@ -254,11 +267,15 @@ def candidate_pairs(
         F.min("block_key").alias("block_key"), F.min("pass").alias("pass")
     )
     s = surfaces.select("node_id", "norm_name", "rep_url", "rep_mention", "is_acr")
-    if n_surfaces is not None and n_surfaces <= 5_000_000:
+    if n_surfaces is not None:
         # the attribute lookups broadcast when the (already counted) surface
         # table is small — two map-side joins instead of two pair shuffles;
-        # at 10^12 pages the table exceeds broadcast limits and we shuffle
-        s = F.broadcast(s)
+        # gated on rows AND estimated bytes (string columns can blow past the
+        # executor budget long before the row ceiling); at 10^12 pages the
+        # table exceeds both and we shuffle
+        from berkeley_entity_spark.util import maybe_broadcast
+
+        s = maybe_broadcast(s, n_surfaces)
     return (
         pairs.join(
             s.toDF("node_a", "norm_a", "url_a", "mention_a", "acr_a"), "node_a"

@@ -90,6 +90,11 @@ def connected_components(
     # benefit here (measured 49 jobs/113 stages -> 14 jobs/60 stages on the
     # 300-page pipeline).  Restored afterwards — the blocking joins upstream
     # DO want AQE's runtime skew splitting.
+    # NOTE: this mutates session-global conf for the loop's duration — the
+    # pipeline assumes ONE pipeline per SparkSession (jobs/run_pipeline.py
+    # owns its session).  Anything running concurrently on the same session
+    # (e.g. a streaming query) should use spark.newSession() so its conf is
+    # isolated while sharing the SparkContext.
     spark = edges.sparkSession
     # the initial canonicalization may pull a big upstream DAG (scoring,
     # blocking) — run it WITH adaptivity, checkpoint, then switch off
@@ -164,8 +169,12 @@ def assign_clusters(
             n_surf = surfaces.count()  # cheap: surfaces is persisted by caller
         except Exception:
             n_surf = None
-    if n_surf is not None and n_surf <= 5_000_000:
-        surf_assign = F.broadcast(surf_assign)
+    if n_surf is not None:
+        # gated on rows AND estimated bytes (norm_name strings dominate the
+        # width) — explicit broadcast hints bypass autoBroadcastJoinThreshold
+        from berkeley_entity_spark.util import maybe_broadcast
+
+        surf_assign = maybe_broadcast(surf_assign, n_surf)
     return (
         mentions.select("mention_id", "norm_name")
         .join(surf_assign, "norm_name")
