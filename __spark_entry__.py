@@ -434,6 +434,58 @@ def q_ner_tags(spark, sf_dir):
     return ner_tag_pages(pages.where("lang = 'en'"))
 
 
+def q_mention_props(spark, sf_dir):
+    """P11/S4: number+gender mention properties via the Bergsma-Lin count
+    lookup (phrase -> head backoff, confidence-gated gender, person
+    first-name path).  Inputs derived from `documents` identically in both
+    engines: mention = first two tokens of each doc; count table = formulaic
+    counts over the sanitized vocabulary + two-token phrases."""
+    from berkeley_entity_spark.operators.properties import sanitize, with_number_gender
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    m = (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.element_at("toks", 1).alias("w1"),
+            F.element_at("toks", 2).alias("w2"),
+        )
+        .withColumn("span", F.concat_ws(" ", "w1", "w2"))
+    )
+    vocab = (
+        d.select(F.explode(toks).alias("w"))
+        .select(sanitize(F.col("w")).alias("t"))
+        .distinct()
+    )
+    first_ch = F.ascii(F.substring("t", 1, 1))
+    ng_words = vocab.select(
+        F.col("t").alias("phrase"),
+        (first_ch % 8).cast("int").alias("masc"),
+        (F.length("t") % 8).cast("int").alias("fem"),
+        ((first_ch + F.length("t")) % 8).cast("int").alias("neut"),
+        F.when(F.col("t").endswith("s"), F.lit(9)).otherwise(F.lit(1)).alias("plur"),
+    )
+    phr = (
+        m.where(F.length("w1") % 2 == 0)
+        .select(sanitize(F.col("span")).alias("phrase"))
+        .distinct()
+    )
+    ng_phr = phr.select(
+        "phrase",
+        (F.length("phrase") % 8).cast("int").alias("masc"),
+        (F.length("phrase") * 3 % 8).cast("int").alias("fem"),
+        F.lit(1).alias("neut"),
+        (F.length("phrase") % 5).cast("int").alias("plur"),
+    )
+    ng = ng_words.unionByName(ng_phr)
+    out = with_number_gender(
+        m.select("doc_id", "span"), ng, person_expr=F.lit(True)
+    )
+    return out.select("doc_id", "span", "number", "gender")
+
+
 def q_er_mentions(spark, sf_dir):
     """Extract stage on the synthetic corpus (no SQL oracle — pandas UDF)."""
     from berkeley_entity_spark.config import SynthConfig
@@ -471,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_event_hourly": q_event_hourly,
         "q_sessionize": q_sessionize,
+        "q_mention_props": q_mention_props,
         "q_ner_tags": q_ner_tags,
         "q_er_clusters": q_er_clusters,
         "q_er_mentions": q_er_mentions,
@@ -478,6 +531,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ------------------------------------------------------------------- oracles
+def _gender_case_sql(m: str, f: str, n: str) -> str:
+    return (
+        f"CASE WHEN {m} >= 2*({f}+{n}) AND {m} >= 3 THEN 'MALE' "
+        f"WHEN {f} >= 2*({m}+{n}) AND {f} >= 3 THEN 'FEMALE' "
+        f"WHEN {n} >= 2*({m}+{f}) AND {n} >= 3 THEN 'NEUTRAL' "
+        f"ELSE 'UNKNOWN' END"
+    )
+
+
+def _mention_props_oracle() -> str:
+    san = "regexp_replace(lower({x}), '[0-9]+', '#', 'g')"
+    cap = "ascii(substr({x}, 1, 1)) BETWEEN 65 AND 90"
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKQ} AS toks FROM documents),
+m AS (SELECT doc_id, toks[1] AS w1, toks[2] AS w2,
+             toks[1] || ' ' || toks[2] AS span
+      FROM tok WHERE len(toks) >= 2),
+vocab AS (SELECT DISTINCT {san.format(x='w')} AS t
+          FROM (SELECT unnest(toks) AS w FROM tok)),
+ngw AS (SELECT t AS phrase,
+               ascii(substr(t,1,1)) % 8 AS masc,
+               length(t) % 8 AS fem,
+               (ascii(substr(t,1,1)) + length(t)) % 8 AS neut,
+               CASE WHEN t LIKE '%s' THEN 9 ELSE 1 END AS plur
+        FROM vocab),
+phr AS (SELECT DISTINCT {san.format(x='span')} AS phrase
+        FROM m WHERE length(w1) % 2 = 0),
+ngp AS (SELECT phrase, length(phrase) % 8 AS masc,
+               length(phrase) * 3 % 8 AS fem, 1 AS neut,
+               length(phrase) % 5 AS plur
+        FROM phr),
+ng AS (SELECT * FROM ngw UNION ALL SELECT * FROM ngp),
+k AS (SELECT doc_id, span, w1, w2,
+             {san.format(x='span')} AS pk,
+             {san.format(x='w2')} AS hk,
+             {san.format(x='w1')} AS fk
+      FROM m),
+j AS (SELECT k.*,
+             coalesce(p.masc,0) AS pm, coalesce(p.fem,0) AS pf,
+             coalesce(p.neut,0) AS pn, coalesce(p.plur,0) AS pp,
+             coalesce(h.masc,0) AS hm, coalesce(h.fem,0) AS hf,
+             coalesce(h.neut,0) AS hn, coalesce(h.plur,0) AS hp,
+             coalesce(f2.masc,0) AS fm, coalesce(f2.fem,0) AS ff,
+             coalesce(f2.neut,0) AS fn, coalesce(f2.plur,0) AS fp
+      FROM k
+      LEFT JOIN ng p ON k.pk = p.phrase
+      LEFT JOIN ng h ON k.hk = h.phrase
+      LEFT JOIN ng f2 ON k.fk = f2.phrase),
+c AS (SELECT *,
+             CASE WHEN pm+pf+pn+pp > 0 THEN pm ELSE hm END AS cm,
+             CASE WHEN pm+pf+pn+pp > 0 THEN pf ELSE hf END AS cf,
+             CASE WHEN pm+pf+pn+pp > 0 THEN pn ELSE hn END AS cn,
+             CASE WHEN pm+pf+pn+pp > 0 THEN pp ELSE hp END AS cp
+      FROM j)
+SELECT doc_id, span,
+       CASE WHEN cm+cf+cn >= cp THEN 'SINGULAR' ELSE 'PLURAL' END AS number,
+       CASE WHEN {cap.format(x='w2')} AND {cap.format(x='w1')}
+            THEN {_gender_case_sql('fm', 'ff', 'fn')}
+            ELSE {_gender_case_sql('cm', 'cf', 'cn')} END AS gender
+FROM c
+"""
+
+
 def _minhash_oracle(bands: int = 4, rows: int = 2) -> str:
     n = bands * rows
     mh = ", ".join(
@@ -650,6 +766,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_minhash_lsh": _minhash_oracle(),
         "q_ngram_jaccard": _ngram_jaccard_oracle(),
+        "q_mention_props": _mention_props_oracle(),
         "q_ann_topk": """
             SELECT query_id, neighbor_id, rank FROM (
               SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -1,0 +1,142 @@
+"""Mention property computation: number + gender (SURVEY.md P11, S4).
+
+Reference semantics re-expressed as DataFrame joins + CASE expressions:
+
+  * Bergsma-Lin count table lookup with sanitized keys (lowercase, digit
+    runs -> "#"): NumberGenderComputer.scala:13-15 (sanitizeWord),
+    :17-25 (accessCounts; a missing key behaves exactly like stored
+    all-zero counts — `sameElements(NullCounts)`).
+  * number: phrase lookup, back off to head word, default SINGULAR when
+    masc+fem+neut >= plural: NumberGenderComputer.scala:27-39.
+  * gender (non-person): Stanford-style confidence rule — a class wins when
+    its count >= 2x the other two combined AND >= 3, else UNKNOWN:
+    NumberGenderComputer.scala:41-56.
+  * gender (person): when the head token is capitalized and the token before
+    it is capitalized too, treat that previous token as a first name and
+    decide from its counts alone: NumberGenderComputer.scala:62-76,
+    invoked for PERSON mentions from Mention.scala:336-344.
+
+The count table is a broadcast dimension (the reference loads gender.data
+into driver memory every run — NumberGenderComputer.scala:108-183; here it
+is a DataFrame so the same lookup scales past memory via a shuffle join when
+the byte gate declines the broadcast).  All lookups run at the DISTINCT SPAN
+level, then join back to mention instances — the same dedupe-first decision
+as blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from berkeley_entity_spark.util import maybe_broadcast
+
+NUMGENDER_SCHEMA = "phrase string, masc int, fem int, neut int, plur int"
+
+
+def sanitize(col: Column) -> Column:
+    """NumberGenderComputer.sanitizeWord: lowercase, digit runs -> '#'."""
+    return F.regexp_replace(F.lower(col), "[0-9]+", "#")
+
+
+def _is_cap(col: Column) -> Column:
+    """Character.isUpperCase on the first char (ASCII A-Z — both engines)."""
+    return F.ascii(F.substring(col, 1, 1)).between(65, 90)
+
+
+def _gender_case(m: Column, f: Column, n: Column) -> Column:
+    """NumberGenderComputer.scala:47-55 confidence cascade."""
+    return (
+        F.when((m >= 2 * (f + n)) & (m >= 3), F.lit("MALE"))
+        .when((f >= 2 * (m + n)) & (f >= 3), F.lit("FEMALE"))
+        .when((n >= 2 * (m + f)) & (n >= 3), F.lit("NEUTRAL"))
+        .otherwise(F.lit("UNKNOWN"))
+    )
+
+
+def _ng_joined(spans: DataFrame, ng: DataFrame, key: str, prefix: str) -> DataFrame:
+    looked = ng.select(
+        F.col("phrase").alias(key),
+        F.col("masc").alias(f"{prefix}m"),
+        F.col("fem").alias(f"{prefix}f"),
+        F.col("neut").alias(f"{prefix}n"),
+        F.col("plur").alias(f"{prefix}p"),
+    )
+    out = spans.join(looked, key, "left")
+    for c in ("m", "f", "n", "p"):
+        out = out.withColumn(f"{prefix}{c}", F.coalesce(f"{prefix}{c}", F.lit(0)))
+    return out
+
+
+def with_number_gender(
+    mentions: DataFrame,
+    numgender: DataFrame,
+    person_expr: Column | None = None,
+    n_numgender: int | None = None,
+    span_col: str = "span",
+) -> DataFrame:
+    """Replace the number/gender columns of `mentions` with values computed
+    from the Bergsma-Lin-style count table `numgender(phrase, masc, fem,
+    neut, plur)` (phrase pre-sanitized).
+
+    person_expr: boolean Column over the mention row selecting PERSON
+    mentions (the reference gates on nerString == "PERSON",
+    Mention.scala:336); default uses the `ner` column when present, else no
+    mention takes the person path.
+    """
+    if person_expr is None:
+        person_expr = (
+            F.col("ner") == "PERSON" if "ner" in mentions.columns else F.lit(False)
+        )
+    mentions = mentions.withColumn("_person", person_expr)
+
+    toks = F.split(F.col(span_col), " ")
+    spans = (
+        mentions.select(span_col, "_person")
+        .distinct()
+        .withColumn("_head_tok", F.element_at(toks, -1))
+        .withColumn("_prev_tok", F.when(F.size(toks) >= 2, F.element_at(toks, -2)))
+        .withColumn("_phrase_key", sanitize(F.col(span_col)))
+        .withColumn("_head_key", sanitize(F.col("_head_tok")))
+        .withColumn("_first_key", sanitize(F.col("_prev_tok")))
+    )
+    if n_numgender is not None:
+        numgender = maybe_broadcast(numgender, n_numgender)
+    spans = _ng_joined(spans, numgender, "_phrase_key", "p")
+    spans = _ng_joined(spans, numgender, "_head_key", "h")
+    spans = _ng_joined(spans, numgender, "_first_key", "f")
+
+    # accessCounts backoff: phrase counts count as "found" iff not all-zero
+    found = (F.col("pm") + F.col("pf") + F.col("pn") + F.col("pp")) > 0
+    cm = F.when(found, F.col("pm")).otherwise(F.col("hm"))
+    cf = F.when(found, F.col("pf")).otherwise(F.col("hf"))
+    cn = F.when(found, F.col("pn")).otherwise(F.col("hn"))
+    cp = F.when(found, F.col("pp")).otherwise(F.col("hp"))
+
+    number = F.when(cm + cf + cn >= cp, F.lit("SINGULAR")).otherwise(F.lit("PLURAL"))
+    gender_nonperson = _gender_case(cm, cf, cn)
+    # person first-name special case: head capitalized (assume last name) AND
+    # previous token capitalized (assume first name) -> counts of that first
+    # name alone (NumberGenderComputer.scala:64-69); all other person shapes
+    # fall through to the non-person rule (:70-75)
+    first_name_path = (
+        F.col("_person")
+        & _is_cap(F.col("_head_tok"))
+        & F.col("_prev_tok").isNotNull()
+        & _is_cap(F.col("_prev_tok"))
+    )
+    gender = F.when(
+        first_name_path, _gender_case(F.col("fm"), F.col("ff"), F.col("fn"))
+    ).otherwise(gender_nonperson)
+
+    props = spans.select(
+        span_col, "_person", number.alias("_number"), gender.alias("_gender")
+    )
+    drop = [c for c in ("number", "gender") if c in mentions.columns]
+    return (
+        mentions.drop(*drop)
+        .join(props, [span_col, "_person"], "left")
+        .withColumn("number", F.coalesce("_number", F.lit("UNKNOWN")))
+        .withColumn("gender", F.coalesce("_gender", F.lit("UNKNOWN")))
+        .drop("_number", "_gender", "_person")
+    )

@@ -49,12 +49,17 @@ def run_pipeline(
     store: CheckpointStore | None = None,
     resume: bool = True,
     lang: str | None = "en",
+    numgender: DataFrame | None = None,
 ) -> PipelineResult:
     """webpages -> clusters(mention_id, cluster_id).
 
     lang filter happens before extraction (partition-prunable predicate at
     the source scan).  Stage tables: mentions, candidate_pairs, scored_pairs,
     clusters — kill the job between any two and a rerun resumes.
+
+    numgender: Bergsma-Lin-style count table for the properties stage; when
+    None and cfg.compute_properties, the synthetic stand-in is generated
+    (the reference unconditionally loads gender.data the same way).
     """
     if store is None:
         store = CheckpointStore(cfg.checkpoint_dir, cfg.checkpoint_format)
@@ -65,7 +70,23 @@ def run_pipeline(
     if lang is not None:
         pages = pages.where(F.col("lang") == lang)
 
-    mentions = stage(extract_mentions(pages), "mentions")
+    mentions = extract_mentions(pages)
+    if cfg.compute_properties:
+        from berkeley_entity_spark.operators.properties import with_number_gender
+        from berkeley_entity_spark.synth import generate_numgender
+
+        if numgender is None:
+            numgender = generate_numgender(spark)
+        # person proxy for untyped web mentions: multi-token non-acronym
+        # span whose head + preceding token are capitalized (the gate inside
+        # computeGenderPerson); org spans route their neuter-dominant org
+        # word through the same path and still come out NEUTRAL
+        toks = F.split(F.col("span"), " ")
+        person = (F.size(toks) >= 2) & ~F.col("is_acr")
+        mentions = with_number_gender(
+            mentions, numgender, person_expr=person, n_numgender=numgender.count()
+        )
+    mentions = stage(mentions, "mentions")
     surfaces = distinct_surfaces(mentions).persist()
     n_surfaces = surfaces.count()  # materializes the cache; reused below
     pairs = stage(

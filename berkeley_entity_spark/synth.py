@@ -349,3 +349,64 @@ def gold_pair_table(gold_mentions_with_ids, band: int = 10, cap: int = 200):
         F.first("url_b").alias("url_b"),
         F.first("label").alias("label"),
     )
+
+
+# ------------------------------------------------- synthetic Bergsma-Lin data
+def generate_numgender(spark):
+    """Deterministic synthetic stand-in for the reference's gender.data
+    (Bergsma-Lin web counts, loaded every run at
+    NumberGenderComputer.scala:108-183).  Rows: (phrase, masc, fem, neut,
+    plur) with phrase already sanitized (lowercase; the vocabulary has no
+    digits).  Count shapes are chosen so every decision branch of
+    computeNumber/computeGender fires somewhere in the synthetic corpus:
+
+      * FIRST names: even index -> male-dominant, odd -> female-dominant
+        (passes the >=2x-and->=3 confidence rule).
+      * MIDDLE names: balanced counts -> gender UNKNOWN.
+      * LAST names: mildly mixed -> UNKNOWN, singular.
+      * org words + suffixes: neuter-dominant -> NEUTRAL.
+      * plural-ish starters/fillers: plural-dominant -> PLURAL number.
+      * full canonical person phrases for the first entities -> phrase-hit
+        path (no head backoff).
+    """
+    rows: list[tuple[str, int, int, int, int]] = []
+    for i, name in enumerate(FIRST):
+        rows.append(
+            (name.lower(), 60, 2, 1, 3) if i % 2 == 0 else (name.lower(), 2, 60, 1, 3)
+        )
+    # middle names vary per entity even in tiny corpora (first names do
+    # not: the index math reuses FIRST[0] until len(LAST) entities exist),
+    # so gender a subset of them to exercise the first-name path both ways
+    for name in MIDDLE:
+        if name in ("Marie", "Ann", "Joy"):
+            rows.append((name.lower(), 2, 60, 1, 3))
+        elif name in ("Ray", "Max"):
+            rows.append((name.lower(), 60, 2, 1, 3))
+        else:
+            rows.append((name.lower(), 4, 4, 1, 2))
+    for name in LAST:
+        rows.append((name.lower(), 5, 4, 2, 6))
+    for w in ORG_W1 + ORG_W2 + ORG_SUF + [s.replace(".", "") for s in ORG_SUF_ABBR.values()]:
+        rows.append((w.lower(), 0, 1, 20, 2))
+    for w in ["officials", "reports", "analysts", "sources", "plans",
+              "results", "projects", "regions", "signals", "partners", "terms"]:
+        rows.append((w, 1, 1, 2, 30))
+    # full-phrase entries for the first few canonical persons: the phrase
+    # lookup wins before any head backoff (NumberGenderComputer.scala:29-32)
+    for eid in range(0, 40, 2):
+        name, kind = entity_canonical(eid, 2000)
+        if kind != "person":
+            continue
+        first_idx = FIRST.index(name.split(" ")[0])
+        m, f = (50, 1) if first_idx % 2 == 0 else (1, 50)
+        rows.append((name.lower(), m, f, 0, 1))
+    # dedupe, first entry wins (the reference sums duplicate lines —
+    # NumberGenderComputer.scala:172-178; here overlaps are deliberate
+    # homographs like 'partners' the-org-suffix vs 'partners' the-plural,
+    # and the org/name reading should dominate as it does in web counts)
+    seen: dict[str, tuple[str, int, int, int, int]] = {}
+    for r in rows:
+        seen.setdefault(r[0], r)
+    from berkeley_entity_spark.operators.properties import NUMGENDER_SCHEMA
+
+    return spark.createDataFrame(list(seen.values()), schema=NUMGENDER_SCHEMA)
