@@ -56,6 +56,41 @@ def adagrad_l1_train(
     return w
 
 
+def calibrate_bias(w: np.ndarray, X: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Fold the F1-optimal decision margin into the bias term.
+
+    The trainer's probabilistic 0-margin cut optimizes weighted log-loss, but
+    downstream the edges feed a TRANSITIVE CLOSURE — one false-positive edge
+    merges two whole clusters, so the operating point must sit at the
+    pairwise-F1 optimum, not at p=0.5.  The reference tunes the analogous
+    trade through its loss weights + argmax decode
+    (PairwiseLossFunctions.scala:25-58, DocumentInferencerBasic.scala:116);
+    with threshold decode the honest equivalent is margin calibration on the
+    training pairs.  Returned weights keep score>0 as the decision rule."""
+    s = X @ w
+    order = np.argsort(-s)
+    y_sorted = y[order]
+    s_sorted = s[order]
+    tp = np.cumsum(y_sorted)
+    pred = np.arange(1, len(y) + 1)
+    gold = max(y.sum(), 1.0)
+    # precision-weighted F_beta (beta=0.25): under threshold decode the
+    # closure REPAIRS under-linking (a missed A-B edge is recovered through
+    # any A-C-B path) but AMPLIFIES over-linking (one false edge merges two
+    # whole clusters), so the cut sits far toward precision
+    beta2 = 0.25 * 0.25
+    prec = tp / pred
+    rec = tp / gold
+    fb = (1 + beta2) * prec * rec / np.maximum(beta2 * prec + rec, 1e-12)
+    best = int(np.argmax(fb))
+    # threshold midway between the last kept score and the next one
+    lo = s_sorted[best + 1] if best + 1 < len(s_sorted) else s_sorted[best] - 1.0
+    thr = (s_sorted[best] + lo) / 2.0
+    w = w.copy()
+    w[-1] -= thr
+    return w
+
+
 def train_from_scored_pairs(scored_labeled: DataFrame, max_rows: int = 200_000) -> np.ndarray:
     """scored_labeled must carry the feature columns + boolean `label`.
 
@@ -73,7 +108,8 @@ def train_from_scored_pairs(scored_labeled: DataFrame, max_rows: int = 200_000) 
     pdf = df.toPandas()
     X = np.hstack([pdf[feat_cols].to_numpy(dtype=np.float64), np.ones((len(pdf), 1))])
     y = pdf["y"].to_numpy(dtype=np.float64)
-    return adagrad_l1_train(X, y)
+    w = adagrad_l1_train(X, y)
+    return calibrate_bias(w, X, y)
 
 
 def train_pipeline_weights(

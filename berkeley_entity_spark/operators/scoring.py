@@ -12,6 +12,7 @@ min-count cutoff) and broadcast into the kernel.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -45,6 +46,24 @@ def weights_vector(weights: dict[str, float] | None = None) -> np.ndarray:
     if weights:
         w.update(weights)
     return np.array([w[name] for name in FEATURE_NAMES], dtype=np.float64)
+
+
+_TRAINED_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "ml", "default_weights.npy",
+)
+
+
+def load_default_weights() -> np.ndarray:
+    """The production weight vector: the trained AdaGrad-L1 artifact
+    (tools/train_default_weights.py; the reference never scores with an
+    untrained model — coref/PairwiseScorer.scala:13-15), falling back to the
+    hand-set vector only when the artifact is absent."""
+    if os.path.exists(_TRAINED_ARTIFACT):
+        w = np.load(_TRAINED_ARTIFACT)
+        if w.shape == (len(FEATURE_NAMES),):
+            return w
+    return weights_vector()
 
 
 def idf_table(
@@ -93,7 +112,7 @@ def score_pairs(
     coalesced files) so the Python kernel runs at full width.  It is a flag,
     not an automatic `.rdd.getNumPartitions()` probe: under AQE that probe
     force-materializes the whole upstream DAG as extra jobs."""
-    w = weights if weights is not None else weights_vector()
+    w = weights if weights is not None else load_default_weights()
     spark = pairs.sparkSession
     if repartition:
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

@@ -26,9 +26,9 @@ from berkeley_entity_spark.operators.extract import extract_mentions
 from berkeley_entity_spark.operators.scoring import (
     collect_idf,
     idf_table,
+    load_default_weights,
     match_edges,
     score_pairs,
-    weights_vector,
 )
 from berkeley_entity_spark.plans.checkpoint import CheckpointStore
 
@@ -95,7 +95,7 @@ def run_pipeline(
     )
 
     idf = collect_idf(idf_table(surfaces, n=n_surfaces))
-    w = weights if weights is not None else weights_vector()
+    w = weights if weights is not None else load_default_weights()
     scored = stage(score_pairs(pairs, idf, w, repartition=True), "scored_pairs")
 
     edges = match_edges(scored, cfg.score_threshold)

@@ -96,3 +96,36 @@ def test_metrics_lineage_written(pipeline_result, spark):
     stages = {r["stage"] for r in m.collect()}
     assert {"mentions", "candidate_pairs", "scored_pairs", "clusters"} <= stages
     assert m.where(F.col("rows_out") <= 0).count() == 0
+
+
+def test_trained_weights_default_and_ge_handset(
+    pipeline_result, tiny_corpus, spark, tmp_path_factory
+):
+    """Verdict task 4: the default pipeline scores with the TRAINED artifact
+    (reference never scores untrained — PairwiseScorer.scala:13-15), and
+    trained F1 >= hand-set F1 >= 0.99 end-to-end."""
+    import numpy as np
+
+    from berkeley_entity_spark.operators.scoring import (
+        load_default_weights,
+        weights_vector,
+    )
+
+    trained = load_default_weights()
+    assert not np.allclose(trained, weights_vector()), "artifact missing"
+
+    _, pages, gold = tiny_corpus
+    _, _, res = pipeline_result  # fixture ran with the default = trained
+    f1_trained = pairwise_f1_combinatorial(
+        res.clusters, gold.where("lang = 'en'").select("mention_id", "entity_id")
+    )["f1"]
+    root = str(tmp_path_factory.mktemp("ckpt_hand"))
+    res_hand = run_pipeline(
+        spark, pages, PipelineConfig(checkpoint_dir=root),
+        weights=weights_vector(), store=CheckpointStore(root), resume=False,
+    )
+    f1_hand = pairwise_f1_combinatorial(
+        res_hand.clusters, gold.where("lang = 'en'").select("mention_id", "entity_id")
+    )["f1"]
+    assert f1_hand >= 0.99, f1_hand
+    assert f1_trained >= f1_hand - 1e-9, (f1_trained, f1_hand)
