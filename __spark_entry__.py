@@ -271,11 +271,13 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """Dedup (SimHash): hamming<=3 candidate pairs (no SQL oracle — the
-    bit-vote kernel is a pandas UDF)."""
+    """Dedup (SimHash): hamming<=3 candidate pairs.  Token hash is DuckDB's
+    md5_number_lower convention, so the oracle recomputes the full 64-bit
+    bit-majority signature + banding-equivalent exact pairs in SQL."""
     from berkeley_entity_spark.operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
+    p = simhash_near_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
+    return p.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_ann_topk(spark, sf_dir):
@@ -395,9 +397,12 @@ def q_sessionize(spark, sf_dir):
 
 
 def q_er_clusters(spark, sf_dir):
-    """The ER spine on a deterministic synthetic web corpus (no SQL oracle —
-    pandas-UDF featurization + iterative CC): extract -> block -> score ->
-    cluster; returns clusters(mention_id, cluster_id)."""
+    """The ER spine on a deterministic synthetic web corpus: extract ->
+    block -> score -> cluster.  Returns the partition-independent cluster
+    invariant summary (per-cluster-size counts + xor membership checksums);
+    the oracle pins these golden values (regenerate with
+    tools/pin_invariants.py).  Full-resolution correctness (F1>=0.99 vs
+    gold) lives in tests/test_pipeline_e2e.py."""
     from berkeley_entity_spark.config import PipelineConfig, SynthConfig
     from berkeley_entity_spark.operators.blocking import candidate_pairs, distinct_surfaces
     from berkeley_entity_spark.operators.clustering import assign_clusters, connected_components
@@ -419,19 +424,39 @@ def q_er_clusters(spark, sf_dir):
     idf = collect_idf(idf_table(surfaces, n=n_surfaces))
     scored = score_pairs(pairs, idf)
     comp = connected_components(match_edges(scored))
-    return assign_clusters(mentions, surfaces, comp, n_surfaces=n_surfaces)
+    clusters = assign_clusters(mentions, surfaces, comp, n_surfaces=n_surfaces)
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.bit_xor(F.xxhash64("mention_id")).alias("ch"),
+    )
+    return (
+        per_cluster.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.bit_xor("ch").alias("members_hash"),
+        )
+        .select(F.col("size").cast("long"), "n_clusters", "members_hash")
+    )
 
 
 def q_ner_tags(spark, sf_dir):
     """P5/M9: BIO NER tagging via per-sentence Viterbi over reference-ported
-    shape/class features + broadcast dictionaries (no SQL oracle — the DP is
-    a pandas kernel; the Viterbi is verified against brute-force in tests)."""
+    shape/class features + broadcast dictionaries.  Returns the per-label
+    invariant summary (count + xor checksum over full tag rows); the oracle
+    pins these golden values (tools/pin_invariants.py).  Viterbi exactness
+    vs brute force is tested in tests/test_ner.py."""
     from berkeley_entity_spark.config import SynthConfig
     from berkeley_entity_spark.operators.ner import ner_tag_pages
     from berkeley_entity_spark.synth import generate_webpages
 
     pages, _ = generate_webpages(spark, SynthConfig(n_pages=200, n_entities=30))
-    return ner_tag_pages(pages.where("lang = 'en'"))
+    tags = ner_tag_pages(pages.where("lang = 'en'"))
+    return tags.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(
+            F.xxhash64("url", "sent_idx", "tok_idx", "token", "label")
+        ).alias("rows_hash"),
+    )
 
 
 def q_mention_props(spark, sf_dir):
@@ -487,13 +512,25 @@ def q_mention_props(spark, sf_dir):
 
 
 def q_er_mentions(spark, sf_dir):
-    """Extract stage on the synthetic corpus (no SQL oracle — pandas UDF)."""
-    from berkeley_entity_spark.config import SynthConfig
+    """P8/P10: the REAL extract kernel (capitalized-run scan, starter filter,
+    normalization, acronym flag) driven over a deterministically capitalized
+    version of the `documents` table, so DuckDB can re-derive the same runs
+    in SQL and check the kernel end-to-end: tokens of length 3 are
+    uppercased (acronym-shaped), length>=5 get an initial capital."""
     from berkeley_entity_spark.operators.extract import extract_mentions
-    from berkeley_entity_spark.synth import generate_webpages
 
-    pages, _ = generate_webpages(spark, SynthConfig(n_pages=300, n_entities=40))
-    return extract_mentions(pages.where("lang = 'en'"))
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "CAST(doc_id AS STRING) AS url",
+        "array_join(transform(filter(split(text, ' '), x -> x != ''), t -> "
+        "CASE WHEN length(t) = 3 THEN upper(t) "
+        "WHEN length(t) >= 5 THEN concat(upper(substring(t, 1, 1)), substring(t, 2)) "
+        "ELSE t END), ' ') AS text",
+        "'en' AS lang",
+    )
+    m = extract_mentions(d)
+    return m.select(
+        "url", "sent_idx", "start", "end", "span", "head", "norm_name", "is_acr"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -531,6 +568,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ------------------------------------------------------------------- oracles
+def _sql_lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return str(v)
+
+
+def _golden_oracle(name: str, cols: list[tuple[str, str]]) -> str | None:
+    """VALUES-pinned golden oracle from INVARIANTS.json — used for the two
+    queries whose full outputs are not SQL-derivable (iterative CC, Viterbi
+    DP) but whose deterministic-seed invariants are pinnable.  Regenerate
+    with tools/pin_invariants.py after any DELIBERATE change to the synth
+    corpus, extract kernel, scorer, or clustering; an unexplained mismatch
+    is a regression."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "INVARIANTS.json")
+    if not os.path.exists(path):
+        return None
+    rows = json.load(open(path)).get(name)
+    if not rows:
+        return None
+    vals = ",\n  ".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
+    sel = ", ".join(f"CAST(c{i} AS {t}) AS {c}" for i, (c, t) in enumerate(cols))
+    names = ", ".join(f"c{i}" for i in range(len(cols)))
+    return f"SELECT {sel} FROM (VALUES {vals}) AS t({names})"
+
+
 def _gender_case_sql(m: str, f: str, n: str) -> str:
     return (
         f"CASE WHEN {m} >= 2*({f}+{n}) AND {m} >= 3 THEN 'MALE' "
@@ -591,6 +658,74 @@ SELECT doc_id, span,
             THEN {_gender_case_sql('fm', 'ff', 'fn')}
             ELSE {_gender_case_sql('cm', 'cf', 'cn')} END AS gender
 FROM c
+"""
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """Full SimHash re-derivation: per-token md5_number_lower hash ->
+    64-bit bit-majority signature (bit_or packing keeps UBIGINT, no
+    HUGEINT) -> exact hamming pairs.  Banding in the Spark query is
+    recall-lossless at hamming<=3 (4 bands of 16 bits; 3 flipped bits
+    cannot touch all 4), so exact all-pairs here is the same set."""
+    return f"""
+WITH docs AS ({_DOCS_DUP_SQL}),
+tok AS (SELECT DISTINCT doc_id, unnest({TOKQ}) AS t FROM docs),
+th AS (SELECT doc_id, md5_number_lower(t) AS h FROM tok),
+bits AS (SELECT doc_id, j,
+                sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+                count(*) AS n
+         FROM th CROSS JOIN generate_series(0, 63) AS g(j)
+         GROUP BY doc_id, j),
+sig AS (SELECT doc_id,
+               bit_or(CASE WHEN 2 * ones > n THEN 1::UBIGINT << j
+                           ELSE 0::UBIGINT END) AS sh
+        FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
+def _er_mentions_oracle() -> str:
+    """SQL re-implementation of the extract kernel's capitalized-run scan
+    (extract.py:_mentions_from_text) over the same deterministically
+    capitalized documents corpus: islands of _CAP_TOKEN-matching tokens,
+    sentence-starter (index 0) excluded, STARTERS blacklist, normalization
+    = lowercase/strip-periods/collapse, acronym flag."""
+    from berkeley_entity_spark.synth import STARTERS
+
+    starters = ", ".join(f"'{s}'" for s in STARTERS)
+    return f"""
+WITH tok AS (SELECT CAST(doc_id AS VARCHAR) AS url, {TOKQ} AS toks FROM documents),
+t2 AS (SELECT url, i,
+              CASE WHEN length(t) = 3 THEN upper(t)
+                   WHEN length(t) >= 5 THEN upper(substr(t, 1, 1)) || substr(t, 2)
+                   ELSE t END AS t
+       FROM (SELECT url, unnest(toks) AS t,
+                    generate_subscripts(toks, 1) AS i
+             FROM tok)),
+runs AS (SELECT url, i, t,
+                i - row_number() OVER (PARTITION BY url ORDER BY i) AS grp
+         FROM t2
+         WHERE regexp_matches(t, '^[A-Z][A-Za-z0-9.&''\\-]*$') AND i > 1),
+spans AS (SELECT url,
+                 CAST(min(i) - 1 AS INTEGER) AS start,
+                 CAST(max(i) AS INTEGER) AS "end",
+                 string_agg(t, ' ' ORDER BY i) AS span
+          FROM runs GROUP BY url, grp),
+named AS (SELECT url, 0 AS sent_idx, start, "end", span,
+                 array_to_string(list_filter(
+                     string_split(replace(lower(span), '.', ''), ' '),
+                     x -> x <> ''), ' ') AS norm_name
+          FROM spans WHERE span NOT IN ({starters}))
+SELECT url, CAST(sent_idx AS INTEGER) AS sent_idx, start, "end", span,
+       list_extract(string_split(norm_name, ' '),
+                    len(string_split(norm_name, ' '))) AS head,
+       norm_name,
+       (strpos(span, ' ') = 0 AND span = upper(span)
+        AND length(span) BETWEEN 2 AND 6) AS is_acr
+FROM named
 """
 
 
@@ -665,7 +800,7 @@ FROM (SELECT doc_id, text, {TOKQ} AS toks FROM documents)
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "q_lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
@@ -767,6 +902,8 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh": _minhash_oracle(),
         "q_ngram_jaccard": _ngram_jaccard_oracle(),
         "q_mention_props": _mention_props_oracle(),
+        "q_simhash_pairs": _simhash_oracle(),
+        "q_er_mentions": _er_mentions_oracle(),
         "q_ann_topk": """
             SELECT query_id, neighbor_id, rank FROM (
               SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -841,3 +978,16 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_id
         """,
     }
+    g = _golden_oracle(
+        "q_er_clusters",
+        [("size", "BIGINT"), ("n_clusters", "BIGINT"), ("members_hash", "BIGINT")],
+    )
+    if g:
+        out["q_er_clusters"] = g
+    g = _golden_oracle(
+        "q_ner_tags",
+        [("label", "VARCHAR"), ("n", "BIGINT"), ("rows_hash", "BIGINT")],
+    )
+    if g:
+        out["q_ner_tags"] = g
+    return out

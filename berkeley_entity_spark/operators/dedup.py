@@ -170,11 +170,15 @@ def ngram_jaccard_pairs(
 def simhash64(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash bigint) — 64-bit SimHash over tokens, Arrow kernel.
 
-    Token hash = blake2b-64 (stable everywhere); bit-majority vote over the
-    token set.  Vectorized with numpy bit unpacking per batch."""
+    Token hash = the low 64 bits of md5 under DuckDB's md5_number_lower
+    convention (little-endian of digest bytes 8..16) — chosen over blake2b
+    so the ENTIRE operator is reproducible in ANSI-SQL engines and the
+    driver's DuckDB oracle can check it end-to-end.  Bit-majority vote over
+    the token set, vectorized with numpy bit unpacking per batch."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import struct
 
         def sh(text: str) -> int:
             toks = [t for t in text.split(" ") if t]
@@ -182,13 +186,16 @@ def simhash64(documents: DataFrame, text_col: str = "text") -> DataFrame:
                 return 0
             hs = np.fromiter(
                 (
-                    int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+                    struct.unpack("<Q", hashlib.md5(t.encode()).digest()[8:16])[0]
                     for t in set(toks)
                 ),
                 dtype=np.uint64,
             )
             bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-            votes = bits.sum(axis=0) * 2 - len(hs)
+            # signed accumulator: the uint sum would underflow on
+            # ones*2 < n and saturate every bit to 1 (caught by the
+            # q_simhash_pairs DuckDB oracle)
+            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)
             out = np.packbits((votes > 0).astype(np.uint8), bitorder="little")
             return int(np.frombuffer(out.tobytes(), dtype=np.uint64)[0])
 
