@@ -100,7 +100,16 @@ def connected_components(
     # blocking) — run it WITH adaptivity, checkpoint, then switch off
     curr = _canonical(edges).localCheckpoint(eager=True)
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    # size the loop's shuffle width to the edge set: each round runs 4-6
+    # exchanges, and with AQE off every one materializes the full configured
+    # partition count — at web scale that width is needed, but a contracted
+    # edge set in the thousands pays pure task-scheduling overhead for it.
+    # ~500k edges per partition keeps partitions far under executor memory.
+    n_edges = curr.count()
+    loop_parts = max(4, min(int(prev_parts), n_edges // 500_000 + 1))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         prev_sig = None
         for it in range(max_iterations):
@@ -132,6 +141,7 @@ def connected_components(
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def assign_clusters(

@@ -105,3 +105,14 @@ def test_pipeline_fills_properties(spark, tmp_path):
     known = sum(c for (n, g), c in dist.items() if g != "UNKNOWN")
     total = sum(dist.values())
     assert known / total > 0.5, dist
+
+
+def test_properties_plan_has_no_shuffle(spark, ng):
+    """The property lookup must stay map-side: three broadcast hash joins,
+    no hashpartitioning exchange anywhere (the distinct+join-back shape this
+    replaced cost two shuffles per pipeline run)."""
+    m = spark.createDataFrame([("Jack Smith",), ("GDC",)], "span string")
+    out = with_number_gender(m, ng, person_expr=F.lit(True))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
