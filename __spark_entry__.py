@@ -339,6 +339,55 @@ def q_wiki_title(spark, sf_dir):
     return best_title_per_surface(title_given_surface(resolved))
 
 
+def q_wiki_categories(spark, sf_dir):
+    """S6 category DB: top-2 categories per title by ASCENDING global
+    frequency (rarest-first = most specific, WikipediaCategoryDB.scala:34-44)
+    over a (title, category) table derived from documents tokens."""
+    from berkeley_entity_spark.operators.wiki import top_k_categories
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    cats = (
+        d.select(toks.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            F.lower(F.element_at("t", 1)).alias("title"),
+            F.lower(F.element_at("t", 2)).alias("category"),
+        )
+    )
+    return top_k_categories(cats, k=2)
+
+
+def q_wiki_links(spark, sf_dir):
+    """S6 link DB: pairwise out-link sufficient statistics
+    (computeOutLinkSuffStats / doesOneLinkToOther,
+    WikipediaLinkDB.scala:87-104) over a link graph of consecutive token
+    bigrams; pair table = (token1, token3) per doc."""
+    from berkeley_entity_spark.operators.wiki import out_link_stats
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    tt = d.select(toks.alias("t"))
+    links = (
+        tt.select(F.explode(F.sequence(F.lit(1), F.lit(4))).alias("i"), "t")
+        .where(F.size("t") > F.col("i"))
+        .select(
+            F.lower(F.element_at("t", F.col("i"))).alias("src"),
+            F.lower(F.element_at("t", F.col("i") + 1)).alias("dst"),
+        )
+    )
+    pairs = (
+        tt.where(F.size("t") >= 3)
+        .select(
+            F.lower(F.element_at("t", 1)).alias("title_a"),
+            F.lower(F.element_at("t", 3)).alias("title_b"),
+        )
+        .where(F.col("title_a") != F.col("title_b"))
+        .distinct()
+    )
+    return out_link_stats(pairs, links)
+
+
 def q_quality_score(spark, sf_dir):
     """Text analysis: composite quality score."""
     from berkeley_entity_spark.operators.textstats import quality_score
@@ -459,6 +508,19 @@ def q_ner_tags(spark, sf_dir):
     )
 
 
+def q_bcubed(spark, sf_dir):
+    """A6/CoNLL-scorer replacement: B-cubed + MUC as DataFrame aggs over the
+    same lang-vs-source clusterings as q_pairwise_f1 (Bagga&Baldwin 1998,
+    Vilain 1995; replaces CorefConllScorer.scala:28-62)."""
+    from berkeley_entity_spark.evaluate import coref_cluster_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    pred = d.select(F.col("doc_id").alias("mention_id"), F.col("lang").alias("cluster_id"))
+    gold = d.select(F.col("doc_id").alias("mention_id"), F.col("source").alias("entity_id"))
+    m = coref_cluster_metrics(pred, gold)
+    return m.select(*[F.round(c, 6).alias(c) for c in m.columns])
+
+
 def q_mention_props(spark, sf_dir):
     """P11/S4: number+gender mention properties via the Bergsma-Lin count
     lookup (phrase -> head backoff, confidence-gated gender, person
@@ -555,11 +617,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_embed_near_dup": q_embed_near_dup,
         "q_wiki_title": q_wiki_title,
+        "q_wiki_categories": q_wiki_categories,
+        "q_wiki_links": q_wiki_links,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
         "q_event_hourly": q_event_hourly,
         "q_sessionize": q_sessionize,
+        "q_bcubed": q_bcubed,
         "q_mention_props": q_mention_props,
         "q_ner_tags": q_ner_tags,
         "q_er_clusters": q_er_clusters,
@@ -902,6 +967,29 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh": _minhash_oracle(),
         "q_ngram_jaccard": _ngram_jaccard_oracle(),
         "q_mention_props": _mention_props_oracle(),
+        "q_bcubed": """
+            WITH j AS (SELECT doc_id, lang AS c, source AS e FROM documents),
+            cells AS (SELECT c, e, count(*) AS n_ce FROM j GROUP BY c, e),
+            nc AS (SELECT c, sum(n_ce) AS n_c, count(*) AS p_c FROM cells GROUP BY c),
+            ne AS (SELECT e, sum(n_ce) AS n_e, count(*) AS p_e FROM cells GROUP BY e),
+            b3 AS (SELECT sum(n_ce) AS n,
+                          sum(n_ce * n_ce * 1.0 / n_c) AS sp,
+                          sum(n_ce * n_ce * 1.0 / n_e) AS sr
+                   FROM cells JOIN nc USING (c) JOIN ne USING (e)),
+            mp AS (SELECT sum(n_c - p_c) AS tp, sum(n_c - 1) AS den FROM nc),
+            mr AS (SELECT sum(n_e - p_e) AS tp, sum(n_e - 1) AS den FROM ne),
+            m AS (SELECT sp * 1.0 / n AS b3p, sr * 1.0 / n AS b3r,
+                         CASE WHEN mp.den > 0 THEN mp.tp * 1.0 / mp.den ELSE 0.0 END AS mucp,
+                         CASE WHEN mr.den > 0 THEN mr.tp * 1.0 / mr.den ELSE 0.0 END AS mucr
+                  FROM b3, mp, mr)
+            SELECT round(b3p, 6) AS b3_precision, round(b3r, 6) AS b3_recall,
+                   round(CASE WHEN b3p + b3r > 0
+                              THEN 2 * b3p * b3r / (b3p + b3r) ELSE 0.0 END, 6) AS b3_f1,
+                   round(mucp, 6) AS muc_precision, round(mucr, 6) AS muc_recall,
+                   round(CASE WHEN mucp + mucr > 0
+                              THEN 2 * mucp * mucr / (mucp + mucr) ELSE 0.0 END, 6) AS muc_f1
+            FROM m
+        """,
         "q_simhash_pairs": _simhash_oracle(),
         "q_er_mentions": _er_mentions_oracle(),
         "q_ann_topk": """
@@ -943,6 +1031,48 @@ def oracle_sql() -> dict[str, str]:
               SELECT c.*, row_number() OVER (
                   PARTITION BY surface ORDER BY votes DESC, title ASC) AS rn
               FROM c) WHERE rn = 1
+        """,
+        "q_wiki_categories": f"""
+            WITH t AS (SELECT {TOKQ} AS t FROM documents),
+            c AS (SELECT lower(t[1]) AS title, lower(t[2]) AS category
+                  FROM t WHERE len(t) >= 2),
+            d AS (SELECT DISTINCT title, category FROM c),
+            f AS (SELECT category, count(*) AS freq FROM c GROUP BY category)
+            SELECT title, category, freq, CAST(rn AS INTEGER) AS rank FROM (
+              SELECT d.title, d.category, f.freq,
+                     row_number() OVER (PARTITION BY d.title
+                                        ORDER BY f.freq ASC, d.category ASC) AS rn
+              FROM d JOIN f USING (category))
+            WHERE rn <= 2
+        """,
+        "q_wiki_links": f"""
+            WITH t AS (SELECT {TOKQ} AS t FROM documents),
+            l0 AS (SELECT lower(t[i]) AS src, lower(t[i + 1]) AS dst
+                   FROM t CROSS JOIN generate_series(1, 4) AS g(i)
+                   WHERE len(t) > i),
+            L AS (SELECT DISTINCT src, dst FROM l0),
+            p AS (SELECT DISTINCT lower(t[1]) AS title_a, lower(t[3]) AS title_b
+                  FROM t WHERE len(t) >= 3 AND lower(t[1]) <> lower(t[3])),
+            sizes AS (SELECT src, count(*) AS n FROM L GROUP BY src),
+            i2 AS (SELECT p.title_a, p.title_b, count(*) AS inter
+                   FROM p
+                   JOIN L a ON a.src = p.title_a
+                   JOIN L b ON b.src = p.title_b AND b.dst = a.dst
+                   GROUP BY 1, 2),
+            ab AS (SELECT DISTINCT src AS title_a, dst AS title_b, TRUE AS f_ab FROM L),
+            ba AS (SELECT DISTINCT dst AS title_a, src AS title_b, TRUE AS f_ba FROM L)
+            SELECT p.title_a, p.title_b,
+                   CAST(coalesce(i2.inter, 0) AS BIGINT) AS inter,
+                   CAST(coalesce(sa.n, 0) AS BIGINT) AS n_a,
+                   CAST(coalesce(sb.n, 0) AS BIGINT) AS n_b,
+                   coalesce(i2.inter, 0) > 0 AS share_out_link,
+                   (coalesce(f_ab, FALSE) OR coalesce(f_ba, FALSE)) AS one_links_other
+            FROM p
+            LEFT JOIN i2 USING (title_a, title_b)
+            LEFT JOIN sizes sa ON sa.src = p.title_a
+            LEFT JOIN sizes sb ON sb.src = p.title_b
+            LEFT JOIN ab USING (title_a, title_b)
+            LEFT JOIN ba USING (title_a, title_b)
         """,
         "q_quality_score": f"""
             SELECT doc_id,

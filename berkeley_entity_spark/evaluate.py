@@ -107,3 +107,76 @@ def blocking_recall(
         .count()
     )
     return (same + covered) / total
+
+
+def coref_cluster_metrics(
+    pred: DataFrame, gold: DataFrame, key: str = "mention_id"
+) -> DataFrame:
+    """B-cubed and MUC as pure DataFrame aggregations — one row:
+    (b3_precision, b3_recall, b3_f1, muc_precision, muc_recall, muc_f1).
+
+    Replaces the reference's external CoNLL scorer v7 invocation
+    (coref/CorefConllScorer.scala:28-62) with the scorer's own definitions:
+
+      * B-cubed (Bagga & Baldwin 1998): per-mention precision
+        |C_m ∩ G_m|/|C_m| and recall |C_m ∩ G_m|/|G_m|, averaged — computed
+        without per-mention rows as sum(n_ce^2/n_c)/N and sum(n_ce^2/n_e)/N
+        over the cluster x entity intersection cells.
+      * MUC (Vilain et al. 1995): link-based — precision
+        sum_c(|c| - p(c)) / sum_c(|c| - 1) where p(c) = number of gold
+        partitions intersecting cluster c; recall symmetric.
+
+    Mentions present in only one side are ignored (the caller aligns first —
+    J4); everything stays in three small aggregations over the cells table.
+    """
+    j = pred.select(key, "cluster_id").join(gold.select(key, "entity_id"), key)
+    cells = j.groupBy("cluster_id", "entity_id").agg(
+        F.count(F.lit(1)).alias("n_ce")
+    )
+    nc = cells.groupBy("cluster_id").agg(
+        F.sum("n_ce").alias("n_c"), F.count(F.lit(1)).alias("p_c")
+    )
+    ne = cells.groupBy("entity_id").agg(
+        F.sum("n_ce").alias("n_e"), F.count(F.lit(1)).alias("p_e")
+    )
+    b3 = (
+        cells.join(nc, "cluster_id")
+        .join(ne, "entity_id")
+        .agg(
+            F.sum("n_ce").alias("n"),
+            F.sum(F.col("n_ce") * F.col("n_ce") / F.col("n_c")).alias("sp"),
+            F.sum(F.col("n_ce") * F.col("n_ce") / F.col("n_e")).alias("sr"),
+        )
+    )
+    mp = nc.agg(
+        F.sum(F.col("n_c") - F.col("p_c")).alias("muc_tp_p"),
+        F.sum(F.col("n_c") - 1).alias("muc_den_p"),
+    )
+    mr = ne.agg(
+        F.sum(F.col("n_e") - F.col("p_e")).alias("muc_tp_r"),
+        F.sum(F.col("n_e") - 1).alias("muc_den_r"),
+    )
+    f1 = lambda p, r: F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))  # noqa: E731
+    safe = lambda a, b: F.when(b > 0, a / b).otherwise(F.lit(0.0))  # noqa: E731
+    out = (
+        b3.crossJoin(mp)
+        .crossJoin(mr)
+        .withColumn("b3_precision", safe(F.col("sp"), F.col("n")))
+        .withColumn("b3_recall", safe(F.col("sr"), F.col("n")))
+        .withColumn("muc_precision", safe(F.col("muc_tp_p"), F.col("muc_den_p")))
+        .withColumn("muc_recall", safe(F.col("muc_tp_r"), F.col("muc_den_r")))
+    )
+    return out.select(
+        "b3_precision",
+        "b3_recall",
+        f1(F.col("b3_precision"), F.col("b3_recall")).alias("b3_f1"),
+        "muc_precision",
+        "muc_recall",
+        f1(F.col("muc_precision"), F.col("muc_recall")).alias("muc_f1"),
+    )
+
+
+def bcubed_muc(pred: DataFrame, gold: DataFrame, key: str = "mention_id") -> dict[str, float]:
+    """Dict form of coref_cluster_metrics for tests/reports."""
+    row = coref_cluster_metrics(pred, gold, key).collect()[0]
+    return {k: float(row[k]) for k in row.asDict()}

@@ -1,0 +1,69 @@
+"""B-cubed + MUC vs hand-computed textbook values (Vilain 1995 / Bagga 1998)."""
+
+import pytest
+
+from berkeley_entity_spark.evaluate import bcubed_muc
+
+
+def frames(spark, pred_clusters, gold_clusters):
+    pred = spark.createDataFrame(
+        [(m, c) for c, ms in enumerate(pred_clusters) for m in ms],
+        "mention_id string, cluster_id long",
+    )
+    gold = spark.createDataFrame(
+        [(m, e) for e, ms in enumerate(gold_clusters) for m in ms],
+        "mention_id string, entity_id long",
+    )
+    return pred, gold
+
+
+def test_textbook_example(spark):
+    # gold {a,b,c},{d}; pred {a,b},{c,d}
+    pred, gold = frames(spark, [["a", "b"], ["c", "d"]], [["a", "b", "c"], ["d"]])
+    m = bcubed_muc(pred, gold)
+    # B3: per-mention precisions (1, 1, 1/2, 1/2) -> 0.75
+    #     per-mention recalls (2/3, 2/3, 1/3, 1) -> 2/3
+    assert m["b3_precision"] == pytest.approx(0.75)
+    assert m["b3_recall"] == pytest.approx(2 / 3)
+    # MUC: P = ((2-1)+(2-2)) / ((2-1)+(2-1)) = 0.5
+    #      R = ((3-2)+(1-1)) / ((3-1)+(1-1)) = 0.5
+    assert m["muc_precision"] == pytest.approx(0.5)
+    assert m["muc_recall"] == pytest.approx(0.5)
+    assert m["muc_f1"] == pytest.approx(0.5)
+
+
+def test_perfect_clustering(spark):
+    pred, gold = frames(spark, [["a", "b"], ["c"]], [["a", "b"], ["c"]])
+    m = bcubed_muc(pred, gold)
+    assert all(m[k] == pytest.approx(1.0) for k in ("b3_precision", "b3_recall", "b3_f1"))
+    assert m["muc_precision"] == pytest.approx(1.0)
+    assert m["muc_recall"] == pytest.approx(1.0)
+
+
+def test_all_singletons(spark):
+    pred, gold = frames(spark, [["a"], ["b"], ["c"]], [["a", "b", "c"]])
+    m = bcubed_muc(pred, gold)
+    assert m["b3_precision"] == pytest.approx(1.0)
+    assert m["b3_recall"] == pytest.approx(1 / 3)
+    # no predicted links at all -> MUC precision denominator 0 -> 0.0
+    assert m["muc_precision"] == 0.0
+    assert m["muc_recall"] == 0.0
+
+
+def test_pipeline_b3_meets_target(spark, tmp_path):
+    """The round-1 F1>=0.99 target extends to B3/MUC on the synthetic corpus."""
+    from berkeley_entity_spark.config import PipelineConfig, SynthConfig
+    from berkeley_entity_spark.plans.checkpoint import CheckpointStore
+    from berkeley_entity_spark.plans.pipeline import run_pipeline
+    from berkeley_entity_spark.synth import generate_webpages, gold_with_ids
+
+    pages, gold = generate_webpages(spark, SynthConfig(n_pages=400, n_entities=50))
+    root = str(tmp_path / "ckpt")
+    res = run_pipeline(
+        spark, pages, PipelineConfig(checkpoint_dir=root),
+        store=CheckpointStore(root), resume=False,
+    )
+    g = gold_with_ids(gold.where("lang = 'en'")).select("mention_id", "entity_id")
+    m = bcubed_muc(res.clusters, g)
+    assert m["b3_f1"] >= 0.98, m
+    assert m["muc_f1"] >= 0.98, m

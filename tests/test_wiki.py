@@ -51,3 +51,60 @@ def test_counts_shape(spark):
         for r in title_given_surface(links).collect()
     }
     assert got == {("s1", "t1"): 2, ("s1", "t2"): 1, ("s2", "t3"): 1}
+
+
+def test_top_k_categories_rarest_first(spark):
+    """getTopKCategoriesByFrequency sorts by ASCENDING global frequency
+    (WikipediaCategoryDB.scala:34-44) — rarest category ranks first."""
+    from berkeley_entity_spark.operators.wiki import top_k_categories
+
+    cats = spark.createDataFrame(
+        [("a", "common"), ("b", "common"), ("c", "common"),
+         ("a", "rare"), ("a", "mid"), ("b", "mid")],
+        "title string, category string",
+    )
+    got = {
+        (r["title"], r["rank"]): (r["category"], r["freq"])
+        for r in top_k_categories(cats, k=2).collect()
+    }
+    assert got[("a", 1)] == ("rare", 1)
+    assert got[("a", 2)] == ("mid", 2)
+    assert got[("b", 1)] == ("mid", 2)
+    assert got[("b", 2)] == ("common", 3)
+
+
+def test_infobox_heads(spark):
+    from berkeley_entity_spark.operators.wiki import infobox_heads
+
+    df = spark.createDataFrame(
+        [("t1", "military person"), ("t2", "city"), ("t3", "")],
+        "title string, infobox string",
+    )
+    got = {r["title"]: r["infobox_head"] for r in infobox_heads(df).collect()}
+    assert got == {"t1": "person", "t2": "city", "t3": ""}
+
+
+def test_out_link_stats(spark):
+    """computeOutLinkSuffStats + doesOneLinkToOther semantics
+    (WikipediaLinkDB.scala:87-104) on a hand-built graph."""
+    from berkeley_entity_spark.operators.wiki import out_link_stats
+
+    links = spark.createDataFrame(
+        [("x", "a"), ("x", "b"), ("x", "y"), ("y", "b"), ("y", "c"),
+         ("z", "q"), ("x", "a")],  # duplicate edge must not double-count
+        "src string, dst string",
+    )
+    pairs = spark.createDataFrame(
+        [("x", "y"), ("x", "z"), ("z", "w")], "title_a string, title_b string"
+    )
+    got = {(r["title_a"], r["title_b"]): r for r in out_link_stats(pairs, links).collect()}
+    xy = got[("x", "y")]
+    # out(x) = {a,b,y} (3, dup removed), out(y) = {b,c}; intersection = {b}
+    assert (xy["inter"], xy["n_a"], xy["n_b"]) == (1, 3, 2)
+    assert xy["share_out_link"] and xy["one_links_other"]  # x -> y direct
+    xz = got[("x", "z")]
+    assert (xz["inter"], xz["n_a"], xz["n_b"]) == (0, 3, 1)
+    assert not xz["share_out_link"] and not xz["one_links_other"]
+    zw = got[("z", "w")]  # w has no out-links at all
+    assert (zw["inter"], zw["n_a"], zw["n_b"]) == (0, 1, 0)
+    assert not zw["one_links_other"]
