@@ -29,9 +29,25 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-TYPES = ["PER", "ORG"]
+TYPES = ["PER", "ORG", "LOC"]
 LABELS = ["O"] + [f"{b}-{t}" for t in TYPES for b in ("B", "I")]
 NEG = -1e9
+
+# Small public gazetteer for the LOC dictionary (the reference's full tagset
+# includes LOC/GPE; its dictionaries come from training data — here a fixed
+# list of well-known city names plays that role).
+LOC_GAZETTEER = frozenset(
+    w.lower()
+    for w in [
+        "London", "Paris", "Berlin", "Tokyo", "Madrid", "Rome", "Vienna",
+        "Oslo", "Cairo", "Lima", "Dublin", "Geneva", "Prague", "Athens",
+        "Lisbon", "Moscow", "Sydney", "Toronto", "Chicago", "Boston",
+        "Denver", "Austin", "Seattle", "Atlanta", "Houston", "Phoenix",
+        "Dallas", "Nairobi", "Jakarta", "Mumbai", "Delhi", "Beijing",
+        "Seoul", "Bangkok", "Hanoi", "Manila", "Zurich", "Brussels",
+        "Amsterdam", "Stockholm",
+    ]
+)
 
 
 def shape_for(word: str) -> str:
@@ -117,27 +133,32 @@ def emission_scores(
     tokens: list[str],
     person_names: frozenset[str],
     org_words: frozenset[str],
+    loc_words: frozenset[str] = LOC_GAZETTEER,
     sentence_start: bool = True,
 ) -> np.ndarray:
     """(n_tokens, n_labels) log-potentials from the ported features +
-    dictionary lookups.  Deterministic; replaceable by trained CRF weights."""
+    dictionary lookups — the hand-set fallback model (the trained CRF
+    emissions in ml/crf.py replace this in the default path)."""
     n = len(tokens)
     E = np.zeros((n, len(LABELS)))
     bper, iper = LABELS.index("B-PER"), LABELS.index("I-PER")
     borg, iorg = LABELS.index("B-ORG"), LABELS.index("I-ORG")
+    bloc, iloc = LABELS.index("B-LOC"), LABELS.index("I-LOC")
     for i, tok in enumerate(tokens):
         low = tok.lower().rstrip(".")
         shape = shape_for(tok)
         capped = shape.startswith("X") and not (i == 0 and sentence_start)
         E[i, 0] = 1.0  # O prior
         if capped:
-            E[i, [bper, iper, borg, iorg]] += 1.5
+            E[i, [bper, iper, borg, iorg, bloc, iloc]] += 1.5
             # dictionary evidence counts only for capitalized tokens: the
             # filler word "partners" must not fire the Partners org suffix
             if low in person_names:
                 E[i, [bper, iper]] += 3.0
             if low in org_words:
                 E[i, [borg, iorg]] += 3.0
+            if low in loc_words:
+                E[i, [bloc, iloc]] += 3.0
         if capped and shape in ("XXe", "XX"):  # acronym-shaped post collapse
             E[i, [borg, iorg]] += 2.0
         if class_for(tok) in ("-INITC", "-CAPS") and i > 0:
@@ -162,15 +183,44 @@ def viterbi_bio(E: np.ndarray, T: np.ndarray) -> list[str]:
     return [LABELS[j] for j in reversed(path)]
 
 
+def load_default_ner_weights():
+    """(feature_index, W) trained by tools/train_ner_weights.py, or None.
+
+    Mirrors the pairwise scorer's artifact policy: the reference always tags
+    with a trained CRF (NerSystemLabeled.scala:48-124); the hand-set
+    emission model is only the bootstrap fallback."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "ml", "ner_weights.npz",
+    )
+    if not os.path.exists(path):
+        return None
+    data = np.load(path, allow_pickle=False)
+    feats = json.loads(str(data["features_json"]))
+    W = data["W"]
+    if W.shape[0] != len(LABELS):
+        return None
+    return {f: i for i, f in enumerate(feats)}, W
+
+
 def ner_tag_pages(
     pages: DataFrame,
     person_names: frozenset[str] | None = None,
     org_words: frozenset[str] | None = None,
+    loc_words: frozenset[str] | None = None,
+    crf_weights: tuple[dict[str, int], "np.ndarray"] | None = None,
+    use_trained: bool = True,
 ) -> DataFrame:
     """webpages -> (url, sent_idx, tok_idx, token, label) BIO tags.
 
-    One Arrow pass; dictionaries are broadcast (tiny), decode is per-sentence
-    numpy Viterbi — the M11 embarrassing parallelism across pages."""
+    One Arrow pass; dictionaries + weights are broadcast (tiny), decode is
+    per-sentence numpy Viterbi — the M11 embarrassing parallelism across
+    pages.  Emissions: the trained CRF artifact when available (pass
+    use_trained=False or crf_weights=... to override), else the hand-set
+    linear model."""
     from berkeley_entity_spark.preprocess.sentence import split_sentences
     from berkeley_entity_spark.synth import FIRST, LAST, ORG_SUF, ORG_W1, ORG_W2
 
@@ -180,11 +230,18 @@ def ner_tag_pages(
     orgs = org_words or frozenset(
         w.lower() for w in ORG_W1 + ORG_W2 + ORG_SUF
     )
+    locs = loc_words or LOC_GAZETTEER
+    if crf_weights is None and use_trained:
+        crf_weights = load_default_ner_weights()
     spark = pages.sparkSession
-    b = spark.sparkContext.broadcast((persons, orgs, transition_matrix()))
+    b = spark.sparkContext.broadcast(
+        (persons, orgs, locs, transition_matrix(), crf_weights)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        p_names, o_words, T = b.value
+        p_names, o_words, l_words, T, crf = b.value
+        if crf is not None:
+            from berkeley_entity_spark.ml.crf import emission_matrix, token_features
         for pdf in batches:
             rows = []
             for url, text in zip(pdf["url"], pdf["text"]):
@@ -192,7 +249,14 @@ def ner_tag_pages(
                     toks = [t for t in sent.split(" ") if t]
                     if not toks:
                         continue
-                    E = emission_scores(toks, p_names, o_words)
+                    if crf is not None:
+                        feat_index, W = crf
+                        E = emission_matrix(
+                            token_features(toks, p_names, o_words, l_words),
+                            feat_index, W,
+                        )
+                    else:
+                        E = emission_scores(toks, p_names, o_words, l_words)
                     labels = viterbi_bio(E, T)
                     rows.extend(
                         (url, s_idx, t_idx, tok, lab)

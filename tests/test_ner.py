@@ -116,3 +116,154 @@ def test_ner_tag_pages_bio_legality(spark):
                 t = lab[2:]
                 assert prev in (f"B-{t}", f"I-{t}"), (prev, lab)
             prev = lab
+
+
+# ---------------------------------------------------- M9 training half (CRF)
+def test_forward_backward_matches_brute_force():
+    """logZ and node marginals vs explicit enumeration on a tiny chain."""
+    import itertools
+
+    import numpy as np
+
+    from berkeley_entity_spark.ml.crf import forward_backward
+    from berkeley_entity_spark.operators.ner import LABELS, transition_matrix
+
+    rng = np.random.RandomState(3)
+    n, k = 4, len(LABELS)
+    E = rng.standard_normal((n, k))
+    T = transition_matrix()
+    log_z, marg = forward_backward(E, T)
+    # brute force over all legal paths (I-* banned at position 0 like the DP)
+    scores = {}
+    for path in itertools.product(range(k), repeat=n):
+        if LABELS[path[0]].startswith("I-"):
+            continue
+        s = E[0, path[0]]
+        ok = True
+        for i in range(1, n):
+            t = T[path[i - 1], path[i]]
+            if t <= -1e8:
+                ok = False
+                break
+            s += t + E[i, path[i]]
+        if ok:
+            scores[path] = s
+    vals = np.array(list(scores.values()))
+    bz = np.log(np.exp(vals - vals.max()).sum()) + vals.max()
+    assert abs(log_z - bz) < 1e-8
+    bm = np.zeros((n, k))
+    for path, s in scores.items():
+        p = np.exp(s - bz)
+        for i, j in enumerate(path):
+            bm[i, j] += p
+    assert np.abs(marg - bm).max() < 1e-8
+    assert np.abs(marg.sum(axis=1) - 1.0).max() < 1e-10
+
+
+def test_crf_gradient_check():
+    """Analytic CRF gradient vs finite differences (M13 pattern)."""
+    import numpy as np
+
+    from berkeley_entity_spark.ml.crf import forward_backward
+    from berkeley_entity_spark.operators.ner import LABELS, transition_matrix
+
+    rng = np.random.RandomState(1)
+    feats = [["a", "bias"], ["b", "bias"], ["a", "c", "bias"]]
+    gold = ["B-PER", "I-PER", "O"]
+    fi = {"a": 0, "b": 1, "c": 2, "bias": 3}
+    k, d = len(LABELS), len(fi)
+    W = rng.standard_normal((k, d)) * 0.3
+    T = transition_matrix()
+    lidx = {lb: j for j, lb in enumerate(LABELS)}
+    rows = [np.array([fi[f] for f in fl]) for fl in feats]
+
+    def loglik(Wm):
+        E = np.array([Wm[:, r].sum(axis=1) for r in rows])
+        log_z, _ = forward_backward(E, T)
+        s = sum(E[i, lidx[g]] for i, g in enumerate(gold))
+        s += sum(T[lidx[gold[i - 1]], lidx[gold[i]]] for i in range(1, len(gold)))
+        return s - log_z
+
+    E = np.array([W[:, r].sum(axis=1) for r in rows])
+    _, marg = forward_backward(E, T)
+    grad = np.zeros((k, d))
+    for i, r in enumerate(rows):
+        grad[lidx[gold[i]], r] += 1.0
+        grad[:, r] -= marg[i][:, None]
+    eps = 1e-6
+    for _ in range(10):
+        a, b = rng.randint(k), rng.randint(d)
+        Wp, Wm_ = W.copy(), W.copy()
+        Wp[a, b] += eps
+        Wm_[a, b] -= eps
+        num = (loglik(Wp) - loglik(Wm_)) / (2 * eps)
+        assert abs(num - grad[a, b]) < 1e-4, (a, b, num, grad[a, b])
+
+
+def test_loc_tagging_handset_and_trained():
+    from berkeley_entity_spark.ml.crf import emission_matrix, token_features
+    from berkeley_entity_spark.operators.ner import (
+        LOC_GAZETTEER,
+        emission_scores,
+        load_default_ner_weights,
+        transition_matrix,
+        viterbi_bio,
+    )
+    from berkeley_entity_spark.synth import FIRST, LAST
+
+    persons = frozenset(w.lower() for w in FIRST + LAST)
+    toks = "Officials said Alice Smith moved to Paris today".split(" ")
+    T = transition_matrix()
+    hand = viterbi_bio(emission_scores(toks, persons, frozenset()), T)
+    assert hand[toks.index("Paris")] == "B-LOC"
+    crf = load_default_ner_weights()
+    assert crf is not None, "artifact missing — run tools/train_ner_weights.py"
+    fi, W = crf
+    got = viterbi_bio(
+        emission_matrix(token_features(toks, persons, frozenset(), LOC_GAZETTEER), fi, W), T
+    )
+    assert got[toks.index("Paris")] == "B-LOC"
+    assert got[toks.index("Alice")] == "B-PER"
+    assert got[toks.index("Smith")] == "I-PER"
+    assert got[0] == "O" and got[1] == "O"
+
+
+def test_trained_beats_handset_on_gold():
+    """Token accuracy of the trained CRF >= hand-set emissions on held-out
+    synth gold BIO (the M9 'Done =' criterion)."""
+    sys_path_hack = "/root/repo"
+    import sys
+
+    if sys_path_hack not in sys.path:
+        sys.path.insert(0, sys_path_hack)
+    from tools.train_ner_weights import (
+        ORGS,
+        PERSONS,
+        gold_bio_sequences,
+        tag_accuracy,
+    )
+
+    from berkeley_entity_spark.config import SynthConfig
+    from berkeley_entity_spark.ml.crf import emission_matrix, token_features
+    from berkeley_entity_spark.operators.ner import (
+        LOC_GAZETTEER,
+        emission_scores,
+        load_default_ner_weights,
+        transition_matrix,
+        viterbi_bio,
+    )
+
+    seqs = gold_bio_sequences(120, SynthConfig(n_pages=120, n_entities=40))
+    fi, W = load_default_ner_weights()
+    T = transition_matrix()
+    acc_t = tag_accuracy(
+        seqs,
+        lambda toks: viterbi_bio(
+            emission_matrix(token_features(toks, PERSONS, ORGS, LOC_GAZETTEER), fi, W), T
+        ),
+    )
+    acc_h = tag_accuracy(
+        seqs, lambda toks: viterbi_bio(emission_scores(toks, PERSONS, ORGS), T)
+    )
+    assert acc_t >= 0.97, acc_t
+    assert acc_t >= acc_h - 1e-9, (acc_t, acc_h)
