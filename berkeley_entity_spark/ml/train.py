@@ -56,7 +56,9 @@ def adagrad_l1_train(
     return w
 
 
-def calibrate_bias(w: np.ndarray, X: np.ndarray, y: np.ndarray) -> np.ndarray:
+def calibrate_bias(
+    w: np.ndarray, X: np.ndarray, y: np.ndarray, beta: float = 0.25
+) -> np.ndarray:
     """Fold the F1-optimal decision margin into the bias term.
 
     The trainer's probabilistic 0-margin cut optimizes weighted log-loss, but
@@ -74,11 +76,14 @@ def calibrate_bias(w: np.ndarray, X: np.ndarray, y: np.ndarray) -> np.ndarray:
     tp = np.cumsum(y_sorted)
     pred = np.arange(1, len(y) + 1)
     gold = max(y.sum(), 1.0)
-    # precision-weighted F_beta (beta=0.25): under threshold decode the
-    # closure REPAIRS under-linking (a missed A-B edge is recovered through
-    # any A-C-B path) but AMPLIFIES over-linking (one false edge merges two
-    # whole clusters), so the cut sits far toward precision
-    beta2 = 0.25 * 0.25
+    # F_beta operating point.  beta=0.25 (precision-heavy) for the final
+    # scorer: under threshold decode the closure REPAIRS under-linking (a
+    # missed A-B edge is recovered through any A-C-B path) but AMPLIFIES
+    # over-linking (one false edge merges two whole clusters).  Pruner
+    # models pass beta>1 (recall-heavy) — a pruned-away gold pair is
+    # unrecoverable while a kept bad pair just costs the fine model a score
+    # (CorefPruner keeps generous margins for the same reason).
+    beta2 = beta * beta
     prec = tp / pred
     rec = tp / gold
     fb = (1 + beta2) * prec * rec / np.maximum(beta2 * prec + rec, 1e-12)
@@ -147,3 +152,108 @@ def train_pipeline_weights(
     idf = collect_idf(idf_table(surfaces))
     scored = score_pairs(labeled, idf)
     return train_from_scored_pairs(scored, max_rows=max_rows)
+
+
+def kfold_prune_models(
+    spark,
+    mentions: DataFrame,
+    gold_pairs: DataFrame,
+    k: int = 5,
+    max_rows: int = 200_000,
+) -> list[np.ndarray]:
+    """M10: the reference's k-fold coarse-model build
+    (CorefPruner.scala:100-153) — k pruning models, model f trained on the
+    pairs OUTSIDE fold f, so every pair can later be scored by a model that
+    never saw it.  Folds are deterministic content hashes of the anchor
+    surface (the reference folds on document uid with a seeded shuffle —
+    same generalization contract, partition-independent here).
+
+    Returns the k weight vectors (FEATURE_NAMES order, calibrated bias)."""
+    from pyspark.sql import functions as F
+
+    from berkeley_entity_spark.operators.blocking import distinct_surfaces
+    from berkeley_entity_spark.operators.features import FEATURE_NAMES
+    from berkeley_entity_spark.operators.scoring import collect_idf, idf_table, score_pairs
+
+    surfaces = distinct_surfaces(mentions).persist()
+    m = mentions.select("mention_id", "norm_name")
+    sn = surfaces.select("norm_name", "node_id", "is_acr")
+    labeled = (
+        gold_pairs.join(m.toDF("mention_a", "norm_a"), "mention_a")
+        .join(m.toDF("mention_b", "norm_b"), "mention_b")
+        .join(sn.toDF("norm_a", "node_a", "acr_a"), "norm_a")
+        .join(sn.toDF("norm_b", "node_b", "acr_b"), "norm_b")
+        .where(F.col("norm_a") != F.col("norm_b"))
+        .select("norm_a", "norm_b", "acr_a", "acr_b", "label")
+        .distinct()
+    )
+    idf = collect_idf(idf_table(surfaces))
+    feat_cols = [c for c in FEATURE_NAMES if c != "bias"]
+    scored = score_pairs(labeled, idf).withColumn(
+        "fold", F.pmod(F.xxhash64("norm_a"), F.lit(k)).cast("int")
+    )
+    df = (
+        scored.select(*feat_cols, "fold", F.col("label").cast("int").alias("y"))
+        .withColumn("_h", F.xxhash64(*feat_cols, "fold", "y"))
+        .orderBy("_h")
+        .limit(max_rows)
+    )
+    pdf = df.toPandas()
+    X = np.hstack([pdf[feat_cols].to_numpy(dtype=np.float64), np.ones((len(pdf), 1))])
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    folds = pdf["fold"].to_numpy()
+    weights = []
+    for f in range(k):
+        mask = folds != f
+        w = adagrad_l1_train(X[mask], y[mask])
+        weights.append(calibrate_bias(w, X[mask], y[mask], beta=4.0))
+    return weights
+
+
+def score_with_fold_models(
+    pairs: DataFrame,
+    idf: dict[str, float],
+    fold_weights: list[np.ndarray],
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Distributed fold-aware scoring: each pair is scored by the model of
+    its own fold (which was trained WITHOUT that fold) — the pruner's
+    apply-side (CorefPruner.scala:36-47).  One Arrow pass; the k weight
+    vectors ride one broadcast."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from berkeley_entity_spark.operators.features import FEATURE_NAMES, featurize_pair
+
+    k = len(fold_weights)
+    if fold_col not in pairs.columns:
+        pairs = pairs.withColumn(
+            fold_col, F.pmod(F.xxhash64("norm_a"), F.lit(k)).cast("int")
+        )
+    spark = pairs.sparkSession
+    b = spark.sparkContext.broadcast((idf, np.stack(fold_weights)))
+    in_cols = pairs.columns
+    out_schema = ", ".join(f"{c} {t}" for c, t in pairs.dtypes) + ", score double"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idf_map, W = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            acr_a = pdf["acr_a"] if "acr_a" in pdf else pd.Series(True, index=pdf.index)
+            acr_b = pdf["acr_b"] if "acr_b" in pdf else pd.Series(True, index=pdf.index)
+            feats = np.array(
+                [
+                    featurize_pair(a, bb, idf_map, bool(fa), bool(fb))
+                    for a, bb, fa, fb in zip(pdf["norm_a"], pdf["norm_b"], acr_a, acr_b)
+                ],
+                dtype=np.float64,
+            )
+            wsel = W[pdf[fold_col].to_numpy()]
+            out = pdf[in_cols].copy()
+            out["score"] = np.einsum("ij,ij->i", feats, wsel)
+            yield out
+
+    return pairs.mapInPandas(gen, schema=out_schema)

@@ -79,3 +79,59 @@ def test_weights_roundtrip_through_pipeline(spark, tmp_path):
     )
     n_clusters = res.clusters.select("cluster_id").distinct().count()
     assert n_clusters >= 25  # all entities resolved into clusters
+
+
+def test_kfold_prune_models(spark, tiny_corpus):
+    """M10 (CorefPruner.scala:100-153): per-fold models trained on the
+    complement; fold-aware scoring keeps >=99% of gold-positive pairs above
+    threshold (the pruner's contract) and each fold's scores come from ITS
+    model."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from berkeley_entity_spark.ml.train import kfold_prune_models, score_with_fold_models
+    from berkeley_entity_spark.operators.blocking import distinct_surfaces
+    from berkeley_entity_spark.operators.scoring import collect_idf, idf_table
+    from berkeley_entity_spark.synth import gold_pair_table
+
+    _, pages, gold = tiny_corpus
+    from berkeley_entity_spark.operators.extract import extract_mentions
+
+    mentions = extract_mentions(pages.where("lang = 'en'")).localCheckpoint(eager=True)
+    gp = gold_pair_table(gold.where("lang = 'en'")).cache()
+    k = 3
+    weights = kfold_prune_models(spark, mentions, gp, k=k)
+    assert len(weights) == k
+    # folds see different data -> models differ
+    assert not np.allclose(weights[0], weights[1])
+
+    # build the labeled surface pairs the same way and score fold-aware
+    m = mentions.select("mention_id", "norm_name")
+    surfaces = distinct_surfaces(mentions).persist()
+    sn = surfaces.select("norm_name", "node_id", "is_acr")
+    labeled = (
+        gp.join(m.toDF("mention_a", "norm_a"), "mention_a")
+        .join(m.toDF("mention_b", "norm_b"), "mention_b")
+        .join(sn.toDF("norm_a", "node_a", "acr_a"), "norm_a")
+        .join(sn.toDF("norm_b", "node_b", "acr_b"), "norm_b")
+        .where(F.col("norm_a") != F.col("norm_b"))
+        .select("norm_a", "norm_b", "acr_a", "acr_b", "label")
+        .distinct()
+    )
+    idf = collect_idf(idf_table(surfaces))
+    scored = score_with_fold_models(labeled, idf, weights).cache()
+    # pruning recall on positives
+    pos = scored.where("label")
+    kept = pos.where("score > 0").count()
+    total = pos.count()
+    assert total > 0 and kept / total >= 0.99, (kept, total)
+    # spot-check: a fold-f row's score equals X @ w_f exactly
+    from berkeley_entity_spark.operators.features import featurize_pair
+
+    rows = scored.limit(20).collect()
+    for r in rows:
+        import pyspark.sql.functions as _F  # noqa: F401
+        f = int(spark.createDataFrame([(r["norm_a"],)], "x string")
+                .select(F.pmod(F.xxhash64("x"), F.lit(k)).cast("int")).collect()[0][0])
+        x = np.array(featurize_pair(r["norm_a"], r["norm_b"], idf, r["acr_a"], r["acr_b"]))
+        assert abs(float(x @ weights[f]) - r["score"]) < 1e-9

@@ -1,0 +1,70 @@
+"""S7 word2vec binary reader: roundtrip + variants + ANN integration."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from berkeley_entity_spark.sources.word2vec import (
+    read_word2vec_bin,
+    write_word2vec_bin,
+)
+
+WORDS = ["alpha", "beta", "gamma", "delta"]
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    rng = np.random.RandomState(0)
+    return rng.standard_normal((4, 8)).astype(np.float32)
+
+
+def test_roundtrip(spark, tmp_path, vecs):
+    p = str(tmp_path / "v.bin")
+    write_word2vec_bin(p, WORDS, vecs)
+    got = {r["word"]: r["vector"] for r in read_word2vec_bin(spark, p).collect()}
+    assert set(got) == set(WORDS)
+    for i, w in enumerate(WORDS):
+        assert np.allclose(got[w], vecs[i], atol=0)
+
+
+def test_negvectors_variant(spark, tmp_path, vecs):
+    """The reference's dual-vector layout (w2vReader.scala:51-62)."""
+    p = str(tmp_path / "vneg.bin")
+    neg = -2.0 * vecs
+    write_word2vec_bin(p, WORDS, vecs, neg_vectors=neg)
+    rows = {r["word"]: r for r in read_word2vec_bin(spark, p, negvectors=True).collect()}
+    for i, w in enumerate(WORDS):
+        assert np.allclose(rows[w]["vector"], vecs[i])
+        assert np.allclose(rows[w]["neg_vector"], neg[i])
+
+
+def test_no_terminator_variant(spark, tmp_path, vecs):
+    """Standard word2vec.c files have no trailing newline per entry."""
+    p = str(tmp_path / "vnt.bin")
+    write_word2vec_bin(p, WORDS, vecs, terminator=False)
+    got = {r["word"]: r["vector"] for r in read_word2vec_bin(spark, p).collect()}
+    assert set(got) == set(WORDS)
+    assert np.allclose(got["delta"], vecs[3])
+
+
+def test_sharded_directory(spark, tmp_path, vecs):
+    d = tmp_path / "shards"
+    d.mkdir()
+    write_word2vec_bin(str(d / "part0.bin"), WORDS[:2], vecs[:2])
+    write_word2vec_bin(str(d / "part1.bin"), WORDS[2:], vecs[2:])
+    df = read_word2vec_bin(spark, str(d))
+    assert df.count() == 4
+    assert set(r["word"] for r in df.collect()) == set(WORDS)
+
+
+def test_feeds_ann(spark, tmp_path, vecs):
+    """S7 -> similarity: the read vectors flow straight into cosine_topk."""
+    from berkeley_entity_spark.operators.similarity import cosine_topk
+
+    p = str(tmp_path / "v2.bin")
+    write_word2vec_bin(p, WORDS, vecs)
+    emb = read_word2vec_bin(spark, p).select(
+        F.xxhash64("word").alias("vec_id"), F.col("vector").alias("embedding")
+    )
+    top = cosine_topk(emb, k=1)
+    assert top.count() == 4
