@@ -33,11 +33,16 @@ def _parse_w2v_bytes(buf: bytes, negvectors: bool):
     numwords, vdim = (int(x) for x in buf[:nl].split())
     pos = nl + 1
     vec_bytes = 4 * vdim
+    need = vec_bytes * (2 if negvectors else 1)
     out = []
     for _ in range(numwords):
         if pos >= len(buf):
             break
-        sp = buf.index(b" ", pos)
+        sp = buf.find(b" ", pos)
+        # truncated entry: keep what parsed so far (the reference swallows
+        # EOFException the same way — w2vReader.scala:70)
+        if sp < 0 or sp + 1 + need > len(buf):
+            break
         word = buf[pos:sp].decode("utf-8", errors="replace").lstrip("\n")
         pos = sp + 1
         vec = np.frombuffer(buf, dtype="<f4", count=vdim, offset=pos)
@@ -66,6 +71,8 @@ def read_word2vec_bin(
         for pdf in batches:
             for content in pdf["content"]:
                 rows, _ = _parse_w2v_bytes(bytes(content), negvectors)
+                if not rows:  # header-only / fully truncated shard
+                    continue
                 data = {
                     "word": [w for w, _, _ in rows],
                     "vector": [v.tolist() for _, v, _ in rows],

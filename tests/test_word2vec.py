@@ -68,3 +68,18 @@ def test_feeds_ann(spark, tmp_path, vecs):
     )
     top = cosine_topk(emb, k=1)
     assert top.count() == 4
+
+
+def test_truncated_and_empty_files(spark, tmp_path, vecs):
+    """Truncation keeps fully-parsed entries (the reference's EOFException
+    swallow, w2vReader.scala:70); header-only shards yield zero rows."""
+    p = str(tmp_path / "t.bin")
+    write_word2vec_bin(p, WORDS, vecs)
+    blob = open(p, "rb").read()
+    pt = str(tmp_path / "trunc.bin")
+    open(pt, "wb").write(blob[:-10])
+    got = read_word2vec_bin(spark, pt).collect()
+    assert len(got) == len(WORDS) - 1
+    pe = str(tmp_path / "empty.bin")
+    open(pe, "wb").write(b"0 8\n")
+    assert read_word2vec_bin(spark, pe).count() == 0
