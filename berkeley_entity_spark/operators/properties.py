@@ -117,7 +117,9 @@ def with_number_gender(
     cn = F.when(found, F.col("pn")).otherwise(F.col("hn"))
     cp = F.when(found, F.col("pp")).otherwise(F.col("hp"))
 
-    number = F.when(cm + cf + cn >= cp, F.lit("SINGULAR")).otherwise(F.lit("PLURAL"))
+    number_counts = F.when(cm + cf + cn >= cp, F.lit("SINGULAR")).otherwise(
+        F.lit("PLURAL")
+    )
     gender_nonperson = _gender_case(cm, cf, cn)
     # person first-name special case: head capitalized (assume last name) AND
     # previous token capitalized (assume first name) -> counts of that first
@@ -129,16 +131,38 @@ def with_number_gender(
         & F.col("_prev_tok").isNotNull()
         & _is_cap(F.col("_prev_tok"))
     )
-    gender = F.when(
+    gender_counts = F.when(
         first_name_path, _gender_case(F.col("fm"), F.col("ff"), F.col("fn"))
     ).otherwise(gender_nonperson)
+
+    # Pronominal branch (Mention.scala:317-335): a single-token pronoun
+    # mention takes number/gender from the pronoun sets, never from counts.
+    from berkeley_entity_spark.operators.pronouns import (
+        ALL_PRONOUNS,
+        mention_type_col,
+        pron_gender_col,
+        pron_number_col,
+    )
+
+    # periods are stripped before the lookup: our tokens keep sentence-final
+    # punctuation attached ("Them.") where the reference sees PTB tokens
+    # with the period split off; no pronoun contains a period, so this is
+    # loss-free
+    low_span = F.translate(F.lower(F.col(span_col)), ".", "")
+    pronominal = ~F.col(span_col).contains(" ") & low_span.isin(*sorted(ALL_PRONOUNS))
+    number = F.when(pronominal, pron_number_col(low_span)).otherwise(number_counts)
+    gender = F.when(pronominal, pron_gender_col(low_span)).otherwise(gender_counts)
 
     drop = [c for c in ("number", "gender") if c in mentions.columns]
     temp = ["_person", "_head_tok", "_prev_tok", "_phrase_key", "_head_key",
             "_first_key"] + [f"{p}{c}" for p in "phf" for c in "mfnp"]
-    return (
+    out = (
         spans.drop(*drop)
         .withColumn("number", number)
         .withColumn("gender", gender)
         .drop(*temp)
     )
+    if "mtype" in out.columns:
+        # Mention.scala:304-314 type cascade (DEMONSTRATIVE/PRONOMINAL/PROPER)
+        out = out.withColumn("mtype", mention_type_col(F.col(span_col)))
+    return out

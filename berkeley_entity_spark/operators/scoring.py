@@ -175,3 +175,32 @@ def match_edges(
         )
         return best.select(F.col("node_b").alias("u"), F.col("node_a").alias("v"))
     return above.select(F.col("node_b").alias("u"), F.col("node_a").alias("v"))
+
+
+def feature_report(scored: DataFrame, weights: np.ndarray | None = None) -> DataFrame:
+    """A11: per-feature-template statistics over a scored-pairs table —
+    (feature, nonzero_count, mean_value, weight).  The reference logs
+    feature-template counts after featurization (PairwiseIndexingFeaturizer
+    indexer size / template counts); here it is one aggregation + an unpivot,
+    with the active weight attached for inspectability."""
+    w = weights if weights is not None else load_default_weights()
+    feat_cols = [c for c in FEATURE_NAMES if c != "bias"]
+    agg = scored.agg(
+        *[F.sum((F.col(c) != 0).cast("long")).alias(f"nz_{c}") for c in feat_cols],
+        *[F.avg(F.col(c)).alias(f"mean_{c}") for c in feat_cols],
+    )
+    stack = ", ".join(f"'{c}', nz_{c}, mean_{c}" for c in feat_cols)
+    long = agg.selectExpr(
+        f"stack({len(feat_cols)}, {stack}) AS (feature, nonzero_count, mean_value)"
+    )
+    spark = scored.sparkSession
+    wtab = spark.createDataFrame(
+        [(name, float(w[i])) for i, name in enumerate(FEATURE_NAMES)],
+        "feature string, weight double",
+    )
+    return long.join(F.broadcast(wtab), "feature", "left").select(
+        "feature",
+        F.col("nonzero_count").cast("long").alias("nonzero_count"),
+        F.round("mean_value", 6).alias("mean_value"),
+        "weight",
+    )

@@ -56,3 +56,27 @@ def test_featurize_shape_and_acronym_gate():
     v2 = featurize_pair("aav", "alice ann vanceman", {}, False, False)
     assert v2[FEATURE_NAMES.index("acronym_match")] == 0.0
     assert np.isfinite(v).all() and np.isfinite(v2).all()
+
+
+def test_feature_report(spark):
+    """A11: per-template nonzero counts + means + active weights."""
+    from berkeley_entity_spark.operators.features import FEATURE_NAMES
+    from berkeley_entity_spark.operators.scoring import (
+        feature_report,
+        load_default_weights,
+        score_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [("alice smith", "alice smith", False, False),
+         ("alice smith", "bruno lopez", False, False)],
+        "norm_a string, norm_b string, acr_a boolean, acr_b boolean",
+    )
+    scored = score_pairs(pairs, {})
+    rep = {r["feature"]: r for r in feature_report(scored).collect()}
+    assert set(rep) == {c for c in FEATURE_NAMES if c != "bias"}
+    assert rep["exact_eq"]["nonzero_count"] == 1       # one identical pair
+    assert rep["exact_eq"]["mean_value"] == 0.5
+    assert rep["jaro_winkler"]["nonzero_count"] == 2   # sims always nonzero
+    w = load_default_weights()
+    assert rep["levenshtein"]["weight"] == w[FEATURE_NAMES.index("levenshtein")]

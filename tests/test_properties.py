@@ -116,3 +116,51 @@ def test_properties_plan_has_no_shuffle(spark, ng):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pronominal_branch(spark, ng):
+    """Mention.scala:317-335: single-token pronouns take number/gender from
+    the pronoun sets, bypassing the count table entirely."""
+    from berkeley_entity_spark.operators.properties import with_number_gender
+
+    m = spark.createDataFrame(
+        [("He",), ("She",), ("They",), ("It",), ("Her",), ("Those",), ("Jack",)],
+        "span string",
+    )
+    out = with_number_gender(m, ng, person_expr=F.lit(False))
+    got = {r["span"]: (r["number"], r["gender"]) for r in out.collect()}
+    assert got["He"] == ("SINGULAR", "MALE")
+    assert got["She"] == ("SINGULAR", "FEMALE")
+    assert got["They"] == ("PLURAL", "UNKNOWN")
+    assert got["It"] == ("SINGULAR", "NEUTRAL")
+    assert got["Her"] == ("SINGULAR", "FEMALE")
+    # demonstratives are NOT pronominal for number/gender (count path)
+    assert got["Those"][1] == "UNKNOWN"
+    assert got["Jack"] == ("SINGULAR", "MALE")  # count path untouched
+
+
+def test_mention_type_cascade(spark, ng):
+    from berkeley_entity_spark.operators.properties import with_number_gender
+
+    m = spark.createDataFrame(
+        [("This", "PROPER"), ("He", "PROPER"), ("Jack Smith", "PROPER")],
+        "span string, mtype string",
+    )
+    out = with_number_gender(m, ng, person_expr=F.lit(False))
+    got = {r["span"]: r["mtype"] for r in out.collect()}
+    assert got == {
+        "This": "DEMONSTRATIVE", "He": "PRONOMINAL", "Jack Smith": "PROPER"
+    }
+
+
+def test_pronoun_canonicalization_reference_cases():
+    from berkeley_entity_spark.operators.pronouns import canonicalize, is_pronoun_lc
+
+    assert canonicalize("Him") == "he"
+    assert canonicalize("hers") == "she"
+    assert canonicalize("'em") == "they"
+    assert canonicalize("y'all") == "you"
+    assert canonicalize("oneself") == "one"
+    assert canonicalize("whom") == "who"
+    assert canonicalize("Smith") == "smith"  # unmapped passes through
+    assert is_pronoun_lc("whose") and not is_pronoun_lc("smith")
