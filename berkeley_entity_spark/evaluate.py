@@ -180,3 +180,109 @@ def bcubed_muc(pred: DataFrame, gold: DataFrame, key: str = "mention_id") -> dic
     """Dict form of coref_cluster_metrics for tests/reports."""
     row = coref_cluster_metrics(pred, gold, key).collect()[0]
     return {k: float(row[k]) for k in row.asDict()}
+
+
+def per_doc_pairwise_stats(
+    assign: DataFrame, doc_col: str = "url"
+) -> DataFrame:
+    """(doc, tp, pred, gold) pairwise sufficient statistics restricted to
+    in-document pairs — the per-document stat lines the reference's
+    bootstrap consumes (sig/BootstrapDriver.scala:12-17 reads them from
+    logs; sig/MetricComputer.isSigDifference re-aggregates them).
+
+    assign: (doc_col, mention_id, cluster_id, entity_id)."""
+    np2 = lambda c: F.sum(c * (c - 1) / 2).cast("double")  # noqa: E731
+    cnt = F.count(F.lit(1)).alias("c")
+    pred = (
+        assign.groupBy(doc_col, "cluster_id").agg(cnt)
+        .groupBy(doc_col).agg(np2(F.col("c")).alias("pred"))
+    )
+    gold = (
+        assign.groupBy(doc_col, "entity_id").agg(cnt)
+        .groupBy(doc_col).agg(np2(F.col("c")).alias("gold"))
+    )
+    tp = (
+        assign.groupBy(doc_col, "cluster_id", "entity_id").agg(cnt)
+        .groupBy(doc_col).agg(np2(F.col("c")).alias("tp"))
+    )
+    return (
+        pred.join(gold, doc_col, "full")
+        .join(tp, doc_col, "full")
+        .na.fill(0.0, ["tp", "pred", "gold"])
+    )
+
+
+# Poisson(1) CDF thresholds for the poissonized bootstrap draw (k = 0..8
+# covers all but ~1e-6 of the mass; the tail clamps to 8)
+_POIS1_CDF = [0.367879, 0.735759, 0.919699, 0.981012, 0.996340,
+              0.999406, 0.999917, 0.999990, 0.999999]
+
+
+def _poisson1(u):
+    expr = F.lit(len(_POIS1_CDF))
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        expr = F.when(u < _POIS1_CDF[k], F.lit(k)).otherwise(expr)
+    return expr
+
+
+def bootstrap_significance(
+    stats_a: DataFrame,
+    stats_b: DataFrame,
+    n_trials: int = 1000,
+    seed: int = 0,
+    doc_col: str = "url",
+) -> DataFrame:
+    """M12: paired bootstrap test over documents
+    (sig/BootstrapDriver.scala:104-141: 1000 trials, resample docs with
+    replacement, count trials where system B's aggregated F1 beats A's;
+    the reported value is that fraction = 1-p).
+
+    Distributed poissonized form: the multinomial resample count of each
+    doc in a trial is approximated by Poisson(1) drawn from a deterministic
+    hash of (doc, trial, seed) — no driver-side loop, no RNG state; the
+    whole test is one explode + two aggregations, identical at any
+    parallelism.  Returns one row: (f1_a, f1_b, delta, frac_sig, n_trials).
+    """
+    a = stats_a.select(doc_col, F.col("tp").alias("tp_a"),
+                       F.col("pred").alias("pred_a"), F.col("gold").alias("gold_a"))
+    b = stats_b.select(doc_col, F.col("tp").alias("tp_b"),
+                       F.col("pred").alias("pred_b"), F.col("gold").alias("gold_b"))
+    j = a.join(b, doc_col, "full").na.fill(0.0)
+    rep = j.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_trials - 1))).alias("_trial")
+    )
+    u = (
+        F.pmod(F.xxhash64(doc_col, "_trial", F.lit(seed)), F.lit(1 << 40))
+        / float(1 << 40)
+    )
+    w = _poisson1(u).cast("double")
+    f1 = lambda tp, pred, gold: F.when(  # noqa: E731
+        (pred > 0) & (gold > 0) & (tp > 0),
+        2.0 / (pred / tp + gold / tp),
+    ).otherwise(F.lit(0.0))
+    per_trial = (
+        rep.groupBy("_trial")
+        .agg(
+            F.sum(w * F.col("tp_a")).alias("ta"),
+            F.sum(w * F.col("pred_a")).alias("pa"),
+            F.sum(w * F.col("gold_a")).alias("ga"),
+            F.sum(w * F.col("tp_b")).alias("tb"),
+            F.sum(w * F.col("pred_b")).alias("pb"),
+            F.sum(w * F.col("gold_b")).alias("gb"),
+        )
+        .select(
+            (f1(F.col("tb"), F.col("pb"), F.col("gb"))
+             > f1(F.col("ta"), F.col("pa"), F.col("ga"))).cast("double").alias("sig")
+        )
+    )
+    totals = j.agg(
+        F.sum("tp_a").alias("ta"), F.sum("pred_a").alias("pa"), F.sum("gold_a").alias("ga"),
+        F.sum("tp_b").alias("tb"), F.sum("pred_b").alias("pb"), F.sum("gold_b").alias("gb"),
+    ).select(
+        f1(F.col("ta"), F.col("pa"), F.col("ga")).alias("f1_a"),
+        f1(F.col("tb"), F.col("pb"), F.col("gb")).alias("f1_b"),
+    )
+    return totals.crossJoin(per_trial.agg(F.avg("sig").alias("frac_sig"))).select(
+        "f1_a", "f1_b", (F.col("f1_b") - F.col("f1_a")).alias("delta"),
+        "frac_sig", F.lit(n_trials).alias("n_trials"),
+    )

@@ -67,3 +67,40 @@ def test_pipeline_b3_meets_target(spark, tmp_path):
     m = bcubed_muc(res.clusters, g)
     assert m["b3_f1"] >= 0.98, m
     assert m["muc_f1"] >= 0.98, m
+
+
+def test_bootstrap_significance(spark):
+    """M12 (BootstrapDriver.scala:104-141): clearly-better system -> frac_sig
+    near 1; identical systems -> 0 (strict inequality, like the reference)."""
+    import random
+
+    from berkeley_entity_spark.evaluate import (
+        bootstrap_significance,
+        per_doc_pairwise_stats,
+    )
+
+    rng = random.Random(5)
+    rows_good, rows_bad = [], []
+    for d in range(60):
+        url = f"u{d}"
+        for e in range(3):
+            for m in range(4):
+                mid = d * 100 + e * 10 + m
+                # system A (good): cluster == entity; system B (bad): ~35%
+                # of mentions knocked into a wrong cluster
+                good_c = e
+                bad_c = (e + 1) % 3 if rng.random() < 0.35 else e
+                rows_good.append((url, mid, good_c, e))
+                rows_bad.append((url, mid, bad_c, e))
+    schema = "url string, mention_id long, cluster_id long, entity_id long"
+    stats_good = per_doc_pairwise_stats(spark.createDataFrame(rows_good, schema))
+    stats_bad = per_doc_pairwise_stats(spark.createDataFrame(rows_bad, schema))
+
+    r = bootstrap_significance(stats_bad, stats_good, n_trials=200).collect()[0]
+    assert r["f1_b"] > r["f1_a"]
+    assert r["frac_sig"] >= 0.95, r  # good system significantly better
+    r2 = bootstrap_significance(stats_good, stats_good, n_trials=200).collect()[0]
+    assert r2["frac_sig"] == 0.0  # strict inequality: ties never count
+    # determinism across runs
+    r3 = bootstrap_significance(stats_bad, stats_good, n_trials=200).collect()[0]
+    assert r3["frac_sig"] == r["frac_sig"]
