@@ -410,3 +410,46 @@ def generate_numgender(spark):
     from berkeley_entity_spark.operators.properties import NUMGENDER_SCHEMA
 
     return spark.createDataFrame(list(seen.values()), schema=NUMGENDER_SCHEMA)
+
+
+def generate_wordnet(spark):
+    """Deterministic synthetic WordNet-shaped taxonomy (SO5 stand-in for
+    the JWI dump, same policy as generate_numgender for gender.data).
+
+    Returns (lemmas(word, synset), hypernyms(child, parent),
+    anchors(synset, semclass)).  Includes: chains to each anchor, a word
+    with MULTIPLE synsets whose classes differ (priority test), and a chain
+    deeper than 10 levels whose word must NOT reach its anchor (bounded-
+    closure test)."""
+    anchors = [("person.n.01", "Person"), ("location.n.01", "Location"),
+               ("organization.n.01", "Organization")]
+    hyper = [
+        ("analyst.n.01", "expert.n.01"), ("expert.n.01", "person.n.01"),
+        ("official.n.01", "person.n.01"),
+        ("city.n.01", "municipality.n.01"),
+        ("municipality.n.01", "region.n.01"), ("region.n.01", "location.n.01"),
+        ("corporation.n.01", "company.n.01"),
+        ("company.n.01", "institution.n.01"),
+        ("institution.n.01", "organization.n.01"),
+        ("partnership.n.01", "organization.n.01"),
+        # ambiguous word target: bank = company (org) AND riverbank (loc)
+        ("bank.n.01", "company.n.01"), ("bank.n.02", "slope.n.01"),
+        ("slope.n.01", "location.n.01"),
+    ]
+    # a 12-deep chain: word at the bottom must NOT classify (cap = 10)
+    deep = [(f"deep{i}.n.01", f"deep{i+1}.n.01") for i in range(12)]
+    hyper += deep + [("deep12.n.01", "organization.n.01")]
+    lemmas = [
+        ("analyst", "analyst.n.01"), ("analysts", "analyst.n.01"),
+        ("official", "official.n.01"), ("officials", "official.n.01"),
+        ("city", "city.n.01"), ("corporation", "corporation.n.01"),
+        ("company", "company.n.01"), ("partnership", "partnership.n.01"),
+        ("bank", "bank.n.01"), ("bank", "bank.n.02"),
+        ("deepword", "deep0.n.01"),
+        ("market", "market.n.01"),  # synset with no path to any anchor
+    ]
+    return (
+        spark.createDataFrame(lemmas, "word string, synset string"),
+        spark.createDataFrame(hyper, "child string, parent string"),
+        spark.createDataFrame(anchors, "synset string, semclass string"),
+    )
