@@ -37,7 +37,7 @@ def bounded_hypernym_closure(hypernyms: DataFrame, max_levels: int = 10) -> Data
     broadcast join."""
     edges = hypernyms.select(
         F.col("child").alias("synset"), F.col("parent").alias("ancestor")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     closure = edges
     frontier = edges
     for _ in range(max_levels - 1):
@@ -48,11 +48,15 @@ def bounded_hypernym_closure(hypernyms: DataFrame, max_levels: int = 10) -> Data
             .select("synset", F.col("next").alias("ancestor"))
             .distinct()
         )
-        new = step.join(closure, ["synset", "ancestor"], "left_anti")
-        # deterministic early stop is the caller's choice; a fixed number of
-        # bounded rounds keeps the plan static (no count() per round)
-        closure = closure.unionByName(new).distinct()
-        frontier = new
+        # materialize each round (same lineage-cut discipline as the CC
+        # loop — an unmaterialized 10-round join chain blows the plan up
+        # exponentially); the frontier empties quickly on real taxonomies
+        frontier = step.join(closure, ["synset", "ancestor"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        if frontier.isEmpty():
+            break
+        closure = closure.unionByName(frontier).localCheckpoint(eager=True)
     return closure
 
 
