@@ -205,11 +205,9 @@ def per_doc_pairwise_stats(
         assign.groupBy(doc_col, "cluster_id", "entity_id").agg(cnt)
         .groupBy(doc_col).agg(np2(F.col("c")).alias("tp"))
     )
-    return (
-        pred.join(gold, doc_col, "full")
-        .join(tp, doc_col, "full")
-        .na.fill(0.0, ["tp", "pred", "gold"])
-    )
+    # the three aggregations share `assign`'s doc key set exactly, so plain
+    # inner joins state the invariant (and keep broadcast planning open)
+    return pred.join(gold, doc_col).join(tp, doc_col)
 
 
 # Poisson(1) CDF thresholds for the poissonized bootstrap draw (k = 0..8

@@ -87,10 +87,17 @@ def calibrate_bias(
     prec = tp / pred
     rec = tp / gold
     fb = (1 + beta2) * prec * rec / np.maximum(beta2 * prec + rec, 1e-12)
+    if len(s_sorted) == 0:
+        return w.copy()
     best = int(np.argmax(fb))
-    # threshold midway between the last kept score and the next one
-    lo = s_sorted[best + 1] if best + 1 < len(s_sorted) else s_sorted[best] - 1.0
-    thr = (s_sorted[best] + lo) / 2.0
+    # threshold strictly below the kept block: with TIED scores the naive
+    # midpoint lands ON the tie and the strict score>0 decision rule then
+    # drops every tied pair the argmax counted as kept — extend to the end
+    # of the tie run and cut halfway to the next strictly-smaller score
+    v = s_sorted[best]
+    below = s_sorted[s_sorted < v]
+    lo = below[0] if len(below) else v - 1.0
+    thr = (v + lo) / 2.0
     w = w.copy()
     w[-1] -= thr
     return w

@@ -100,12 +100,16 @@ def mention_type_col(span: Column) -> Column:
     single-token demonstrative -> DEMONSTRATIVE, single-token pronoun ->
     PRONOMINAL, else PROPER (our extractor only emits capitalized runs, so
     the NOMINAL branch — common-noun heads — cannot occur here)."""
-    # strip periods: our tokens keep sentence-final punctuation ("Them.")
-    # where the reference's PTB tokens have it split off
-    low = F.translate(F.lower(span), ".", "")
+    # strip TRAILING periods only ("Them." -> "Them"); exclude acronym
+    # shapes ("US", "IT", "U.S.") whose lowercase collides with pronouns —
+    # the reference gates pronominal type on POS (Mention.scala:311), which
+    # span-only web mentions lack
+    base = F.regexp_replace(span, r"\.+$", "")
+    low = F.lower(base)
     single = ~span.contains(" ")
+    not_acr = ~base.contains(".") & ~((base == F.upper(base)) & (F.length(base) >= 2))
     return (
-        F.when(single & _isin(low, DEMONSTRATIVES), F.lit("DEMONSTRATIVE"))
-        .when(single & _isin(low, ALL_PRONOUNS), F.lit("PRONOMINAL"))
+        F.when(single & not_acr & _isin(low, DEMONSTRATIVES), F.lit("DEMONSTRATIVE"))
+        .when(single & not_acr & _isin(low, ALL_PRONOUNS), F.lit("PRONOMINAL"))
         .otherwise(F.lit("PROPER"))
     )

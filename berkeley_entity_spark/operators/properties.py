@@ -144,12 +144,22 @@ def with_number_gender(
         pron_number_col,
     )
 
-    # periods are stripped before the lookup: our tokens keep sentence-final
-    # punctuation attached ("Them.") where the reference sees PTB tokens
-    # with the period split off; no pronoun contains a period, so this is
-    # loss-free
-    low_span = F.translate(F.lower(F.col(span_col)), ".", "")
-    pronominal = ~F.col(span_col).contains(" ") & low_span.isin(*sorted(ALL_PRONOUNS))
+    # Only TRAILING periods are stripped ("Them." -> "Them"; sentence-final
+    # punctuation rides on our tokens where the reference sees PTB tokens).
+    # Acronym shapes are excluded: "US"/"IT" (all-caps, len>=2) and dotted
+    # forms like "U.S." are proper mentions whose lowercase collides with
+    # pronouns — the reference never hits this because pronominal type is
+    # gated on POS (Mention.scala:311), which our capitalized-run extractor
+    # lacks; the shape gate is the faithful stand-in.
+    base = F.regexp_replace(F.col(span_col), r"\.+$", "")
+    low_span = F.lower(base)
+    acronym_shape = (base == F.upper(base)) & (F.length(base) >= 2)
+    pronominal = (
+        ~F.col(span_col).contains(" ")
+        & ~base.contains(".")
+        & ~acronym_shape
+        & low_span.isin(*sorted(ALL_PRONOUNS))
+    )
     number = F.when(pronominal, pron_number_col(low_span)).otherwise(number_counts)
     gender = F.when(pronominal, pron_gender_col(low_span)).otherwise(gender_counts)
 

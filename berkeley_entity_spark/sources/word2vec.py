@@ -29,8 +29,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _parse_w2v_bytes(buf: bytes, negvectors: bool):
-    nl = buf.index(b"\n")
-    numwords, vdim = (int(x) for x in buf[:nl].split())
+    # header-level truncation (zero-byte / newline-less / garbage header)
+    # yields zero entries, like any other truncated-EOF case
+    nl = buf.find(b"\n")
+    if nl < 0:
+        return [], 0
+    try:
+        numwords, vdim = (int(x) for x in buf[:nl].split())
+    except ValueError:
+        return [], 0
+    if vdim <= 0:
+        return [], 0
     pos = nl + 1
     vec_bytes = 4 * vdim
     need = vec_bytes * (2 if negvectors else 1)

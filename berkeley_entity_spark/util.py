@@ -64,6 +64,11 @@ def maybe_broadcast(
     only when the row gate passes."""
     if n_rows > row_ceiling:
         return df
+    # short-circuit: below this row count the table cannot breach the byte
+    # cap even at a pessimistic 2KB/row — skip the sampling job entirely
+    # (this repo deliberately minimizes fixed job counts)
+    if n_rows <= cap_bytes // 2048:
+        return F.broadcast(df)
     if estimated_bytes(df, n_rows) > cap_bytes:
         return df
     return F.broadcast(df)

@@ -164,3 +164,24 @@ def test_pronoun_canonicalization_reference_cases():
     assert canonicalize("whom") == "who"
     assert canonicalize("Smith") == "smith"  # unmapped passes through
     assert is_pronoun_lc("whose") and not is_pronoun_lc("smith")
+
+
+def test_acronyms_not_pronominal(spark, ng):
+    """Code-review regression: 'US'/'IT'/'U.S.' are acronym-shaped proper
+    mentions, not pronouns; 'I' (single char) and 'Them.' stay pronominal."""
+    from berkeley_entity_spark.operators.properties import with_number_gender
+
+    m = spark.createDataFrame(
+        [("US", "PROPER"), ("IT", "PROPER"), ("U.S.", "PROPER"),
+         ("I", "PROPER"), ("Them.", "PROPER"), ("it", "PROPER")],
+        "span string, mtype string",
+    )
+    out = with_number_gender(m, ng, person_expr=F.lit(False))
+    got = {r["span"]: (r["mtype"], r["number"]) for r in out.collect()}
+    assert got["US"][0] == "PROPER"
+    assert got["IT"][0] == "PROPER"
+    assert got["U.S."][0] == "PROPER"
+    assert got["US"][1] == "SINGULAR"  # count path default, NOT plural 'us'
+    assert got["I"] == ("PRONOMINAL", "SINGULAR")
+    assert got["Them."] == ("PRONOMINAL", "PLURAL")
+    assert got["it"] == ("PRONOMINAL", "SINGULAR")

@@ -135,3 +135,24 @@ def test_kfold_prune_models(spark, tiny_corpus):
                 .select(F.pmod(F.xxhash64("x"), F.lit(k)).cast("int")).collect()[0][0])
         x = np.array(featurize_pair(r["norm_a"], r["norm_b"], idf, r["acr_a"], r["acr_b"]))
         assert abs(float(x @ weights[f]) - r["score"]) < 1e-9
+
+
+def test_calibrate_bias_tie_run():
+    """Code-review regression: when the F-beta optimum lands in a tie run,
+    the threshold must sit strictly BELOW the tied score so score>0 keeps
+    every tied pair the optimum counted."""
+    import numpy as np
+
+    from berkeley_entity_spark.ml.train import calibrate_bias
+
+    # identical feature rows -> identical scores (a tie run of positives)
+    X = np.array([[1.0, 1.0]] * 4 + [[0.0, 1.0]] * 4)
+    y = np.array([1.0] * 4 + [0.0] * 4)
+    w = np.array([5.0, 0.0])  # scores: 5,5,5,5,0,0,0,0
+    w2 = calibrate_bias(w, X, y)
+    s = X @ w2
+    kept = (s > 0).sum()
+    assert kept == 4, s  # ALL four tied positives survive score>0
+    # empty sample: no crash, weights unchanged
+    w3 = calibrate_bias(w, np.zeros((0, 2)), np.zeros(0))
+    assert np.allclose(w3, w)

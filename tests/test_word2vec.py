@@ -83,3 +83,15 @@ def test_truncated_and_empty_files(spark, tmp_path, vecs):
     pe = str(tmp_path / "empty.bin")
     open(pe, "wb").write(b"0 8\n")
     assert read_word2vec_bin(spark, pe).count() == 0
+
+
+def test_headerless_and_zero_byte_shards(spark, tmp_path, vecs):
+    """Code-review regression: header-level truncation must not fail the job."""
+    d = tmp_path / "mix"
+    d.mkdir()
+    write_word2vec_bin(str(d / "good.bin"), WORDS[:2], vecs[:2])
+    (d / "zero.bin").write_bytes(b"")
+    (d / "nonewline.bin").write_bytes(b"4 8")
+    (d / "garbage.bin").write_bytes(b"not a header\n\x00\x01")
+    got = read_word2vec_bin(spark, str(d)).collect()
+    assert sorted(r["word"] for r in got) == sorted(WORDS[:2])
