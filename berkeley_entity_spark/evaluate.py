@@ -284,3 +284,37 @@ def bootstrap_significance(
         "f1_a", "f1_b", (F.col("f1_b") - F.col("f1_a")).alias("delta"),
         "frac_sig", F.lit(n_trials).alias("n_trials"),
     )
+
+
+def grouped_accuracy(
+    pred: DataFrame,
+    gold: DataFrame,
+    attrs: DataFrame,
+    group_col: str,
+    key: str = "mention_id",
+) -> DataFrame:
+    """A8: grouped accuracy counters — per attribute group (e.g. mtype,
+    number, gender), the fraction of mentions sitting in a cluster whose
+    MAJORITY gold entity matches their own (the reference's per-category
+    right/wrong counters in its evaluator output).
+
+    attrs(key, group_col).  Majority entity per cluster = argmax of
+    (cluster, entity) cell counts, ties to the smaller entity id.  Returns
+    (group, n, correct, accuracy)."""
+    j = pred.select(key, "cluster_id").join(gold.select(key, "entity_id"), key)
+    cells = j.groupBy("cluster_id", "entity_id").agg(F.count(F.lit(1)).alias("n_ce"))
+    majority = cells.groupBy("cluster_id").agg(
+        F.max_by(
+            "entity_id", F.struct(F.col("n_ce"), -F.col("entity_id"))
+        ).alias("_maj")
+    )
+    scored = (
+        j.join(majority, "cluster_id")
+        .withColumn("_ok", (F.col("entity_id") == F.col("_maj")).cast("long"))
+        .join(attrs.select(key, group_col), key)
+    )
+    return (
+        scored.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_ok").alias("correct"))
+        .withColumn("accuracy", F.round(F.col("correct") / F.col("n"), 6))
+    )
