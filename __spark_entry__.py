@@ -388,6 +388,45 @@ def q_wiki_links(spark, sf_dir):
     return out_link_stats(pairs, links)
 
 
+def q_hearst(spark, sf_dir):
+    """J8: Hearst/query-pair count features
+    (PairwiseIndexingFeaturizerJoint.scala:306-335) — word counts + bigram
+    pair counts from documents, (token1, token3) pair table, symmetrized
+    broadcast lookup with the reference's log10 bins and zero guard."""
+    from berkeley_entity_spark.operators.hearst import with_hearst_features
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    tt = d.select(toks.alias("t"))
+    word_counts = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy(F.lower("w").alias("head"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    pair_counts = (
+        tt.select(F.explode(F.sequence(F.lit(1), F.lit(4))).alias("i"), "t")
+        .where(F.size("t") > F.col("i"))
+        .groupBy(
+            F.lower(F.element_at("t", F.col("i"))).alias("head_x"),
+            F.lower(F.element_at("t", F.col("i") + 1)).alias("head_y"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    pairs = (
+        tt.where(F.size("t") >= 3)
+        .select(
+            F.lower(F.element_at("t", 1)).alias("head_a"),
+            F.lower(F.element_at("t", 3)).alias("head_b"),
+        )
+        .distinct()
+    )
+    return with_hearst_features(pairs, word_counts, pair_counts).select(
+        "head_a", "head_b", "hearst_present",
+        "hearst_unnorm_bin", "hearst_unnorm_fine_bin",
+        "hearst_norm_bin", "hearst_norm_fine_bin",
+    )
+
+
 def q_quality_score(spark, sf_dir):
     """Text analysis: composite quality score."""
     from berkeley_entity_spark.operators.textstats import quality_score
@@ -619,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wiki_title": q_wiki_title,
         "q_wiki_categories": q_wiki_categories,
         "q_wiki_links": q_wiki_links,
+        "q_hearst": q_hearst,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
@@ -1073,6 +1113,41 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN sizes sb ON sb.src = p.title_b
             LEFT JOIN ab USING (title_a, title_b)
             LEFT JOIN ba USING (title_a, title_b)
+        """,
+        "q_hearst": f"""
+            WITH t AS (SELECT {TOKQ} AS t FROM documents),
+            wc AS (SELECT lower(w) AS head, CAST(count(*) AS DOUBLE) AS cnt
+                   FROM (SELECT unnest(t) AS w FROM t) GROUP BY 1),
+            bg AS (SELECT lower(t[i]) AS head_x, lower(t[i + 1]) AS head_y,
+                          CAST(count(*) AS DOUBLE) AS cnt
+                   FROM t CROSS JOIN generate_series(1, 4) AS g(i)
+                   WHERE len(t) > i GROUP BY 1, 2),
+            pc AS (SELECT least(head_x, head_y) AS hx,
+                          greatest(head_x, head_y) AS hy,
+                          sum(cnt) AS pair_cnt
+                   FROM bg GROUP BY 1, 2),
+            p AS (SELECT DISTINCT lower(t[1]) AS head_a, lower(t[3]) AS head_b
+                  FROM t WHERE len(t) >= 3),
+            j AS (SELECT p.head_a, p.head_b, pc.pair_cnt,
+                         greatest(coalesce(wa.cnt, 0), coalesce(pc.pair_cnt, 0)) AS ca,
+                         greatest(coalesce(wb.cnt, 0), coalesce(pc.pair_cnt, 0)) AS cb,
+                         (p.head_a <> p.head_b
+                          AND coalesce(pc.pair_cnt, 0) > 0.5) AS fires
+                  FROM p
+                  LEFT JOIN pc ON pc.hx = least(p.head_a, p.head_b)
+                              AND pc.hy = greatest(p.head_a, p.head_b)
+                  LEFT JOIN wc wa ON wa.head = p.head_a
+                  LEFT JOIN wc wb ON wb.head = p.head_b)
+            SELECT head_a, head_b, fires AS hearst_present,
+                   CASE WHEN fires THEN CAST(trunc(log10(pair_cnt) + 0.5) AS INTEGER) END
+                       AS hearst_unnorm_bin,
+                   CASE WHEN fires THEN CAST(trunc(log10(pair_cnt) * 4 + 0.5) AS INTEGER) END
+                       AS hearst_unnorm_fine_bin,
+                   CASE WHEN fires THEN CAST(trunc(log10(pair_cnt / (ca * cb)) + 0.5) AS INTEGER) END
+                       AS hearst_norm_bin,
+                   CASE WHEN fires THEN CAST(trunc(log10(pair_cnt / (ca * cb)) * 4 + 0.5) AS INTEGER) END
+                       AS hearst_norm_fine_bin
+            FROM j
         """,
         "q_quality_score": f"""
             SELECT doc_id,

@@ -80,3 +80,39 @@ def test_feature_report(spark):
     assert rep["jaro_winkler"]["nonzero_count"] == 2   # sims always nonzero
     w = load_default_weights()
     assert rep["levenshtein"]["weight"] == w[FEATURE_NAMES.index("levenshtein")]
+
+
+def test_hearst_features_reference_math(spark):
+    """J8 bins (PairwiseIndexingFeaturizerJoint.scala:313-333): log10 bins
+    with Scala toInt truncation-toward-zero (NOT floor) and the
+    max(count, pairCount) zero guard."""
+    from berkeley_entity_spark.operators.hearst import with_hearst_features
+
+    pairs = spark.createDataFrame(
+        [("city", "town"), ("city", "city"), ("city", "zebra"), ("a", "b")],
+        "head_a string, head_b string",
+    )
+    wc = spark.createDataFrame(
+        [("city", 1000.0), ("town", 2000.0), ("b", 0.0)], "head string, cnt double"
+    )
+    pc = spark.createDataFrame(
+        # reversed orientation on purpose: the op symmetrizes
+        [("town", "city", 523.0), ("b", "a", 2.0)],
+        "head_x string, head_y string, cnt double",
+    )
+    got = {(r["head_a"], r["head_b"]): r for r in with_hearst_features(pairs, wc, pc).collect()}
+    r = got[("city", "town")]
+    assert r["hearst_present"]
+    # log10(523)=2.7185 -> +0.5=3.2185 -> 3 ; *4+0.5=11.374 -> 11
+    assert r["hearst_unnorm_bin"] == 3
+    assert r["hearst_unnorm_fine_bin"] == 11
+    # norm: 523/(1000*2000)=2.615e-4; log10=-3.5825; +0.5=-3.0825 -> toInt -3
+    # (floor would give -4 — truncation toward zero is the reference rule)
+    assert r["hearst_norm_bin"] == -3
+    assert r["hearst_norm_fine_bin"] == -13  # -3.5825*4+0.5 = -13.83 -> -13
+    assert not got[("city", "city")]["hearst_present"]   # same-head gate
+    assert not got[("city", "zebra")]["hearst_present"]  # no pair count
+    rb = got[("a", "b")]
+    # zero guard: cnt_b = max(0, 2) = 2; norm = 2/(2*2) = 0.5
+    assert rb["hearst_present"]
+    assert rb["hearst_norm_bin"] == 0  # log10(.5)+.5=0.199 -> 0
