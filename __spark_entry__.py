@@ -288,8 +288,10 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Similarity search (scale path): hyperplane-LSH bucketed top-k
-    (no SQL oracle — signature kernel is a pandas UDF)."""
+    """Similarity search (scale path): hyperplane-LSH bucketed top-k.
+    Fully oracled: the seeded plane matrices are embedded into the DuckDB
+    SQL as exact double literals, so the oracle re-derives signatures,
+    buckets, candidates and the re-rank end-to-end."""
     from berkeley_entity_spark.operators.similarity import lsh_bucket_topk
 
     t = lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), k=3)
@@ -834,6 +836,53 @@ FROM named
 """
 
 
+def _ann_lsh_oracle(k: int = 3, n_planes: int = 4, n_tables: int = 16, dim: int = 64) -> str:
+    """Full SQL re-derivation of the hyperplane-LSH top-k: the seeded plane
+    matrices are EMBEDDED as double literals (string-cast — DuckDB parses
+    bare decimal literals as DECIMAL and loses bits), signatures are sign
+    patterns of list_inner_product, candidates are bucket mates across the
+    16 tables, re-rank is exact cosine with the same (desc cosine, asc id)
+    tie rule as the Spark window."""
+    import numpy as np
+
+    table_selects = []
+    for t in range(n_tables):
+        rng = np.random.RandomState(7 + 13 * t)
+        planes = rng.standard_normal((dim, n_planes))
+        ips = ", ".join(
+            "list_inner_product(v, ["
+            + ", ".join(f"CAST('{float(planes[d, j])!r}' AS DOUBLE)" for d in range(dim))
+            + f"]) AS ip{j}"
+            for j in range(n_planes)
+        )
+        bits = " + ".join(
+            f"(CASE WHEN ip{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes)
+        )
+        table_selects.append(
+            f"SELECT vec_id, '{t}#' || CAST({bits} AS VARCHAR) AS bucket "
+            f"FROM (SELECT vec_id, {ips} FROM e)"
+        )
+    buckets = "\nUNION ALL\n".join(table_selects)
+    return f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+b AS ({buckets}),
+cand AS (SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+r AS (SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(ea.v, eb.v) DESC,
+                        neighbor_id ASC) AS rank
+      FROM cand
+      JOIN e ea ON ea.vec_id = cand.query_id
+      JOIN e eb ON eb.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
 def _minhash_oracle(bands: int = 4, rows: int = 2) -> str:
     n = bands * rows
     mh = ", ".join(
@@ -1031,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "q_simhash_pairs": _simhash_oracle(),
+        "q_ann_lsh": _ann_lsh_oracle(),
         "q_er_mentions": _er_mentions_oracle(),
         "q_ann_topk": """
             SELECT query_id, neighbor_id, rank FROM (
