@@ -198,7 +198,9 @@ def run_scaling(n_pages: int, cpus_pair: tuple[int, int] = (4, 16), reps: int = 
         "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # per-run file: BENCH/BASELINE.md is CURATED (multi-run disclosure) and
+    # must not be clobbered by each invocation
+    with open(os.path.join(REPO, "BENCH", f"scaling_{n_pages}_{lo}_{hi}.md"), "w") as f:
         f.write(
             f"""# BENCH/BASELINE — measured results
 
