@@ -202,7 +202,7 @@ def run_scaling(n_pages: int, cpus_pair: tuple[int, int] = (4, 16), reps: int = 
     # must not be clobbered by each invocation
     with open(os.path.join(REPO, "BENCH", f"scaling_{n_pages}_{lo}_{hi}.md"), "w") as f:
         f.write(
-            f"""# BENCH/BASELINE — measured results
+            f"""# BENCH scaling run — {n_pages} pages, local[{lo}] vs local[{hi}]
 
 ## Two-parallelism scaling run (north-rule evidence)
 

@@ -89,11 +89,13 @@ def calibrate_bias(
     fb = (1 + beta2) * prec * rec / np.maximum(beta2 * prec + rec, 1e-12)
     if len(s_sorted) == 0:
         return w.copy()
-    best = int(np.argmax(fb))
-    # threshold strictly below the kept block: with TIED scores the naive
-    # midpoint lands ON the tie and the strict score>0 decision rule then
-    # drops every tied pair the argmax counted as kept — extend to the end
-    # of the tie run and cut halfway to the next strictly-smaller score
+    # only tie-run END indices are ACHIEVABLE cut points under a strict
+    # score>threshold rule (a mid-run index would need to keep some but not
+    # all pairs with the same score); argmax over anything else can select
+    # an operating point no threshold realizes and then silently degrade
+    # when snapped to a run boundary
+    ends = np.append(s_sorted[:-1] > s_sorted[1:], True)
+    best = int(np.argmax(np.where(ends, fb, -1.0)))
     v = s_sorted[best]
     below = s_sorted[s_sorted < v]
     lo = below[0] if len(below) else v - 1.0

@@ -95,21 +95,31 @@ def pron_number_col(low: Column) -> Column:
     )
 
 
+def span_pronoun_gate(span: Column) -> tuple[Column, Column]:
+    """(lowercased period-stripped base, eligibility) shared by the
+    property computation and the mention-type cascade — these two MUST stay
+    in lockstep or a mention could get mtype=PROPER with pronoun-table
+    number/gender.  Trailing periods stripped ('Them.'); acronym shapes
+    ('US', 'IT', 'U.S.') excluded — the reference gates pronominal type on
+    POS (Mention.scala:311), which span-only web mentions lack."""
+    base = F.regexp_replace(span, r"\.+$", "")
+    low = F.lower(base)
+    eligible = (
+        ~span.contains(" ")
+        & ~base.contains(".")
+        & ~((base == F.upper(base)) & (F.length(base) >= 2))
+    )
+    return low, eligible
+
+
 def mention_type_col(span: Column) -> Column:
     """Mention.scala:304-314 type cascade for span-only web mentions:
     single-token demonstrative -> DEMONSTRATIVE, single-token pronoun ->
     PRONOMINAL, else PROPER (our extractor only emits capitalized runs, so
     the NOMINAL branch — common-noun heads — cannot occur here)."""
-    # strip TRAILING periods only ("Them." -> "Them"); exclude acronym
-    # shapes ("US", "IT", "U.S.") whose lowercase collides with pronouns —
-    # the reference gates pronominal type on POS (Mention.scala:311), which
-    # span-only web mentions lack
-    base = F.regexp_replace(span, r"\.+$", "")
-    low = F.lower(base)
-    single = ~span.contains(" ")
-    not_acr = ~base.contains(".") & ~((base == F.upper(base)) & (F.length(base) >= 2))
+    low, eligible = span_pronoun_gate(span)
     return (
-        F.when(single & not_acr & _isin(low, DEMONSTRATIVES), F.lit("DEMONSTRATIVE"))
-        .when(single & not_acr & _isin(low, ALL_PRONOUNS), F.lit("PRONOMINAL"))
+        F.when(eligible & _isin(low, DEMONSTRATIVES), F.lit("DEMONSTRATIVE"))
+        .when(eligible & _isin(low, ALL_PRONOUNS), F.lit("PRONOMINAL"))
         .otherwise(F.lit("PROPER"))
     )

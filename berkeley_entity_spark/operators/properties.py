@@ -144,22 +144,12 @@ def with_number_gender(
         pron_number_col,
     )
 
-    # Only TRAILING periods are stripped ("Them." -> "Them"; sentence-final
-    # punctuation rides on our tokens where the reference sees PTB tokens).
-    # Acronym shapes are excluded: "US"/"IT" (all-caps, len>=2) and dotted
-    # forms like "U.S." are proper mentions whose lowercase collides with
-    # pronouns — the reference never hits this because pronominal type is
-    # gated on POS (Mention.scala:311), which our capitalized-run extractor
-    # lacks; the shape gate is the faithful stand-in.
-    base = F.regexp_replace(F.col(span_col), r"\.+$", "")
-    low_span = F.lower(base)
-    acronym_shape = (base == F.upper(base)) & (F.length(base) >= 2)
-    pronominal = (
-        ~F.col(span_col).contains(" ")
-        & ~base.contains(".")
-        & ~acronym_shape
-        & low_span.isin(*sorted(ALL_PRONOUNS))
-    )
+    # shared gate with mention_type_col (see span_pronoun_gate docstring:
+    # the two sites must stay in lockstep)
+    from berkeley_entity_spark.operators.pronouns import span_pronoun_gate
+
+    low_span, eligible = span_pronoun_gate(F.col(span_col))
+    pronominal = eligible & low_span.isin(*sorted(ALL_PRONOUNS))
     number = F.when(pronominal, pron_number_col(low_span)).otherwise(number_counts)
     gender = F.when(pronominal, pron_gender_col(low_span)).otherwise(gender_counts)
 

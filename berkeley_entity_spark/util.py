@@ -64,10 +64,26 @@ def maybe_broadcast(
     only when the row gate passes."""
     if n_rows > row_ceiling:
         return df
-    # short-circuit: below this row count the table cannot breach the byte
-    # cap even at a pessimistic 2KB/row — skip the sampling job entirely
-    # (this repo deliberately minimizes fixed job counts)
-    if n_rows <= cap_bytes // 2048:
+    # short-circuit (skips the sampling job — this repo minimizes fixed job
+    # counts) ONLY when the schema is all fixed-width types, where the exact
+    # row size is known without sampling; variable-width columns (strings,
+    # arrays, binary) can hide arbitrarily wide rows and must be sampled
+    fixed = {
+        LongType, DoubleType, TimestampType, IntegerType, FloatType,
+        ShortType, BooleanType, ByteType,
+    }
+    if all(type(f.dataType) in fixed for f in df.schema.fields):
+        width = sum(
+            8 if isinstance(f.dataType, (LongType, DoubleType, TimestampType))
+            else 4 if isinstance(f.dataType, (IntegerType, FloatType))
+            else 2 if isinstance(f.dataType, ShortType)
+            else 1
+            for f in df.schema.fields
+        ) + 16
+        return F.broadcast(df) if n_rows * width <= cap_bytes else df
+    # variable-width schema: still skip the sampling job for genuinely tiny
+    # dimension tables, under a deliberately harsh 256KB/row pessimism
+    if n_rows * (256 * 1024) <= cap_bytes:
         return F.broadcast(df)
     if estimated_bytes(df, n_rows) > cap_bytes:
         return df
