@@ -104,7 +104,13 @@ def minhash_lsh_pairs(
     ]
     buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bucket"))
     w = Window.partitionBy("bucket").orderBy("doc_id")
-    ranked = buckets.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= max_bucket)
+    # NOT persisted: the self-join recomputes the md5 signature exprs on
+    # both sides, but A/B measurement (sf0.1, min-of-2 warm) put recompute
+    # at 4.9s vs 6.0s persisted — codegen md5 is cheaper than row-cache
+    # materialization
+    ranked = buckets.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= max_bucket
+    )
     a, b = ranked.alias("a"), ranked.alias("b")
     return (
         a.join(
@@ -130,6 +136,13 @@ def ngram_jaccard_pairs(
     |A ∪ B| = |A| + |B| − |∩|.  Stop-ngrams (df > max_ngram_df) are dropped
     before the self-join — the standard guard against quadratic hot keys.
     """
+    # dn feeds THREE consumers (sizes, hot, cold) and cold self-joins, so
+    # the explode+distinct subtree replicates SIX times in the physical
+    # plan.  DELIBERATELY NOT persisted: A/B measurement (sf0.1, alternating
+    # warm runs) showed persist is a wash here and actively slower for the
+    # minhash sibling — whole-stage-codegen recompute over a cached parquet
+    # scan beats row-cache materialization + memory pressure.  Revisit only
+    # if the scan itself becomes the bottleneck (e.g. remote object store).
     dn = (
         documents.select("doc_id", F.explode(shingles_col(n, text_col)).alias("ngram"))
         .distinct()
