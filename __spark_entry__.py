@@ -632,7 +632,8 @@ def q_er_mentions(spark, sf_dir):
     )
     m = extract_mentions(d)
     return m.select(
-        "url", "sent_idx", "start", "end", "span", "head", "norm_name", "is_acr"
+        "url", "sent_idx", "start", "end", "span", "head", "norm_name",
+        "is_acr", "appositive_like"
     )
 
 
@@ -826,13 +827,18 @@ named AS (SELECT url, 0 AS sent_idx, start, "end", span,
                      string_split(replace(lower(span), '.', ''), ' '),
                      x -> x <> ''), ' ') AS norm_name
           FROM spans WHERE span NOT IN ({starters}))
-SELECT url, CAST(sent_idx AS INTEGER) AS sent_idx, start, "end", span,
-       list_extract(string_split(norm_name, ' '),
-                    len(string_split(norm_name, ' '))) AS head,
-       norm_name,
-       (strpos(span, ' ') = 0 AND span = upper(span)
-        AND length(span) BETWEEN 2 AND 6) AS is_acr
-FROM named
+SELECT n.url, CAST(n.sent_idx AS INTEGER) AS sent_idx, n.start, n."end", n.span,
+       list_extract(string_split(n.norm_name, ' '),
+                    len(string_split(n.norm_name, ' '))) AS head,
+       n.norm_name,
+       (strpos(n.span, ' ') = 0 AND n.span = upper(n.span)
+        AND length(n.span) BETWEEN 2 AND 6) AS is_acr,
+       coalesce(nx.t = ',' OR starts_with(nx.t, ',')
+                OR lower(regexp_replace(nx.t, '[.,]+$', '', 'g'))
+                   IN ('and','or','but','nor','yet','so','&','plus'),
+                FALSE) AS appositive_like
+FROM named n
+LEFT JOIN t2 nx ON nx.url = n.url AND nx.i = n."end" + 1
 """
 
 

@@ -38,7 +38,7 @@ _CAP_TOKEN = re.compile(r"^[A-Z][A-Za-z0-9.&'\-]*$")
 MENTIONS_SCHEMA = (
     "url string, sent_idx int, start int, end int, span string, head string, "
     "norm_name string, mtype string, ner string, number string, gender string, "
-    "is_acr boolean"
+    "is_acr boolean, appositive_like boolean"
 )
 
 
@@ -47,11 +47,33 @@ def normalize_name(span: str) -> str:
     return " ".join(t for t in span.replace(".", "").lower().split() if t)
 
 
-def _mentions_from_text(text: str) -> list[tuple[int, int, int, str]]:
-    """(sent_idx, start, end, span) for each maximal capitalized run.
+# CC (coordinating conjunction) closed class — the POS tag "CC"
+_CC_WORDS = frozenset(("and", "or", "but", "nor", "yet", "so", "&", "plus"))
+
+
+def _appositive_like(toks: list[str], end: int) -> bool:
+    """P9's appositive-like predicate (CorefDocAssembler.scala:181): the
+    token right after the span is a comma or a coordinating conjunction.
+    Covers PTB-style (',' its own token) and web tokens (comma attached)."""
+    if end >= len(toks):
+        return False
+    nxt = toks[end]
+    return (
+        nxt == ","
+        or nxt.startswith(",")
+        or nxt.rstrip(".,").lower() in _CC_WORDS
+    )
+
+
+def _mentions_from_text(text: str) -> list[tuple[int, int, int, str, bool]]:
+    """(sent_idx, start, end, span, appositive_like) for each maximal
+    capitalized run.
 
     Token index 0 of every sentence is the (capitalized) sentence starter and
-    is excluded from candidacy — the closed-class filter.
+    is excluded from candidacy — the closed-class filter.  The reference
+    uses appositive_like to RETAIN non-maximal same-head spans
+    (CorefDocAssembler.scala:178-185); our runs are maximal by construction
+    (no nested candidates), so the predicate rides along as a feature.
     """
     out = []
     for s_idx, sent in enumerate(split_sentences([text])):
@@ -64,7 +86,7 @@ def _mentions_from_text(text: str) -> list[tuple[int, int, int, str]]:
             elif not is_cap and run_start is not None:
                 span = " ".join(toks[run_start:i])
                 if span not in STARTERS_SET:
-                    out.append((s_idx, run_start, i, span))
+                    out.append((s_idx, run_start, i, span, _appositive_like(toks, i)))
                 run_start = None
     return out
 
@@ -96,7 +118,7 @@ def extract_mentions(
         out_cols = [
             "url", "sent_idx", "start", "end", "span", "head",
             "norm_name", "mtype", "ner", "number", "gender", "is_acr",
-            *pt,
+            "appositive_like", *pt,
         ]
         for pdf in batches:
             rows = []
@@ -108,7 +130,7 @@ def extract_mentions(
             pt_vals = [pdf[c] for c in pt]
             for i, (url, text) in enumerate(zip(pdf["url"], texts)):
                 extra = tuple(v.iloc[i] for v in pt_vals)
-                for s_idx, start, end, span in _mentions_from_text(text):
+                for s_idx, start, end, span, appos in _mentions_from_text(text):
                     norm = normalize_name(span)
                     head = norm.split(" ")[-1] if norm else ""
                     # all-caps single short token = written-as-acronym
@@ -117,7 +139,7 @@ def extract_mentions(
                     )
                     rows.append(
                         (url, s_idx, start, end, span, head, norm,
-                         "PROPER", "", "UNKNOWN", "UNKNOWN", is_acr, *extra)
+                         "PROPER", "", "UNKNOWN", "UNKNOWN", is_acr, appos, *extra)
                     )
             yield pd.DataFrame(rows, columns=out_cols)
 
@@ -144,3 +166,4 @@ def extracted_text(pages: DataFrame) -> DataFrame:
             )
 
     return pages.select("url", "html").mapInPandas(gen, schema="url string, text string")
+

@@ -69,3 +69,19 @@ def test_byte_identity_html_roundtrip():
     for i in range(50):
         page, _ = make_page(i, cfg)
         assert extract_text(page["html"].decode("utf-8")) == page["text"]
+
+
+def test_appositive_like_predicate():
+    """P9 (CorefDocAssembler.scala:181): comma or CC right after the span."""
+    from berkeley_entity_spark.operators.extract import _mentions_from_text
+
+    got = {
+        m[3]: m[4]
+        for m in _mentions_from_text(
+            "Today Alice Smith and Bruno Lopez met Apex Data , while Clara Wilson left."
+        )
+    }
+    assert got["Alice Smith"] is True        # followed by "and" (CC)
+    assert got["Bruno Lopez"] is False       # followed by "met"
+    assert got["Apex Data"] is True          # followed by standalone ","
+    assert got["Clara Wilson"] is False      # followed by "left."
