@@ -486,13 +486,16 @@ def q_sessionize(spark, sf_dir):
     )
 
 
-def q_er_clusters(spark, sf_dir):
-    """The ER spine on a deterministic synthetic web corpus: extract ->
-    block -> score -> cluster.  Returns the partition-independent cluster
-    invariant summary (per-cluster-size counts + xor membership checksums);
-    the oracle pins these golden values (regenerate with
-    tools/pin_invariants.py).  Full-resolution correctness (F1>=0.99 vs
-    gold) lives in tests/test_pipeline_e2e.py."""
+def q_er_pipeline(spark, sf_dir):
+    """The FULL ER pipeline (trained 12-feature model, all blocking passes)
+    on a deterministic synthetic web corpus: extract -> block -> score ->
+    cluster.  Returns the partition-independent cluster invariant summary
+    (per-cluster-size counts + xor membership checksums); the oracle is
+    GOLDEN-PINNED (self-derived via tools/pin_invariants.py, which first
+    re-verifies gold F1 — it proves determinism/regression, not independent
+    correctness).  Independent correctness evidence: the e2e F1>=0.99 test
+    (tests/test_pipeline_e2e.py) and q_er_clusters, which runs the same
+    spine operators against a full engine-independent DuckDB oracle."""
     from berkeley_entity_spark.config import PipelineConfig, SynthConfig
     from berkeley_entity_spark.operators.blocking import candidate_pairs, distinct_surfaces
     from berkeley_entity_spark.operators.clustering import assign_clusters, connected_components
@@ -614,15 +617,12 @@ def q_mention_props(spark, sf_dir):
     return out.select("doc_id", "span", "number", "gender")
 
 
-def q_er_mentions(spark, sf_dir):
-    """P8/P10: the REAL extract kernel (capitalized-run scan, starter filter,
-    normalization, acronym flag) driven over a deterministically capitalized
-    version of the `documents` table, so DuckDB can re-derive the same runs
-    in SQL and check the kernel end-to-end: tokens of length 3 are
-    uppercased (acronym-shaped), length>=5 get an initial capital."""
-    from berkeley_entity_spark.operators.extract import extract_mentions
-
-    d = _t(spark, sf_dir, "documents").selectExpr(
+def _cap_docs(spark, sf_dir):
+    """Deterministically capitalized `documents` corpus — the shared input
+    of q_er_mentions and q_er_clusters: tokens of length 3 are uppercased
+    (acronym-shaped), length>=5 get an initial capital, so the extract
+    kernel finds proper-name-shaped runs that DuckDB can re-derive."""
+    return _t(spark, sf_dir, "documents").selectExpr(
         "CAST(doc_id AS STRING) AS url",
         "array_join(transform(filter(split(text, ' '), x -> x != ''), t -> "
         "CASE WHEN length(t) = 3 THEN upper(t) "
@@ -630,10 +630,96 @@ def q_er_mentions(spark, sf_dir):
         "ELSE t END), ' ') AS text",
         "'en' AS lang",
     )
-    m = extract_mentions(d)
+
+
+def q_er_mentions(spark, sf_dir):
+    """P8/P10 + P9: the REAL extract kernel (capitalized-run scan, starter
+    filter, token cap, normalization, acronym flag, appositive sub-span
+    retention — CorefDocAssembler.scala:157-189) driven over the
+    deterministically capitalized `documents` corpus (_cap_docs), so DuckDB
+    can re-derive the same runs AND the retained nested head spans in SQL
+    and check the kernel end-to-end."""
+    from berkeley_entity_spark.operators.extract import extract_mentions
+
+    m = extract_mentions(_cap_docs(spark, sf_dir), appositive_subspans=True)
     return m.select(
         "url", "sent_idx", "start", "end", "span", "head", "norm_name",
         "is_acr", "appositive_like"
+    )
+
+
+# Weight vector for the oracle-checked ER spine (q_er_clusters): the two
+# features with no exact SQL analog (tfidf_cosine — idf side-table; and
+# token_align — recursive injective matching) are zero-weighted, the bias is
+# re-centered for the remaining margin mass.  The FULL trained 12-feature
+# model runs in q_er_pipeline / the e2e F1 test; this vector exists so the
+# driver's DuckDB oracle can recompute every scored feature bit-for-bit.
+ORACLE_ER_WEIGHTS = {
+    "jaro_winkler": 3.0,
+    "levenshtein": 2.0,
+    "token_jaccard": 1.5,
+    "tfidf_cosine": 0.0,
+    "exact_eq": 6.0,
+    "last_eq": 1.0,
+    "first_eq": 1.0,
+    "init_last_eq": 2.0,
+    "acronym_match": 12.0,
+    "token_subset": 1.0,
+    "token_align": 0.0,
+    # -8 measured against the corpus's percolation threshold: -7 collapses
+    # the word-soup surface graph into one giant component (2728 of ~2800
+    # surfaces, which also makes the oracle's recursive-CTE closure
+    # quadratic); -8 yields ~350 components with max size ~25 at BOTH
+    # sf0.001 and sf0.01 (the surface vocabulary saturates), i.e. a
+    # non-degenerate clustering and a cheap exact closure.
+    "bias": -8.0,
+}
+
+# Edge threshold for the oracle spine.  NOT 0.0: every feature is a small
+# rational (levenshtein k/n, jaccard i/u, indicators), so candidate scores
+# land EXACTLY on the rational lattice — including exact zeros (observed on
+# the sf0.001 corpus: a pair whose true score is 0 showed up as +4.4e-16 in
+# numpy; DuckDB's summation order could legally give -2e-16 and flip the
+# edge).  1e-9 sits far above both engines' FP noise on a true zero
+# (<1e-13) and far below the smallest achievable nonzero |score| (~1e-4
+# observed), so the decode is deterministic across engines.
+ORACLE_ER_THRESHOLD = 1e-9
+
+
+def q_er_clusters(spark, sf_dir):
+    """M7/J1-J3/M1-M2 with a TRUE engine-independent oracle: the REAL
+    distributed ER spine — extract -> distinct surfaces -> blocking (exact
+    pass + sorted-neighborhood + md5-minhash LSH, all codegen) ->
+    score_pairs (Arrow kernel, portable feature subset) -> threshold decode
+    -> large-star/small-star transitive closure -> cluster assignment —
+    over the capitalized `documents` corpus.  The DuckDB oracle re-derives
+    every stage in SQL (recursive-CTE closure; target semantics
+    OrderedClustering.scala:79-95) — replacing round-2's golden-pinned
+    oracle.  Output: one row per cluster (rep_name = min member surface,
+    n_surfaces, n_mentions)."""
+    from berkeley_entity_spark.config import PipelineConfig
+    from berkeley_entity_spark.operators.blocking import candidate_pairs, distinct_surfaces
+    from berkeley_entity_spark.operators.clustering import assign_clusters, connected_components
+    from berkeley_entity_spark.operators.extract import extract_mentions
+    from berkeley_entity_spark.operators.scoring import match_edges, score_pairs, weights_vector
+
+    cfg = PipelineConfig()
+    mentions = extract_mentions(_cap_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    surfaces = distinct_surfaces(mentions).persist()
+    n_surfaces = surfaces.count()
+    pairs = candidate_pairs(mentions, cfg, surfaces=surfaces, n_surfaces=n_surfaces)
+    scored = score_pairs(pairs, {}, weights=weights_vector(ORACLE_ER_WEIGHTS))
+    comp = connected_components(match_edges(scored, threshold=ORACLE_ER_THRESHOLD))
+    clusters = assign_clusters(mentions, surfaces, comp, n_surfaces=n_surfaces)
+    return (
+        clusters.join(mentions.select("mention_id", "norm_name"), "mention_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("norm_name").alias("n_surfaces"),
+            F.min("norm_name").alias("rep_name"),
+        )
+        .select("rep_name", "n_surfaces", "n_mentions")
     )
 
 
@@ -670,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bcubed": q_bcubed,
         "q_mention_props": q_mention_props,
         "q_ner_tags": q_ner_tags,
+        "q_er_pipeline": q_er_pipeline,
         "q_er_clusters": q_er_clusters,
         "q_er_mentions": q_er_mentions,
     }
@@ -799,8 +886,12 @@ def _er_mentions_oracle() -> str:
     """SQL re-implementation of the extract kernel's capitalized-run scan
     (extract.py:_mentions_from_text) over the same deterministically
     capitalized documents corpus: islands of _CAP_TOKEN-matching tokens,
-    sentence-starter (index 0) excluded, STARTERS blacklist, normalization
-    = lowercase/strip-periods/collapse, acronym flag."""
+    sentence-starter (index 0) excluded, STARTERS blacklist, token-count
+    ceiling (MAX_MENTION_TOKENS), normalization
+    = lowercase/strip-periods/collapse, acronym flag, and P9's appositive
+    sub-span retention (each appositive-like multi-token run additionally
+    yields its head-token nested span)."""
+    from berkeley_entity_spark.operators.extract import MAX_MENTION_TOKENS
     from berkeley_entity_spark.synth import STARTERS
 
     starters = ", ".join(f"'{s}'" for s in STARTERS)
@@ -821,24 +912,169 @@ spans AS (SELECT url,
                  CAST(min(i) - 1 AS INTEGER) AS start,
                  CAST(max(i) AS INTEGER) AS "end",
                  string_agg(t, ' ' ORDER BY i) AS span
-          FROM runs GROUP BY url, grp),
-named AS (SELECT url, 0 AS sent_idx, start, "end", span,
+          FROM runs GROUP BY url, grp
+          HAVING count(*) <= {MAX_MENTION_TOKENS}),
+flt AS (SELECT s.url, s.start, s."end", s.span,
+               coalesce(nx.t = ',' OR starts_with(nx.t, ',')
+                        OR lower(regexp_replace(nx.t, '[.,]+$', '', 'g'))
+                           IN ('and','or','but','nor','yet','so','&','plus'),
+                        FALSE) AS appositive_like
+        FROM (SELECT * FROM spans WHERE span NOT IN ({starters})) s
+        LEFT JOIN t2 nx ON nx.url = s.url AND nx.i = s."end" + 1),
+allm AS (SELECT url, start, "end", span, appositive_like FROM flt
+         UNION ALL
+         SELECT url, "end" - 1 AS start, "end",
+                list_extract(string_split(span, ' '),
+                             len(string_split(span, ' '))) AS span,
+                TRUE AS appositive_like
+         FROM flt WHERE appositive_like AND strpos(span, ' ') > 0)
+SELECT url, CAST(0 AS INTEGER) AS sent_idx,
+       CAST(start AS INTEGER) AS start, CAST("end" AS INTEGER) AS "end", span,
+       list_extract(string_split(norm_name, ' '),
+                    len(string_split(norm_name, ' '))) AS head,
+       norm_name,
+       (strpos(span, ' ') = 0 AND span = upper(span)
+        AND length(span) BETWEEN 2 AND 6) AS is_acr,
+       appositive_like
+FROM (SELECT *, array_to_string(list_filter(
+                    string_split(replace(lower(span), '.', ''), ' '),
+                    x -> x <> ''), ' ') AS norm_name
+      FROM allm)
+"""
+
+
+def _er_clusters_oracle() -> str:
+    """Full SQL re-derivation of the ER spine (q_er_clusters): mentions
+    (capitalized-run scan), distinct surfaces, ALL THREE blocking passes
+    (sorted-neighborhood keys, md5-string-min minhash LSH, exact pass
+    implicit in surface dedup), the portable feature subset + linear score,
+    threshold decode, and transitive closure as a recursive CTE
+    (OrderedClustering.scala:79-95 semantics: component = min member)."""
+    from berkeley_entity_spark.config import PipelineConfig
+    from berkeley_entity_spark.operators.extract import MAX_MENTION_TOKENS
+    from berkeley_entity_spark.synth import STARTERS
+
+    cfg = PipelineConfig()
+    w = ORACLE_ER_WEIGHTS
+    k, rows, bands = cfg.shingle_k, cfg.minhash_rows, cfg.minhash_bands
+    starters = ", ".join(f"'{s}'" for s in STARTERS)
+    mh = ",\n              ".join(
+        f"min(md5('{i}|' || sh)) AS mh{i}" for i in range(rows * bands)
+    )
+    band_keys = ",\n             ".join(
+        f"'MH:{b}:' || " + " || ':' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        for b in range(bands)
+    )
+    acr_of = "array_to_string(list_transform({t}, t -> substr(t, 1, 1)), '')"
+    return f"""
+WITH RECURSIVE
+tok AS (SELECT CAST(doc_id AS VARCHAR) AS url, {TOKQ} AS toks FROM documents),
+t2 AS (SELECT url, i,
+              CASE WHEN length(t) = 3 THEN upper(t)
+                   WHEN length(t) >= 5 THEN upper(substr(t, 1, 1)) || substr(t, 2)
+                   ELSE t END AS t
+       FROM (SELECT url, unnest(toks) AS t,
+                    generate_subscripts(toks, 1) AS i
+             FROM tok)),
+runs AS (SELECT url, i, t,
+                i - row_number() OVER (PARTITION BY url ORDER BY i) AS grp
+         FROM t2
+         WHERE regexp_matches(t, '^[A-Z][A-Za-z0-9.&''\\-]*$') AND i > 1),
+spans AS (SELECT url, string_agg(t, ' ' ORDER BY i) AS span
+          FROM runs GROUP BY url, grp
+          HAVING count(*) <= {MAX_MENTION_TOKENS}),
+named AS (SELECT url, span,
                  array_to_string(list_filter(
                      string_split(replace(lower(span), '.', ''), ' '),
                      x -> x <> ''), ' ') AS norm_name
-          FROM spans WHERE span NOT IN ({starters}))
-SELECT n.url, CAST(n.sent_idx AS INTEGER) AS sent_idx, n.start, n."end", n.span,
-       list_extract(string_split(n.norm_name, ' '),
-                    len(string_split(n.norm_name, ' '))) AS head,
-       n.norm_name,
-       (strpos(n.span, ' ') = 0 AND n.span = upper(n.span)
-        AND length(n.span) BETWEEN 2 AND 6) AS is_acr,
-       coalesce(nx.t = ',' OR starts_with(nx.t, ',')
-                OR lower(regexp_replace(nx.t, '[.,]+$', '', 'g'))
-                   IN ('and','or','but','nor','yet','so','&','plus'),
-                FALSE) AS appositive_like
-FROM named n
-LEFT JOIN t2 nx ON nx.url = n.url AND nx.i = n."end" + 1
+          FROM spans WHERE span NOT IN ({starters})),
+surf AS (SELECT norm_name,
+                CAST(count(*) AS BIGINT) AS n_mentions,
+                bool_or(strpos(span, ' ') = 0 AND span = upper(span)
+                        AND length(span) BETWEEN 2 AND 6) AS is_acr
+         FROM named GROUP BY norm_name),
+st AS (SELECT norm_name, string_split(norm_name, ' ') AS tk FROM surf),
+snk AS (SELECT norm_name, 'L:' || tk[len(tk)] AS block_key FROM st
+        UNION
+        SELECT norm_name, 'F:' || tk[1] FROM st
+        UNION
+        SELECT norm_name, 'A:' || {acr_of.format(t='tk')} FROM st
+        UNION
+        SELECT norm_name, 'A:' || tk[1] FROM st WHERE len(tk) = 1),
+pad AS (SELECT norm_name, ' ' || norm_name || ' ' AS p FROM surf),
+msh AS (SELECT norm_name,
+               unnest(CASE WHEN length(p) <= {k} THEN [p]
+                      ELSE list_distinct(list_transform(
+                               generate_series(1, length(p) - {k - 1}),
+                               i -> substr(p, i, {k}))) END) AS sh
+        FROM pad),
+sig AS (SELECT norm_name,
+              {mh}
+        FROM msh GROUP BY norm_name),
+mhk AS (SELECT norm_name,
+               unnest([{band_keys}]) AS block_key
+        FROM sig),
+keys AS (SELECT * FROM snk WHERE length(block_key) > 2
+         UNION ALL SELECT * FROM mhk),
+ranked AS (SELECT norm_name, block_key,
+                  row_number() OVER (PARTITION BY block_key
+                                     ORDER BY norm_name) AS rn
+           FROM keys),
+capped AS (SELECT * FROM ranked WHERE rn <= {cfg.max_block_size}),
+cand AS (SELECT DISTINCT least(a.norm_name, b.norm_name) AS na,
+                greatest(a.norm_name, b.norm_name) AS nb
+         FROM capped a JOIN capped b ON a.block_key = b.block_key
+          AND b.rn > a.rn
+          AND b.rn <= a.rn + CASE WHEN starts_with(a.block_key, 'MH:')
+                                  THEN {cfg.max_block_size}
+                                  ELSE {cfg.neighborhood} END),
+ft AS (SELECT na, nb,
+              string_split(na, ' ') AS ta, string_split(nb, ' ') AS tb,
+              sa.is_acr AS aa, sb.is_acr AS ab
+       FROM cand
+       JOIN surf sa ON sa.norm_name = na
+       JOIN surf sb ON sb.norm_name = nb),
+fx AS (SELECT na, nb,
+   jaro_winkler_similarity(na, nb) AS f_jw,
+   CASE WHEN na = nb THEN 1.0
+        WHEN length(na) = 0 OR length(nb) = 0 THEN 0.0
+        ELSE 1.0 - levenshtein(na, nb) * 1.0 / greatest(length(na), length(nb))
+   END AS f_lev,
+   len(list_intersect(ta, tb)) * 1.0
+     / (len(list_distinct(ta)) + len(list_distinct(tb))
+        - len(list_intersect(ta, tb))) AS f_jac,
+   CASE WHEN ta[len(ta)] = tb[len(tb)] THEN 1.0 ELSE 0.0 END AS f_last,
+   CASE WHEN ta[1] = tb[1] THEN 1.0 ELSE 0.0 END AS f_first,
+   CASE WHEN ta[len(ta)] = tb[len(tb)]
+             AND substr(ta[1], 1, 1) = substr(tb[1], 1, 1)
+        THEN 1.0 ELSE 0.0 END AS f_il,
+   CASE WHEN (len(ta) = 1 AND aa AND len(tb) > 1
+              AND ta[1] = {acr_of.format(t='tb')})
+          OR (len(tb) = 1 AND ab AND len(ta) > 1
+              AND tb[1] = {acr_of.format(t='ta')})
+        THEN 1.0 ELSE 0.0 END AS f_acr,
+   CASE WHEN list_has_all(ta, tb) OR list_has_all(tb, ta)
+        THEN 1.0 ELSE 0.0 END AS f_sub
+   FROM ft),
+edges AS (SELECT na, nb FROM fx
+          WHERE {w['jaro_winkler']} * f_jw + {w['levenshtein']} * f_lev
+              + {w['token_jaccard']} * f_jac + {w['last_eq']} * f_last
+              + {w['first_eq']} * f_first + {w['init_last_eq']} * f_il
+              + {w['acronym_match']} * f_acr + {w['token_subset']} * f_sub
+              + ({w['bias']}) > {ORACLE_ER_THRESHOLD!r}),
+sym AS (SELECT na AS a, nb AS b FROM edges
+        UNION ALL SELECT nb, na FROM edges),
+walk(node, src) AS (
+    SELECT norm_name, norm_name FROM surf
+    UNION
+    SELECT s.b, walk.src FROM walk JOIN sym s ON s.a = walk.node),
+comp AS (SELECT node AS norm_name, min(src) AS comp
+         FROM walk GROUP BY node)
+SELECT c.comp AS rep_name,
+       CAST(count(*) AS BIGINT) AS n_surfaces,
+       CAST(sum(s.n_mentions) AS BIGINT) AS n_mentions
+FROM comp c JOIN surf s USING (norm_name)
+GROUP BY c.comp
 """
 
 
@@ -1239,12 +1475,13 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_id
         """,
     }
+    out["q_er_clusters"] = _er_clusters_oracle()
     g = _golden_oracle(
-        "q_er_clusters",
+        "q_er_pipeline",
         [("size", "BIGINT"), ("n_clusters", "BIGINT"), ("members_hash", "BIGINT")],
     )
     if g:
-        out["q_er_clusters"] = g
+        out["q_er_pipeline"] = g
     g = _golden_oracle(
         "q_ner_tags",
         [("label", "VARCHAR"), ("n", "BIGINT"), ("rows_hash", "BIGINT")],

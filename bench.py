@@ -38,6 +38,11 @@ HEADLINE = [
     "q_sessionize",
     "q_pairwise_f1",
     "q_quality_score",
+    # q_er_pipeline is round-2's "q_er_clusters" renamed (same computation:
+    # full trained-model synth pipeline) — compare r3's q_er_pipeline time
+    # against r2's q_er_clusters.  The NEW q_er_clusters is the SQL-oracled
+    # documents-corpus spine added in round 3.
+    "q_er_pipeline",
     "q_er_clusters",
 ]
 

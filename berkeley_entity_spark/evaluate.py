@@ -217,7 +217,7 @@ _POIS1_CDF = [0.367879, 0.735759, 0.919699, 0.981012, 0.996340,
 
 
 def _poisson1(u):
-    expr = F.lit(len(_POIS1_CDF))
+    expr = F.lit(len(_POIS1_CDF) - 1)
     for k in range(len(_POIS1_CDF) - 1, -1, -1):
         expr = F.when(u < _POIS1_CDF[k], F.lit(k)).otherwise(expr)
     return expr
@@ -303,9 +303,12 @@ def grouped_accuracy(
     (group, n, correct, accuracy)."""
     j = pred.select(key, "cluster_id").join(gold.select(key, "entity_id"), key)
     cells = j.groupBy("cluster_id", "entity_id").agg(F.count(F.lit(1)).alias("n_ce"))
+    # min_by over (-count, entity_id) keeps the "ties to the smaller
+    # entity id" rule for ANY orderable id type (a unary minus on a string
+    # id would cast to null and make the tie-break arbitrary)
     majority = cells.groupBy("cluster_id").agg(
-        F.max_by(
-            "entity_id", F.struct(F.col("n_ce"), -F.col("entity_id"))
+        F.min_by(
+            "entity_id", F.struct((-F.col("n_ce")).alias("_negn"), F.col("entity_id"))
         ).alias("_maj")
     )
     scored = (

@@ -26,15 +26,11 @@ but cross-sub-block pairs within a hot key are not generated — a bounded
 recall trade, see tests/test_blocking_salt.py);
 AQE skew-join handles residual join-side imbalance.
 Everything below is expressed as DataFrame ops (joins, windows, explode); the
-only Python is the Arrow-batched minhash kernel.
+minhash pass included — the whole stage runs JVM-side in codegen.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -99,68 +95,58 @@ def surface_block_keys(surfaces: DataFrame) -> DataFrame:
 # ------------------------------------------------------------------- minhash
 
 
-def _shingles(s: str, k: int) -> set[str]:
-    padded = f" {s} "
-    if len(padded) <= k:
-        return {padded}
-    return {padded[i : i + k] for i in range(len(padded) - k + 1)}
+def char_shingles_col(norm_col: str = "norm_name", k: int = 3):
+    """Distinct char k-shingles of the space-padded surface as an array
+    column.  Pure SQL expressions (substr over a sequence) — whole-stage
+    codegen, and byte-identical to DuckDB's substr over the same string."""
+    padded = F.concat(F.lit(" "), F.col(norm_col), F.lit(" "))
+    return F.when(F.length(padded) <= k, F.array(padded)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(padded) - (k - 1)),
+                lambda i: padded.substr(i, F.lit(k)),
+            )
+        )
+    )
 
 
 def minhash_signatures(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """(node_id, band, bucket) via seeded minhash over char shingles.
+    """(node_id, norm_name, block_key='MH:band:bucket') via seeded minhash
+    over char shingles — the coarse-cascade analog (CorefPruner.scala:36-47).
 
-    Arrow-batched kernel: shingle -> 64-bit hash -> per-seed affine permute ->
-    min per seed; `rows` seeds are concatenated per band into the bucket key.
-    Seeds are fixed constants — signatures are reproducible anywhere.
-    """
-    n_hashes = cfg.minhash_rows * cfg.minhash_bands
-    rng = np.random.RandomState(42)
-    MOD = (1 << 61) - 1
-    a_coef = rng.randint(1, MOD, size=n_hashes, dtype=np.int64)
-    b_coef = rng.randint(0, MOD, size=n_hashes, dtype=np.int64)
+    Engine-portable string-min trick (same family as dedup.minhash_lsh_pairs):
+    minhash_i = min(md5(i || '|' || shingle)) — md5 is a uniform permutation
+    of the shingle space per seed, and the lexicographic min over hex digests
+    is a valid min-hash.  Bucket per band = concat of its `rows` mins.
+
+    Two wins over the former blake2b Arrow kernel: (1) the whole signature
+    runs inside whole-stage codegen (explode + hash-agg min; the dedup
+    sibling measured ~4x faster than interpreted/Python paths), so the ER
+    blocking stage now contains NO Python; (2) the signature is reproducible
+    in ANY SQL engine, which lets the driver's DuckDB oracle re-derive the
+    full blocking stage end-to-end (q_er_clusters)."""
     k, rows, bands = cfg.shingle_k, cfg.minhash_rows, cfg.minhash_bands
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
-        def sig(s: str) -> np.ndarray:
-            hs = np.fromiter(
-                (
-                    int.from_bytes(hashlib.blake2b(sh.encode(), digest_size=8).digest(), "big") >> 3
-                    for sh in _shingles(s, k)
-                ),
-                dtype=np.int64,
-            )
-            # (a*h + b) mod p for all seeds x shingles, min over shingles
-            m = (hs[None, :] * a_coef[:, None] + b_coef[:, None]) % MOD
-            return m.min(axis=1)
-
-        for pdf in batches:
-            out_node, out_name, out_band, out_bucket = [], [], [], []
-            for node, name in zip(pdf["node_id"], pdf["norm_name"]):
-                v = sig(name)
-                for bd in range(bands):
-                    chunk = v[bd * rows : (bd + 1) * rows]
-                    bucket = int.from_bytes(
-                        hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big", signed=True
-                    )
-                    out_node.append(node)
-                    out_name.append(name)
-                    out_band.append(bd)
-                    out_bucket.append(bucket)
-            # norm_name rides through the kernel: the caller needs it for the
-            # in-block sort, and a join back to surfaces would cost a shuffle
-            yield pd.DataFrame(
-                {
-                    "node_id": out_node,
-                    "norm_name": out_name,
-                    "band": out_band,
-                    "bucket": out_bucket,
-                }
-            )
-
-    return surfaces.select("node_id", "norm_name").mapInPandas(
-        gen, schema="node_id bigint, norm_name string, band int, bucket bigint"
+    n_hashes = rows * bands
+    ex = surfaces.select(
+        "node_id", "norm_name",
+        F.explode(char_shingles_col("norm_name", k)).alias("sh"),
+    )
+    sig = ex.groupBy("node_id", "norm_name").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    band_cols = [
+        F.concat_ws(
+            ":", F.lit("MH"), F.lit(str(b)),
+            *[F.col(f"mh{b * rows + r}") for r in range(rows)],
+        ).alias("bk")
+        for b in range(bands)
+    ]
+    return sig.select(
+        "node_id", "norm_name",
+        F.explode(F.array(*band_cols)).alias("block_key"),
     )
 
 
@@ -191,11 +177,7 @@ def candidate_pairs(
     if surfaces is None:
         surfaces = distinct_surfaces(mentions).persist()
     sn_keys = surface_block_keys(surfaces)
-    mh_keys = minhash_signatures(surfaces, cfg).select(
-        "node_id",
-        "norm_name",
-        F.concat_ws(":", F.lit("MH"), "band", "bucket").alias("block_key"),
-    )
+    mh_keys = minhash_signatures(surfaces, cfg)
     keys = sn_keys.unionByName(mh_keys)
 
     if cfg.salt_hot_blocks:
@@ -206,8 +188,8 @@ def candidate_pairs(
         # pairs between rows landing in different sub-blocks of the same hot
         # key are not generated (the salt is a hash, so neighborhood locality
         # does not survive the split) — a bounded recall trade vs the cap.
-        # `keys` (which embeds the minhash Arrow kernel) feeds BOTH the hot
-        # aggregate and the join below; persist so the kernel runs once.
+        # `keys` (which embeds the minhash signature agg) feeds BOTH the
+        # hot aggregate and the join below; persist so it computes once.
         keys = keys.persist()
         hot = (
             keys.groupBy("block_key")
@@ -236,7 +218,7 @@ def candidate_pairs(
     ranked = ranked.persist()
     if cfg.salt_hot_blocks:
         # materialize ranked now (we pay this window either way), then free
-        # the keys cache — the minhash kernel never recomputes.
+        # the keys cache — the minhash signatures never recompute.
         ranked.count()
         keys.unpersist()
     width = F.when(

@@ -130,37 +130,68 @@ def ngram_jaccard_pairs(
     max_ngram_df: int = 500,
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for every pair sharing >=1 n-gram.
+    """Exact n-gram Jaccard similarity for every pair sharing >=1 n-gram in
+    their PREFIXES — the PPJoin/All-Pairs prefix filter (Bayardo et al.
+    WWW'07, Chaudhuri et al. ICDE'06), exact at any threshold.
 
-    |A ∩ B| via pair counting on exploded distinct (doc, ngram) rows;
-    |A ∪ B| = |A| + |B| − |∩|.  Stop-ngrams (df > max_ngram_df) are dropped
-    before the self-join — the standard guard against quadratic hot keys.
+    Stop-ngrams (df > max_ngram_df) are dropped before all pair work (the
+    guard against quadratic hot keys; intersections count cold ngrams only,
+    sizes count all — unchanged semantics, mirrored by the DuckDB oracle).
+
+    Prefix filter: order each doc's cold ngrams by global (df asc, ngram)
+    — rarest first — and self-join only the first
+    floor((1-θ)·|cold|) + 1 of them.  Lossless: jaccard ≥ θ forces
+    |A∩B| ≥ θ·union ≥ θ·max(|A_c|,|B_c|), and two sets with that overlap
+    under a common total order must collide within these prefixes.  The
+    float guard (+1e-9 before floor) only ever LENGTHENS a prefix, never
+    shortens it.  Survivors are verified exactly (array_intersect over the
+    full cold sets), so the output is identical to the unfiltered
+    all-cold-pairs join at orders-of-magnitude lower join volume — at
+    θ=0.9 each doc contributes ~10% of its postings to candidate
+    generation instead of 100%.
     """
-    # dn feeds THREE consumers (sizes, hot, cold) and cold self-joins, so
-    # the explode+distinct subtree replicates SIX times in the physical
-    # plan.  DELIBERATELY NOT persisted: A/B measurement (sf0.1, alternating
-    # warm runs) showed persist is a wash here and actively slower for the
-    # minhash sibling — whole-stage-codegen recompute over a cached parquet
-    # scan beats row-cache materialization + memory pressure.  Revisit only
-    # if the scan itself becomes the bottleneck (e.g. remote object store).
+    # dn feeds several consumers so the explode+distinct subtree replicates
+    # in the physical plan.  DELIBERATELY NOT persisted: A/B measurement
+    # (sf0.1, alternating warm runs) showed persist is a wash here and
+    # actively slower for the minhash sibling — whole-stage-codegen
+    # recompute over a cached parquet scan beats row-cache materialization
+    # + memory pressure.  Revisit only if the scan itself becomes the
+    # bottleneck (e.g. remote object store).
     dn = (
         documents.select("doc_id", F.explode(shingles_col(n, text_col)).alias("ngram"))
         .distinct()
     )
     sizes = dn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    hot = dn.groupBy("ngram").agg(F.count(F.lit(1)).alias("df")).where(
-        F.col("df") > max_ngram_df
+    df_tab = dn.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
+    cold = dn.join(df_tab.where(F.col("df") <= max_ngram_df), "ngram")
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("ngram"))
+    ranked = cold.select(
+        "doc_id",
+        "ngram",
+        F.row_number().over(wdoc).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("szc"),
     )
-    cold = dn.join(hot, "ngram", "left_anti")
-    a, b = cold.alias("a"), cold.alias("b")
-    inter = (
+    prefix = ranked.where(
+        F.col("rn") <= F.floor((1.0 - threshold) * F.col("szc") + 1e-9) + 1
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.ngram") == F.col("b.ngram"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    docsets = cold.groupBy("doc_id").agg(F.collect_list("ngram").alias("arr"))
+    inter = (
+        cand.join(docsets.toDF("id_a", "arr_a"), "id_a")
+        .join(docsets.toDF("id_b", "arr_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("inter"),
+        )
     )
     return (
         inter.join(sizes.toDF("id_a", "sz_a"), "id_a")
@@ -193,10 +224,12 @@ def simhash64(documents: DataFrame, text_col: str = "text") -> DataFrame:
         import hashlib
         import struct
 
-        def sh(text: str) -> int:
+        def sh(text: str):
             toks = [t for t in text.split(" ") if t]
             if not toks:
-                return 0
+                # NULL, not 0: a 0 signature would pair every blank doc at
+                # hamming 0 while SQL oracles drop token-less docs entirely
+                return None
             hs = np.fromiter(
                 (
                     struct.unpack("<Q", hashlib.md5(t.encode()).digest()[8:16])[0]
@@ -216,7 +249,9 @@ def simhash64(documents: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "simhash": pdf[text_col].map(lambda t: np.int64(np.uint64(sh(t)))),
+                    "simhash": pdf[text_col].map(
+                        lambda t: (lambda s: None if s is None else np.int64(np.uint64(s)))(sh(t))
+                    ),
                 }
             )
 
@@ -231,7 +266,7 @@ def simhash_near_pairs(
     """Candidate pairs with hamming(simhash) <= max_hamming via 4x16-bit
     banding (a pair within hamming 3 shares at least one exact 16-bit band;
     wider radii still yield high recall), verified exactly with bit_count."""
-    sig = simhash64(documents, text_col)
+    sig = simhash64(documents, text_col).where(F.col("simhash").isNotNull())
     bands = sig.select(
         "doc_id",
         "simhash",

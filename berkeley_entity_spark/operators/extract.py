@@ -35,6 +35,12 @@ from berkeley_entity_spark.synth import STARTERS_SET
 # Capitalized proper-name token (incl. initials "J." and acronyms "GDC").
 _CAP_TOKEN = re.compile(r"^[A-Z][A-Za-z0-9.&'\-]*$")
 
+# Mention size ceiling: a capitalized run longer than this is a Title-Case
+# headline, not a name, and is dropped (the reference bounds mention size
+# implicitly via NP spans — CorefDocAssembler.scala:66-90; unbounded runs
+# also feed pathological token-alignment pairs into the scoring kernel).
+MAX_MENTION_TOKENS = 10
+
 MENTIONS_SCHEMA = (
     "url string, sent_idx int, start int, end int, span string, head string, "
     "norm_name string, mtype string, ner string, number string, gender string, "
@@ -65,15 +71,22 @@ def _appositive_like(toks: list[str], end: int) -> bool:
     )
 
 
-def _mentions_from_text(text: str) -> list[tuple[int, int, int, str, bool]]:
+def _mentions_from_text(
+    text: str, appositive_subspans: bool = False
+) -> list[tuple[int, int, int, str, bool]]:
     """(sent_idx, start, end, span, appositive_like) for each maximal
     capitalized run.
 
     Token index 0 of every sentence is the (capitalized) sentence starter and
-    is excluded from candidacy — the closed-class filter.  The reference
-    uses appositive_like to RETAIN non-maximal same-head spans
-    (CorefDocAssembler.scala:178-185); our runs are maximal by construction
-    (no nested candidates), so the predicate rides along as a feature.
+    is excluded from candidacy — the closed-class filter.
+
+    appositive_subspans=True is P9's sub-span retention rule
+    (CorefDocAssembler.scala:157-189): the reference keeps NON-MAXIMAL
+    same-head spans when the context looks appositive ("Alice Smith, Apex
+    CEO" must also yield the nested head candidate).  The capitalized-run
+    analog: for an appositive-like multi-token run, additionally emit the
+    head-token sub-span (same head, non-maximal, same appositive context).
+    Default off — the maximal-only contract of round 1/2 is unchanged.
     """
     out = []
     for s_idx, sent in enumerate(split_sentences([text])):
@@ -85,8 +98,13 @@ def _mentions_from_text(text: str) -> list[tuple[int, int, int, str, bool]]:
                 run_start = i
             elif not is_cap and run_start is not None:
                 span = " ".join(toks[run_start:i])
-                if span not in STARTERS_SET:
-                    out.append((s_idx, run_start, i, span, _appositive_like(toks, i)))
+                if span not in STARTERS_SET and i - run_start <= MAX_MENTION_TOKENS:
+                    appos = _appositive_like(toks, i)
+                    out.append((s_idx, run_start, i, span, appos))
+                    if appositive_subspans and appos and i - run_start >= 2:
+                        # the retained same-head nested candidate ends at the
+                        # same position, so it shares the appositive context
+                        out.append((s_idx, i - 1, i, toks[i - 1], True))
                 run_start = None
     return out
 
@@ -95,6 +113,7 @@ def extract_mentions(
     pages: DataFrame,
     from_html: bool = False,
     passthrough: tuple[str, ...] = (),
+    appositive_subspans: bool = False,
 ) -> DataFrame:
     """webpages(url, warc_ts, html, text, lang) -> mentions DataFrame.
 
@@ -130,7 +149,9 @@ def extract_mentions(
             pt_vals = [pdf[c] for c in pt]
             for i, (url, text) in enumerate(zip(pdf["url"], texts)):
                 extra = tuple(v.iloc[i] for v in pt_vals)
-                for s_idx, start, end, span, appos in _mentions_from_text(text):
+                for s_idx, start, end, span, appos in _mentions_from_text(
+                    text, appositive_subspans
+                ):
                     norm = normalize_name(span)
                     head = norm.split(" ")[-1] if norm else ""
                     # all-caps single short token = written-as-acronym

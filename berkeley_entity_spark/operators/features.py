@@ -67,7 +67,14 @@ def jaro(s1: str, s2: str) -> float:
 
 
 def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    """Canonical Winkler variant: the prefix boost applies only when the base
+    Jaro similarity exceeds the 0.7 boost threshold (Winkler 1990) — also
+    exactly what DuckDB's jaro_winkler_similarity computes, which makes this
+    feature reproducible in the SQL oracle (verified value-identical across
+    adversarial prefix/low-sim pairs)."""
     j = jaro(s1, s2)
+    if j <= 0.7:
+        return j
     prefix = 0
     for a, b in zip(s1[:max_prefix], s2[:max_prefix]):
         if a == b:
@@ -186,17 +193,30 @@ def _monotone_align(src: list[str], dst: list[str]) -> bool:
     """Every token of src matches a distinct token of dst, in order
     (order-preserving injective matching — name variants keep token order).
     Injectivity matters: without it the initial "a" of "a anderson" would
-    claim the surname of "c anderson" and hub-merge whole blocks."""
+    claim the surname of "c anderson" and hub-merge whole blocks.
+
+    Memoized on (i, j): rec is a pure function of the suffix pair, so the
+    backtracking search is O(n·m) states / O(n·m²) work instead of the
+    combinatorial blowup a long Title-Case headline pair would trigger
+    (extraction also caps mention token count — belt and braces)."""
+    n, m = len(src), len(dst)
+
+    memo: dict[tuple[int, int], bool] = {}
 
     def rec(i: int, j: int) -> bool:
-        if i == len(src):
+        if i == n:
             return True
-        if len(src) - i > len(dst) - j:
+        if n - i > m - j:
             return False
-        for k in range(j, len(dst)):
-            if _tok_match(src[i], dst[k]) and rec(i + 1, k + 1):
-                return True
-        return False
+        r = memo.get((i, j))
+        if r is None:
+            r = False
+            for k in range(j, m):
+                if _tok_match(src[i], dst[k]) and rec(i + 1, k + 1):
+                    r = True
+                    break
+            memo[(i, j)] = r
+        return r
 
     # anchor: first tokens must be compatible ("a smith" ~ "alice lee smith"
     # but "a steinwood" must NOT claim the middle initial of
@@ -221,13 +241,19 @@ def featurize_pair(
     idf: dict[str, float],
     is_acr_a: bool = True,
     is_acr_b: bool = True,
+    lev: float | None = None,
 ) -> list[float]:
     """The M1 kernel: one fixed-width feature vector per surface pair.
 
     is_acr_{a,b}: the surface was written as an ALL-CAPS single token in the
     raw text (an acronym).  Acronym matching requires it — otherwise a person
     whose initials spell an org acronym ("alice ann vanceman" ~ "AAV")
-    false-merges."""
+    false-merges.
+
+    lev: precomputed levenshtein ratio.  score_pairs computes it JVM-side
+    with whole-stage-codegen F.levenshtein (bit-identical to the Python DP:
+    same integer distance, same int/int double division) and passes it in —
+    the quadratic DP was the kernel's hot loop at scale."""
     ta, tb = norm_a.split(" "), norm_b.split(" ")
     sa, sb = set(ta), set(tb)
     exact = 1.0 if norm_a == norm_b else 0.0
@@ -244,7 +270,7 @@ def featurize_pair(
     subset = 1.0 if sa <= sb or sb <= sa else 0.0
     return [
         jaro_winkler(norm_a, norm_b),
-        levenshtein_ratio(norm_a, norm_b),
+        levenshtein_ratio(norm_a, norm_b) if lev is None else lev,
         token_jaccard(sa, sb),
         tfidf_cosine(ta, tb, idf),
         exact,

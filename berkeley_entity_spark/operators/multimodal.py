@@ -2,10 +2,20 @@
 
 Images / audio / video are opaque `binary` columns with typed metadata
 structs.  The Spark-side plumbing — schema, Arrow batch shape, partition
-sizing — is real and tested; the codec step is STUBBED (the container has no
-image/audio libraries): `decode_media(..., fake=False)` raises
-NotImplementedError, while `fake=True` produces a deterministic feature
-vector from the bytes so the distributed path can be exercised end-to-end.
+sizing — is real and tested.  The codec slot is REAL for the two container
+formats decodable with the standard library alone:
+
+  * BMP  (uncompressed 24-bit BI_RGB) — hand-parsed header + numpy pixel
+    grid; decode, feature-extract (4x4x3 grid means) and nearest-neighbor
+    resize all work on actual bytes.
+  * WAV  (PCM, any stdlib-`wave`-supported width) — decode + per-window RMS
+    energy features.
+
+Compressed formats (JPEG/PNG/MP3/MP4/...) still raise NotImplementedError —
+the container genuinely has no codec libraries; the magic-byte dispatch and
+the error message say so explicitly.  `fake=True` remains as the
+deterministic stand-in for exercising the distributed path with arbitrary
+payload bytes.
 
 At 100 TB the pattern matters more than the codec: binary columns are
 excluded from every scan that does not need them (column pruning), batches
@@ -16,6 +26,9 @@ extraction is one mapInPandas pass writing a narrow features table.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -47,6 +60,128 @@ def make_media_table(spark, documents: DataFrame, kind: str = "image") -> DataFr
     )
 
 
+# ------------------------------------------------------------- real codecs
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> uncompressed 24-bit BI_RGB BMP bytes (rows
+    bottom-up, 4-byte padded, BGR on disk — the format spec)."""
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        body += img[y, :, ::-1].tobytes() + b"\x00" * pad
+    off = 14 + 40
+    return (
+        struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + bytes(body)
+    )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP bytes -> (H, W, 3) uint8 RGB.  Supports the uncompressed 24-bit
+    BI_RGB profile (the only one writable without codec libraries);
+    anything else raises NotImplementedError with the reason."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BI_RGB BMP is decodable without codec "
+            f"libraries (got bpp={bpp}, compression={compression})"
+        )
+    flip = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + (4 - row % 4) % 4
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        line = np.frombuffer(payload, dtype=np.uint8, count=row, offset=off + y * stride)
+        img[h - 1 - y if flip else y] = line.reshape(w, 3)[:, ::-1]
+    return img
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """float array in [-1, 1] -> 16-bit PCM mono WAV bytes (stdlib wave)."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm16 = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (float64 mono samples in [-1, 1], sample_rate).
+    Multi-channel input is mean-downmixed."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        nch, width, rate, n = f.getnchannels(), f.getsampwidth(), f.getframerate(), f.getnframes()
+        raw = f.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"PCM width {width * 8}-bit not supported")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def _image_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """4x4 grid of per-channel means (48 values), padded/truncated to dim —
+    a deterministic, library-free stand-in for an embedding model."""
+    h, w, _ = img.shape
+    ys = np.linspace(0, h, 5, dtype=int)
+    xs = np.linspace(0, w, 5, dtype=int)
+    vals = [
+        img[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1), c].mean() / 255.0
+        for i in range(4)
+        for j in range(4)
+        for c in range(3)
+    ]
+    out = np.zeros(dim, dtype=np.float32)
+    out[: min(dim, len(vals))] = np.asarray(vals[:dim], dtype=np.float32)
+    return out
+
+
+def _audio_features(x: np.ndarray, dim: int) -> np.ndarray:
+    """Per-window RMS energy over `dim` equal windows."""
+    if len(x) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    edges = np.linspace(0, len(x), dim + 1, dtype=int)
+    return np.asarray(
+        [
+            np.sqrt(np.mean(np.square(x[edges[i] : max(edges[i + 1], edges[i] + 1)])))
+            for i in range(dim)
+        ],
+        dtype=np.float32,
+    )
+
+
+def _real_features(payload: bytes, dim: int) -> np.ndarray:
+    """Magic-byte dispatch to a real decoder.  Compressed containers raise
+    NotImplementedError (no codec libraries in this environment)."""
+    if payload[:2] == b"BM":
+        return _image_features(decode_bmp(payload), dim)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        x, _ = decode_wav(payload)
+        return _audio_features(x, dim)
+    raise NotImplementedError(
+        "real decoding is implemented for BMP and WAV (stdlib-parseable); "
+        "JPEG/PNG/MP3/MP4/... require codec libraries not present in this "
+        "environment"
+    )
+
+
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in for a real encoder: blake2b-seeded values."""
     out = np.empty(dim, dtype=np.float32)
@@ -62,19 +197,16 @@ def decode_media(
 ) -> DataFrame:
     """media table -> (media_id, kind, dim, features array<float>).
 
-    fake=False is the real-codec slot (PIL/torchaudio/ffmpeg) — deliberately
-    NotImplemented in this container."""
+    fake=False runs the REAL codecs: BMP (hand-parsed 24-bit BI_RGB -> 4x4
+    grid-mean features) and WAV (stdlib PCM decode -> per-window RMS
+    features); compressed formats raise NotImplementedError (no codec
+    libraries in this container).  fake=True is the deterministic stand-in
+    for arbitrary payload bytes."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = _fake_features if fake else _real_features
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decoding requires codec libraries not present "
-                    "in this environment; pass fake=True for the test path"
-                )
-            feats = [
-                _fake_features(bytes(p), dim).tolist() for p in pdf["payload"]
-            ]
+            feats = [fn(bytes(p), dim).tolist() for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -94,17 +226,28 @@ def resize_media(
 ) -> DataFrame:
     """Resize plumbing: same schema out as in, meta updated to the target
     dims.  fake=True passes payload bytes through (deterministic stand-in);
-    fake=False is the real-resampler slot (PIL/ffmpeg), NotImplemented here.
-    The Spark shape is what matters at scale: one mapInPandas pass, binary in
-    / binary out, metadata maintained columnar-side."""
+    fake=False REALLY resizes BMP payloads (nearest-neighbor via numpy index
+    grids, re-encoded as BMP); non-BMP payloads raise NotImplementedError
+    (no codec libraries in this container).  The Spark shape is what matters
+    at scale: one mapInPandas pass, binary in / binary out, metadata
+    maintained columnar-side."""
+
+    def nn_resize(payload: bytes) -> bytes:
+        if bytes(payload)[:2] != b"BM":
+            raise NotImplementedError(
+                "real resizing is implemented for BMP payloads; other "
+                "formats require codec libraries not present here"
+            )
+        img = decode_bmp(bytes(payload))
+        h, w, _ = img.shape
+        yi = (np.arange(height) * h // height).clip(0, h - 1)
+        xi = (np.arange(width) * w // width).clip(0, w - 1)
+        return encode_bmp(img[yi][:, xi])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real resizing requires codec libraries not present in "
-                    "this environment; pass fake=True for the test path"
-                )
+                pdf = pdf.assign(payload=pdf["payload"].map(nn_resize))
             yield pdf
 
     resized = media.select("media_id", "kind", "payload").mapInPandas(

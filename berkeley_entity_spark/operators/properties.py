@@ -102,10 +102,12 @@ def with_number_gender(
         .withColumn("_head_key", sanitize(F.col("_head_tok")))
         .withColumn("_first_key", sanitize(F.col("_prev_tok")))
     )
-    if n_numgender is not None:
-        numgender = maybe_broadcast(numgender, n_numgender)
-    else:
-        numgender = F.broadcast(numgender)
+    # no row-count hint -> count once (one cheap job) rather than force a
+    # broadcast: an unconditional F.broadcast would bypass the byte gate the
+    # module advertises and OOM on a large caller-supplied count table
+    if n_numgender is None:
+        n_numgender = numgender.count()
+    numgender = maybe_broadcast(numgender, n_numgender)
     spans = _ng_joined(spans, numgender, "_phrase_key", "p")
     spans = _ng_joined(spans, numgender, "_head_key", "h")
     spans = _ng_joined(spans, numgender, "_first_key", "f")

@@ -126,6 +126,21 @@ def score_pairs(
         + ", ".join(f"{name} double" for name in FEATURE_NAMES if name != "bias")
         + ", score double"
     )
+    # Levenshtein ratio JVM-side: F.levenshtein is whole-stage codegen; the
+    # per-pair Python DP was the kernel's dominant cost (quadratic in surface
+    # length).  Bit-identical to features.levenshtein_ratio — same integer
+    # distance, same int/int double division (verified by the driver-vs-
+    # distributed identity test in tests/test_train.py).
+    pairs = pairs.withColumn(
+        "_lev_cg",
+        F.when(F.col("norm_a") == F.col("norm_b"), F.lit(1.0))
+        .when((F.length("norm_a") == 0) | (F.length("norm_b") == 0), F.lit(0.0))
+        .otherwise(
+            1.0
+            - F.levenshtein("norm_a", "norm_b")
+            / F.greatest(F.length("norm_a"), F.length("norm_b"))
+        ),
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idf_map = b_idf.value
@@ -137,8 +152,10 @@ def score_pairs(
             acr_b = pdf["acr_b"] if "acr_b" in pdf else pd.Series(True, index=pdf.index)
             feats = np.array(
                 [
-                    featurize_pair(a, b, idf_map, bool(fa), bool(fb))
-                    for a, b, fa, fb in zip(pdf["norm_a"], pdf["norm_b"], acr_a, acr_b)
+                    featurize_pair(a, b, idf_map, bool(fa), bool(fb), lev=lv)
+                    for a, b, fa, fb, lv in zip(
+                        pdf["norm_a"], pdf["norm_b"], acr_a, acr_b, pdf["_lev_cg"]
+                    )
                 ],
                 dtype=np.float64,
             )

@@ -213,6 +213,59 @@ def hyperplane_signatures(
     )
 
 
+def hyperplane_signatures_multi(
+    embeddings: DataFrame,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    base_seed: int = 7,
+    seed_step: int = 13,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, bucket) for ALL tables in ONE kernel pass: the per-table
+    plane matrices (seed = base_seed + seed_step*t, identical to calling
+    hyperplane_signatures per table) are concatenated into one
+    (dim, n_tables*n_planes) matrix, so the corpus is scanned once and one
+    matmul serves every table — vs n_tables separate mapInPandas scans +
+    a union (at 100 TB of embeddings that is n_tables-1 redundant corpus
+    reads).  Bucket = 't#sig' exactly as the per-table path produced."""
+    planes_all = np.concatenate(
+        [
+            np.random.RandomState(base_seed + seed_step * t).standard_normal(
+                (dim, n_planes)
+            )
+            for t in range(n_tables)
+        ],
+        axis=1,
+    )
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
+            bits = (M @ planes_all) > 0
+            ids = np.asarray(pdf[id_col], dtype=np.int64)
+            frames = []
+            for t in range(n_tables):
+                sig = bits[:, t * n_planes : (t + 1) * n_planes] @ weights
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids,
+                            "bucket": [f"{t}#{s}" for s in sig],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        gen, schema="vec_id bigint, bucket string"
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -233,15 +286,10 @@ def lsh_bucket_topk(
     base = with_unit_norm(embeddings.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("vec_id"), F.col("unit")
     )
-    sig_frames = [
-        hyperplane_signatures(
-            embeddings, n_planes=n_planes, dim=dim, seed=7 + 13 * t, vec_col=vec_col, id_col=id_col
-        ).select("vec_id", F.concat_ws("#", F.lit(str(t)), F.col("sig").cast("string")).alias("bucket"))
-        for t in range(n_tables)
-    ]
-    buckets = sig_frames[0]
-    for fr in sig_frames[1:]:
-        buckets = buckets.unionByName(fr)
+    buckets = hyperplane_signatures_multi(
+        embeddings, n_planes=n_planes, n_tables=n_tables, dim=dim,
+        vec_col=vec_col, id_col=id_col,
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

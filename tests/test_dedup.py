@@ -42,6 +42,54 @@ def test_ngram_jaccard_exact_dups(docs_dup):
     assert exact.where(F.col("jaccard") < 1.0).count() == 0
 
 
+@pytest.mark.parametrize("threshold", [0.5, 0.9])
+def test_ngram_jaccard_prefix_filter_lossless(docs_dup, threshold):
+    """PPJoin prefix filtering must be exactly the unfiltered semantics:
+    compare against a brute-force pandas recomputation (cold-ngram
+    intersection / full-set union) on a 200-doc slice."""
+    sub = docs_dup.where("doc_id % 7 = 0")
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(sub, n=3, threshold=threshold).collect()
+    }
+    rows = sub.collect()
+    from collections import Counter
+
+    def grams(text):
+        toks = [t for t in text.split(" ") if t]
+        if len(toks) >= 3:
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    sets = {r["doc_id"]: grams(r["text"]) for r in rows}
+    df_counts = Counter(g for s in sets.values() for g in s)
+    cold = {i: {g for g in s if df_counts[g] <= 500} for i, s in sets.items()}
+    expect = {}
+    ids = sorted(sets)
+    for x, ia in enumerate(ids):
+        for ib in ids[x + 1 :]:
+            inter = len(cold[ia] & cold[ib])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[ia]) + len(sets[ib]) - inter)
+            if j >= threshold:
+                expect[(ia, ib)] = round(j, 9)
+    assert got == expect
+
+
+def test_simhash_blank_docs_do_not_pair(spark):
+    """ADVICE r2: token-less docs must get a NULL signature and never pair
+    (a 0 signature would put every blank doc at hamming 0)."""
+    d = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "alpha beta gamma"), (4, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(d).collect()}
+    assert sigs[1] is None and sigs[2] is None
+    pairs = simhash_near_pairs(d, max_hamming=8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(3, 4)}
+
+
 def test_simhash_identical_docs_hamming_zero(spark, docs_dup):
     sh = simhash64(docs_dup).cache()
     a = sh.where("doc_id < 100000").toDF("id_a", "sh_a")

@@ -48,6 +48,66 @@ def test_token_align(a, b, expected):
     assert token_align(a, b) == expected
 
 
+def test_token_align_pathological_headline_fast():
+    """Adversarial Title-Case headline pair: near-identical long token lists
+    with every token cross-compatible used to blow up the un-memoized
+    backtracking search; memoized it is O(n·m²) and must return instantly."""
+    import time
+
+    # 24 tokens, all mutually prefix/typo-compatible in many positions
+    a = [f"corp{i:02d}" for i in range(24)]
+    b = a[:12] + ["corpxx"] + a[12:]
+    t0 = time.perf_counter()
+    token_align(a, b)
+    token_align(b, a)
+    # worst case: all-same token lists (maximal branching)
+    token_align(["corp"] * 24, ["corp"] * 25)
+    assert time.perf_counter() - t0 < 2.0
+
+
+def test_extraction_caps_headline_runs():
+    """A >MAX_MENTION_TOKENS capitalized run (Title-Case headline) must not
+    become a mention; a run at the cap must."""
+    from berkeley_entity_spark.operators.extract import (
+        MAX_MENTION_TOKENS,
+        _mentions_from_text,
+    )
+
+    head = " ".join(f"Word{i}" for i in range(MAX_MENTION_TOKENS + 5))
+    got = _mentions_from_text(f"and then {head} happened.")
+    assert got == []
+    ok = " ".join(f"Word{i}" for i in range(MAX_MENTION_TOKENS))
+    got2 = _mentions_from_text(f"and then {ok} happened.")
+    assert len(got2) == 1 and got2[0][3] == ok
+
+
+def test_appositive_subspan_retention():
+    """P9 (CorefDocAssembler.scala:157-189): an appositive-like multi-token
+    run additionally yields its head-token nested span — flag-gated, default
+    off."""
+    from berkeley_entity_spark.operators.extract import _mentions_from_text
+
+    # PTB-style comma placement — the reference retains sub-spans over
+    # tokenized text where ',' is its own token
+    text = "and then Alice Smith , Apex CEO announced results ."
+    base = _mentions_from_text(text)
+    spans = {m[3] for m in base}
+    assert "Alice Smith" in spans
+    with_sub = _mentions_from_text(text, appositive_subspans=True)
+    extra = set(with_sub) - set(base)
+    # exactly one retained nested candidate: the head token of the
+    # appositive run, ending at the same position, flagged appositive
+    assert len(extra) == 1
+    (s_idx, a, b, span, appos) = next(iter(extra))
+    assert b - a == 1 and appos
+    # the nested span is the run's last token
+    parent = [m for m in base if m[4] and m[2] == b and m[1] < a]
+    assert parent and parent[0][3].split(" ")[-1] == span
+    # a single-token appositive run must NOT duplicate itself
+    one = _mentions_from_text("and then Apex , a firm .", appositive_subspans=True)
+    assert len(one) == len(_mentions_from_text("and then Apex , a firm ."))
+
+
 def test_featurize_shape_and_acronym_gate():
     v = featurize_pair("gdc", "global data corporation", {}, True, True)
     assert len(v) == len(FEATURE_NAMES)

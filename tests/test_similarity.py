@@ -58,6 +58,29 @@ def test_lsh_topk_recall(emb, numpy_topk):
     assert hits / total >= 0.5, hits / total
 
 
+def test_multi_table_signatures_match_per_table(emb):
+    """The single-pass multi-table kernel must emit exactly the bucket set
+    the 16 separate per-table kernels produced (same seeds, same packing) —
+    it is a scan-count optimization, not a semantic change."""
+    from berkeley_entity_spark.operators.similarity import (
+        hyperplane_signatures,
+        hyperplane_signatures_multi,
+    )
+
+    n_planes, n_tables = 4, 16
+    multi = {
+        (r["vec_id"], r["bucket"])
+        for r in hyperplane_signatures_multi(
+            emb, n_planes=n_planes, n_tables=n_tables
+        ).collect()
+    }
+    single = set()
+    for t in range(n_tables):
+        for r in hyperplane_signatures(emb, n_planes=n_planes, seed=7 + 13 * t).collect():
+            single.add((r["vec_id"], f"{t}#{r['sig']}"))
+    assert multi == single
+
+
 def test_lsh_is_subsetless_join_not_crossjoin(emb):
     plan = lsh_bucket_topk(emb, k=K)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan

@@ -47,7 +47,7 @@ def test_gold_matches_extractor():
     cfg = SynthConfig(n_pages=120, n_entities=40)
     for i in range(120):
         page, gold = make_page(i, cfg)
-        pred = {(s, a, b) for s, a, b, _ in _mentions_from_text(page["text"])}
+        pred = {(s, a, b) for s, a, b, *_ in _mentions_from_text(page["text"])}
         expect = {(m["sent_idx"], m["start"], m["end"]) for m in gold}
         assert pred == expect, f"page {i}"
 

@@ -1,7 +1,14 @@
 """Regenerate INVARIANTS.json — the pinned golden values for the two driver
-queries whose full outputs are not SQL-derivable (q_er_clusters: iterative
-connected components; q_ner_tags: Viterbi DP) but whose deterministic-seed
-invariant summaries are stable across partitioning, parallelism and reruns.
+queries whose full outputs are not SQL-derivable (q_er_pipeline: full
+trained-model ER pipeline with iterative connected components; q_ner_tags:
+Viterbi DP) but whose deterministic-seed invariant summaries are stable
+across partitioning, parallelism and reruns.
+
+These are GOLDEN-PINNED oracles (self-derived), not independent SQL
+re-derivations — they prove determinism/regression only.  To keep a repin
+from silently blessing a behavior regression, this tool FIRST runs the
+independent end-to-end check (pairwise F1 vs synthetic gold on the same
+corpus the pinned query uses) and refuses to write if F1 < 0.99.
 
 Run after any DELIBERATE change to the synthetic corpus, the extract kernel,
 the scorer/weights, or the clustering; commit the diff.  An unexplained
@@ -21,12 +28,40 @@ import __spark_entry__ as entrymod  # noqa: E402
 from berkeley_entity_spark.session import get_spark  # noqa: E402
 
 OUT = "/root/repo/INVARIANTS.json"
-PINNED = ["q_er_clusters", "q_ner_tags"]
+PINNED = ["q_er_pipeline", "q_ner_tags"]
+MIN_F1 = 0.99
+
+
+def check_gold_f1(spark) -> float:
+    """Independent correctness gate: run the full pipeline on the SAME
+    deterministic corpus q_er_pipeline summarizes (300 pages / 40 entities)
+    and score its clusters against the synthetic gold."""
+    import tempfile
+
+    from berkeley_entity_spark.config import PipelineConfig, SynthConfig
+    from berkeley_entity_spark.evaluate import pairwise_f1_combinatorial
+    from berkeley_entity_spark.plans.checkpoint import CheckpointStore
+    from berkeley_entity_spark.plans.pipeline import run_pipeline
+    from berkeley_entity_spark.synth import generate_webpages, gold_with_ids
+
+    pages, gold = generate_webpages(spark, SynthConfig(n_pages=300, n_entities=40))
+    root = tempfile.mkdtemp(prefix="pin_gate_")
+    cfg = PipelineConfig(checkpoint_dir=root)
+    res = run_pipeline(spark, pages, cfg, store=CheckpointStore(root), resume=False)
+    gid = gold_with_ids(gold.where("lang = 'en'")).select("mention_id", "entity_id")
+    f1 = pairwise_f1_combinatorial(res.clusters, gid)
+    return float(f1["f1"])
 
 
 def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    f1 = check_gold_f1(spark)
+    print(f"gold-F1 gate: {f1:.4f} (threshold {MIN_F1})")
+    if f1 < MIN_F1:
+        print("REFUSING to repin: end-to-end F1 below threshold — the change "
+              "being pinned is a regression, not a deliberate behavior change.")
+        sys.exit(1)
     qs = entrymod.queries()
     data: dict[str, list[list]] = {}
     for name in PINNED:
