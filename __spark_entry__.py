@@ -617,6 +617,39 @@ def q_mention_props(spark, sf_dir):
     return out.select("doc_id", "span", "number", "gender")
 
 
+def q_entity_consensus(spark, sf_dir):
+    """§2.8 entity-level second pass, consensus half (EntityFeaturizer.scala
+    :38-84 features over provisional entities; bucketCount scala:132-139):
+    per-cluster attribute majority / agreement count / reference bucket
+    string.  Clusters = mentions grouped by (first span token, doc_id mod
+    13) — the sub-blocked grouping gives sizes from singletons to hot
+    blocks AND mixes attribute values within a cluster (exact-span groups
+    would agree trivially, attributes being functions of the span), so
+    every REACHABLE bucket branch fires: exact n/d strings, AL1/MANY/ALL
+    (verified at sf0.01).  The zero-count strings are unreachable by
+    construction here, a majority always having support >= 1: they arise
+    in entity_refine, where a pair's own value may be absent from the
+    partner cluster.  Attributes = the P11 number/gender cascade of
+    q_mention_props.  The oracle re-derives the cascade AND the consensus
+    aggregation (majority = count desc, value asc — the orderable-type-safe
+    tie rule) in SQL."""
+    from berkeley_entity_spark.operators.entity import cluster_attribute_consensus
+
+    props = q_mention_props(spark, sf_dir)
+    assign = props.select(
+        "doc_id",
+        F.concat_ws(
+            "#", F.split("span", " ")[0], (F.col("doc_id") % 13).cast("string")
+        ).alias("cluster_id"),
+    )
+    attrs = props.select("doc_id", "number", "gender")
+    return cluster_attribute_consensus(assign, attrs, key="doc_id").select(
+        "cluster_id", "n_members",
+        "number_majority", "number_agree", "number_bucket",
+        "gender_majority", "gender_agree", "gender_bucket",
+    )
+
+
 def _cap_docs(spark, sf_dir):
     """Deterministically capitalized `documents` corpus — the shared input
     of q_er_mentions and q_er_clusters: tokens of length 3 are uppercased
@@ -723,6 +756,33 @@ def q_er_clusters(spark, sf_dir):
     )
 
 
+def q_conll_roundtrip(spark, sf_dir):
+    """S9 true form — the CoNLL render writer (ConllDocWriter.scala:19-50)
+    as a distributed sink, checked end-to-end: extract mentions from the
+    capitalized documents corpus (nested appositive spans on), label
+    clusters by exact surface match (label = min(doc_id*100000 + start)
+    over the surface — engine-portable), RENDER every page to reference-
+    format CoNLL lines, then PARSE the rendered text back.  The query
+    returns the re-parsed chunks; the DuckDB oracle re-derives the chunk
+    set directly (er_mentions spans + the same label rule), so any
+    render/parse infidelity — bit strings, nesting, sentence/token grid —
+    breaks the match."""
+    from berkeley_entity_spark.operators.extract import extract_mentions
+    from berkeley_entity_spark.sinks.conll import parse_conll, render_conll
+
+    pages = _cap_docs(spark, sf_dir)
+    m = extract_mentions(pages, appositive_subspans=True)
+    labels = m.groupBy("norm_name").agg(
+        F.min(F.col("url").cast("bigint") * 100000 + F.col("start")).alias(
+            "cluster_id"
+        )
+    )
+    chunks = m.join(labels, "norm_name").select(
+        "url", "sent_idx", "start", "end", "cluster_id"
+    )
+    return parse_conll(render_conll(pages, chunks))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_lineitem_agg": q_lineitem_agg,
@@ -755,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_bcubed": q_bcubed,
         "q_mention_props": q_mention_props,
+        "q_entity_consensus": q_entity_consensus,
+        "q_conll_roundtrip": q_conll_roundtrip,
         "q_ner_tags": q_ner_tags,
         "q_er_pipeline": q_er_pipeline,
         "q_er_clusters": q_er_clusters,
@@ -853,6 +915,43 @@ SELECT doc_id, span,
             THEN {_gender_case_sql('fm', 'ff', 'fn')}
             ELSE {_gender_case_sql('cm', 'cf', 'cn')} END AS gender
 FROM c
+"""
+
+
+def _entity_consensus_oracle() -> str:
+    """Consensus table over the mention-props cascade: majority value
+    (count desc, value asc), its support count, and the reference's
+    bucketCount string (EntityFeaturizer.scala:132-139) per cluster."""
+    bucket = (
+        "CASE WHEN {d} <= 2 THEN CAST({c} AS VARCHAR) || '/' || CAST({d} AS VARCHAR) "
+        "WHEN {c} = 0 THEN 'NONE' WHEN {c} <= {d} // 2 THEN 'AL1' "
+        "WHEN {c} < {d} THEN 'MANY' ELSE 'ALL' END"
+    )
+    maj = """
+{p}c AS (SELECT cluster_id, {attr} AS v, CAST(count(*) AS BIGINT) AS n
+         FROM a GROUP BY cluster_id, {attr}),
+{p}m AS (SELECT cluster_id, v, n FROM
+            (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY n DESC, v ASC) AS rn
+             FROM {p}c) WHERE rn = 1)"""
+    return f"""
+WITH props AS (SELECT * FROM ({_mention_props_oracle()}) q),
+a AS (SELECT doc_id,
+             list_extract(string_split(span, ' '), 1)
+               || '#' || CAST(doc_id % 13 AS VARCHAR) AS cluster_id,
+             number, gender
+      FROM props),
+sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+       FROM a GROUP BY cluster_id),
+{maj.format(p='n', attr='number')},
+{maj.format(p='g', attr='gender')}
+SELECT s.cluster_id, s.n_members,
+       nm.v AS number_majority, nm.n AS number_agree,
+       {bucket.format(c='nm.n', d='s.n_members')} AS number_bucket,
+       gm.v AS gender_majority, gm.n AS gender_agree,
+       {bucket.format(c='gm.n', d='s.n_members')} AS gender_bucket
+FROM sz s JOIN nm ON nm.cluster_id = s.cluster_id
+JOIN gm ON gm.cluster_id = s.cluster_id
 """
 
 
@@ -1298,6 +1397,16 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh": _minhash_oracle(),
         "q_ngram_jaccard": _ngram_jaccard_oracle(),
         "q_mention_props": _mention_props_oracle(),
+        "q_entity_consensus": _entity_consensus_oracle(),
+        "q_conll_roundtrip": f"""
+WITH m AS (SELECT * FROM ({_er_mentions_oracle()}) q),
+lab AS (SELECT norm_name,
+               MIN(CAST(url AS BIGINT) * 100000 + start) AS cluster_id
+        FROM m GROUP BY norm_name)
+SELECT m.url, m.sent_idx, m.start, m."end",
+       CAST(lab.cluster_id AS BIGINT) AS cluster_id
+FROM m JOIN lab USING (norm_name)
+""",
         "q_bcubed": """
             WITH j AS (SELECT doc_id, lang AS c, source AS e FROM documents),
             cells AS (SELECT c, e, count(*) AS n_ce FROM j GROUP BY c, e),
