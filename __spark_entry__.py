@@ -741,7 +741,18 @@ def q_er_clusters(spark, sf_dir):
     surfaces = distinct_surfaces(mentions).persist()
     n_surfaces = surfaces.count()
     pairs = candidate_pairs(mentions, cfg, surfaces=surfaces, n_surfaces=n_surfaces)
-    scored = score_pairs(pairs, {}, weights=weights_vector(ORACLE_ER_WEIGHTS))
+    # features_out=False: only the score reaches match_edges (zero-weight
+    # Python features skipped — scores bit-identical); prune_threshold: the
+    # codegen coarse bound drops never-matchable pairs before the Arrow
+    # kernel (CorefPruner.scala:36-47 cascade, JVM-side) — edge set provably
+    # unchanged, so the DuckDB oracle needs no prune clause
+    scored = score_pairs(
+        pairs,
+        {},
+        weights=weights_vector(ORACLE_ER_WEIGHTS),
+        features_out=False,
+        prune_threshold=ORACLE_ER_THRESHOLD,
+    )
     comp = connected_components(match_edges(scored, threshold=ORACLE_ER_THRESHOLD))
     clusters = assign_clusters(mentions, surfaces, comp, n_surfaces=n_surfaces)
     return (

@@ -131,11 +131,24 @@ def minhash_signatures(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
         "node_id", "norm_name",
         F.explode(char_shingles_col("norm_name", k)).alias("sh"),
     )
-    sig = ex.groupBy("node_id", "norm_name").agg(
+    # Hash each DISTINCT shingle once, broadcast, and min-aggregate the
+    # precomputed digests: shingles repeat heavily across surfaces (common
+    # trigrams), so this cuts md5 evaluations by ~|occurrences|/|vocab| (the
+    # corpus-independent char-trigram vocabulary is bounded by charset^k —
+    # a few-MB broadcast even at web scale, and the broadcast hint keeps the
+    # join map-side regardless of autoBroadcastJoinThreshold).  Signatures
+    # are byte-identical to hashing inline: min over the same digest set.
+    vocab = ex.select("sh").distinct().select(
+        "sh",
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh{i}")
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("sh"))).alias(f"h{i}")
             for i in range(n_hashes)
-        ]
+        ],
+    )
+    sig = (
+        ex.join(F.broadcast(vocab), "sh")
+        .groupBy("node_id", "norm_name")
+        .agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(n_hashes)])
     )
     band_cols = [
         F.concat_ws(

@@ -14,6 +14,8 @@ raw rows.  Feature order is fixed — FEATURE_NAMES is the model contract.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 FEATURE_NAMES = [
@@ -235,6 +237,16 @@ def token_align(ta: list[str], tb: list[str]) -> float:
     return 0.0
 
 
+@lru_cache(maxsize=65536)
+def _surface_parts(s: str) -> tuple[tuple[str, ...], frozenset, str]:
+    """Per-surface derived parts (token tuple, token set, acronym), memoized:
+    blocking emits each distinct surface in ~10-100 candidate pairs, and the
+    batch rows arrive grouped by block key, so the executor-lifetime cache
+    turns the per-pair split/set/acronym work into near-free lookups."""
+    toks = tuple(s.split(" "))
+    return toks, frozenset(toks), acronym_of(toks)
+
+
 def featurize_pair(
     norm_a: str,
     norm_b: str,
@@ -242,6 +254,8 @@ def featurize_pair(
     is_acr_a: bool = True,
     is_acr_b: bool = True,
     lev: float | None = None,
+    need_cosine: bool = True,
+    need_align: bool = True,
 ) -> list[float]:
     """The M1 kernel: one fixed-width feature vector per surface pair.
 
@@ -253,16 +267,21 @@ def featurize_pair(
     lev: precomputed levenshtein ratio.  score_pairs computes it JVM-side
     with whole-stage-codegen F.levenshtein (bit-identical to the Python DP:
     same integer distance, same int/int double division) and passes it in —
-    the quadratic DP was the kernel's hot loop at scale."""
-    ta, tb = norm_a.split(" "), norm_b.split(" ")
-    sa, sb = set(ta), set(tb)
+    the quadratic DP was the kernel's hot loop at scale.
+
+    need_cosine/need_align: the reference only evaluates feature templates
+    that are active in the model (PairwiseIndexingFeaturizer template
+    registration); score_pairs passes False for the two costliest Python
+    features when their model weight is exactly 0 and the caller consumes
+    scores only — the emitted 0.0 contributes nothing to the dot product."""
+    ta, sa, acr_a = _surface_parts(norm_a)
+    tb, sb, acr_b = _surface_parts(norm_b)
     exact = 1.0 if norm_a == norm_b else 0.0
     last_eq = 1.0 if ta[-1] == tb[-1] else 0.0
     first_eq = 1.0 if ta[0] == tb[0] else 0.0
     init_last = (
         1.0 if last_eq and ta[0][:1] == tb[0][:1] else 0.0
     )
-    acr_a, acr_b = acronym_of(ta), acronym_of(tb)
     acronym = 1.0 if (
         (len(ta) == 1 and is_acr_a and len(tb) > 1 and ta[0] == acr_b)
         or (len(tb) == 1 and is_acr_b and len(ta) > 1 and tb[0] == acr_a)
@@ -272,13 +291,13 @@ def featurize_pair(
         jaro_winkler(norm_a, norm_b),
         levenshtein_ratio(norm_a, norm_b) if lev is None else lev,
         token_jaccard(sa, sb),
-        tfidf_cosine(ta, tb, idf),
+        tfidf_cosine(ta, tb, idf) if need_cosine else 0.0,
         exact,
         last_eq,
         first_eq,
         init_last,
         acronym,
         subset,
-        token_align(ta, tb),
+        token_align(ta, tb) if need_align else 0.0,
         1.0,
     ]

@@ -97,11 +97,70 @@ def collect_idf(idf_df: DataFrame, max_terms: int = 500_000) -> dict[str, float]
     return {r["token"]: float(r["idf"]) for r in rows}
 
 
+def _prune_upper_bound(pairs: DataFrame, w: np.ndarray):
+    """Whole-stage-codegen admissible upper bound on the pair score — the
+    coarse model of the reference's cascade (CorefPruner.scala:36-47),
+    re-expressed as a JVM-side column so the expensive Arrow kernel only ever
+    sees pairs that could possibly cross the decode threshold.
+
+    Exactly-computable features (levenshtein ratio — already codegen as
+    _lev_cg — token jaccard, exact/last/first/init-last/acronym/subset
+    indicators) contribute w*value; Python-only features (jaro_winkler,
+    tfidf_cosine, token_align, all in [0, 1]) contribute max(w, 0).  The
+    bound therefore >= the kernel's true score for EVERY pair, so filtering
+    on bound > threshold drops no true edge — the surviving-edge set is
+    bit-identical to the unpruned one."""
+    idx = {name: i for i, name in enumerate(FEATURE_NAMES)}
+    ta = F.split(F.col("norm_a"), " ")
+    tb = F.split(F.col("norm_b"), " ")
+    da, db = F.array_distinct(ta), F.array_distinct(tb)
+    inter = F.size(F.array_intersect(da, db))
+    union = F.size(da) + F.size(db) - inter
+    jacc = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    exact = (F.col("norm_a") == F.col("norm_b")).cast("double")
+    last_eq = (F.element_at(ta, -1) == F.element_at(tb, -1)).cast("double")
+    first_eq = (F.element_at(ta, 1) == F.element_at(tb, 1)).cast("double")
+    init_last = (
+        (F.element_at(ta, -1) == F.element_at(tb, -1))
+        & (F.substring(F.element_at(ta, 1), 1, 1) == F.substring(F.element_at(tb, 1), 1, 1))
+    ).cast("double")
+    acr_sa = F.array_join(F.transform(ta, lambda t: F.substring(t, 1, 1)), "")
+    acr_sb = F.array_join(F.transform(tb, lambda t: F.substring(t, 1, 1)), "")
+    is_acr_a = F.coalesce(F.col("acr_a"), F.lit(True)) if "acr_a" in pairs.columns else F.lit(True)
+    is_acr_b = F.coalesce(F.col("acr_b"), F.lit(True)) if "acr_b" in pairs.columns else F.lit(True)
+    acronym = (
+        ((F.size(ta) == 1) & is_acr_a & (F.size(tb) > 1) & (F.col("norm_a") == acr_sb))
+        | ((F.size(tb) == 1) & is_acr_b & (F.size(ta) > 1) & (F.col("norm_b") == acr_sa))
+    ).cast("double")
+    subset = (
+        (F.size(F.array_except(da, db)) == 0) | (F.size(F.array_except(db, da)) == 0)
+    ).cast("double")
+    known = (
+        float(w[idx["levenshtein"]]) * F.col("_lev_cg")
+        + float(w[idx["token_jaccard"]]) * jacc
+        + float(w[idx["exact_eq"]]) * exact
+        + float(w[idx["last_eq"]]) * last_eq
+        + float(w[idx["first_eq"]]) * first_eq
+        + float(w[idx["init_last_eq"]]) * init_last
+        + float(w[idx["acronym_match"]]) * acronym
+        + float(w[idx["token_subset"]]) * subset
+        + float(w[idx["bias"]])
+    )
+    slack = (
+        max(float(w[idx["jaro_winkler"]]), 0.0)
+        + max(float(w[idx["tfidf_cosine"]]), 0.0)
+        + max(float(w[idx["token_align"]]), 0.0)
+    )
+    return known + F.lit(slack)
+
+
 def score_pairs(
     pairs: DataFrame,
     idf: dict[str, float],
     weights: np.ndarray | None = None,
     repartition: bool = False,
+    features_out: bool = True,
+    prune_threshold: float | None = None,
 ) -> DataFrame:
     """candidate_pairs -> scored_pairs with the FIXTURES §3 schema columns
     (jaro_winkler, levenshtein, token_jaccard, tfidf_cosine, score) plus all
@@ -111,7 +170,23 @@ def score_pairs(
     parallelism — pass it when `pairs` is a checkpointed table (often 1-2
     coalesced files) so the Python kernel runs at full width.  It is a flag,
     not an automatic `.rdd.getNumPartitions()` probe: under AQE that probe
-    force-materializes the whole upstream DAG as extra jobs."""
+    force-materializes the whole upstream DAG as extra jobs.
+
+    features_out=False emits only the pass-through columns + score, and —
+    mirroring the reference, which only evaluates registered feature
+    templates — skips computing the two costliest Python features
+    (tfidf_cosine, token_align) when their model weight is exactly 0.0
+    (L1 training zeroes templates; ORACLE_ER_WEIGHTS zeroes the
+    SQL-unportable ones).  Scores are bit-identical either way: a
+    zero-weight feature contributes exactly 0 to the dot product.
+
+    prune_threshold: when the caller consumes ONLY edges with
+    score > prune_threshold (match_edges threshold decode), pass that
+    threshold here and the whole-stage-codegen coarse bound
+    (_prune_upper_bound) drops never-matchable pairs BEFORE the Python
+    kernel — the reference's coarse-cascade pruning (CorefPruner.scala:
+    36-47) moved JVM-side.  The surviving edge set is provably identical;
+    only sub-threshold rows disappear from the output."""
     w = weights if weights is not None else load_default_weights()
     spark = pairs.sparkSession
     if repartition:
@@ -120,12 +195,17 @@ def score_pairs(
     b_idf = spark.sparkContext.broadcast(idf)
     b_w = spark.sparkContext.broadcast(w)
     in_cols = pairs.columns
-    out_schema = (
-        ", ".join(f"{c} {t}" for c, t in pairs.dtypes)
-        + ", "
-        + ", ".join(f"{name} double" for name in FEATURE_NAMES if name != "bias")
-        + ", score double"
-    )
+    need_cosine = features_out or w[FEATURE_NAMES.index("tfidf_cosine")] != 0.0
+    need_align = features_out or w[FEATURE_NAMES.index("token_align")] != 0.0
+    if features_out:
+        out_schema = (
+            ", ".join(f"{c} {t}" for c, t in pairs.dtypes)
+            + ", "
+            + ", ".join(f"{name} double" for name in FEATURE_NAMES if name != "bias")
+            + ", score double"
+        )
+    else:
+        out_schema = ", ".join(f"{c} {t}" for c, t in pairs.dtypes) + ", score double"
     # Levenshtein ratio JVM-side: F.levenshtein is whole-stage codegen; the
     # per-pair Python DP was the kernel's dominant cost (quadratic in surface
     # length).  Bit-identical to features.levenshtein_ratio — same integer
@@ -141,6 +221,8 @@ def score_pairs(
             / F.greatest(F.length("norm_a"), F.length("norm_b"))
         ),
     )
+    if prune_threshold is not None:
+        pairs = pairs.where(_prune_upper_bound(pairs, w) > F.lit(prune_threshold))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idf_map = b_idf.value
@@ -152,7 +234,10 @@ def score_pairs(
             acr_b = pdf["acr_b"] if "acr_b" in pdf else pd.Series(True, index=pdf.index)
             feats = np.array(
                 [
-                    featurize_pair(a, b, idf_map, bool(fa), bool(fb), lev=lv)
+                    featurize_pair(
+                        a, b, idf_map, bool(fa), bool(fb), lev=lv,
+                        need_cosine=need_cosine, need_align=need_align,
+                    )
                     for a, b, fa, fb, lv in zip(
                         pdf["norm_a"], pdf["norm_b"], acr_a, acr_b, pdf["_lev_cg"]
                     )
@@ -161,9 +246,10 @@ def score_pairs(
             )
             scores = feats @ wv
             out = pdf[in_cols].copy()
-            for j, name in enumerate(FEATURE_NAMES):
-                if name != "bias":
-                    out[name] = feats[:, j]
+            if features_out:
+                for j, name in enumerate(FEATURE_NAMES):
+                    if name != "bias":
+                        out[name] = feats[:, j]
             out["score"] = scores
             yield out
 

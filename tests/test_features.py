@@ -176,3 +176,94 @@ def test_hearst_features_reference_math(spark):
     # zero guard: cnt_b = max(0, 2) = 2; norm = 2/(2*2) = 0.5
     assert rb["hearst_present"]
     assert rb["hearst_norm_bin"] == 0  # log10(.5)+.5=0.199 -> 0
+
+
+def test_prune_threshold_edge_set_identical(spark):
+    """The codegen coarse bound (CorefPruner.scala:36-47 cascade analog) must
+    drop ONLY sub-threshold pairs: above-threshold (node_a, node_b, score)
+    rows are bit-identical with and without pruning, across a pair mix that
+    exercises every bound term (exact-ish, acronym, subset, typo, junk)."""
+    from berkeley_entity_spark.operators.scoring import score_pairs, weights_vector
+
+    import __spark_entry__ as entry
+
+    rows = [
+        ("alice smith", "alice smith jones", False, False),
+        ("alice smith", "alicia smith", False, False),
+        ("gdc", "global data corporation", True, False),
+        ("gdc", "gdc", True, True),
+        ("alpha beta", "zeta omega", False, False),
+        ("the quick brown", "over lazy dogs", False, False),
+        ("acme corp", "acme corporation", False, False),
+        ("j r smith", "john ronald smith", False, False),
+    ]
+    pairs = spark.createDataFrame(
+        [(i, 1000 + i, a, b, fa, fb) for i, (a, b, fa, fb) in enumerate(rows)],
+        "node_a long, node_b long, norm_a string, norm_b string, "
+        "acr_a boolean, acr_b boolean",
+    )
+    w = weights_vector(entry.ORACLE_ER_WEIGHTS)
+    thr = entry.ORACLE_ER_THRESHOLD
+    full = score_pairs(pairs, {}, weights=w)
+    pruned = score_pairs(pairs, {}, weights=w, features_out=False, prune_threshold=thr)
+
+    def above(df):
+        return {
+            (r["node_a"], r["node_b"], r["score"])
+            for r in df.where(f"score > {thr}").collect()
+        }
+
+    assert above(pruned) == above(full)
+    assert len(above(full)) >= 2  # the mix actually produces matches
+    # and the prune really filters: junk pairs never reach the kernel
+    assert pruned.count() < len(rows)
+
+
+def test_features_out_false_scores_identical(spark):
+    """features_out=False skips zero-weight Python features but the score
+    column must be bit-identical to the full-featured path (0-weight => 0
+    dot-product term), and the output schema shrinks to input + score."""
+    from berkeley_entity_spark.operators.scoring import score_pairs, weights_vector
+
+    import __spark_entry__ as entry
+
+    pairs = spark.createDataFrame(
+        [("alice smith", "alicia smith", False, False),
+         ("acme corp", "acme corporation", False, False),
+         ("alpha beta", "zeta omega", False, False)],
+        "norm_a string, norm_b string, acr_a boolean, acr_b boolean",
+    )
+    w = weights_vector(entry.ORACLE_ER_WEIGHTS)
+    full = {(r["norm_a"], r["norm_b"]): r["score"]
+            for r in score_pairs(pairs, {}, weights=w).collect()}
+    slim_df = score_pairs(pairs, {}, weights=w, features_out=False)
+    assert slim_df.columns == ["norm_a", "norm_b", "acr_a", "acr_b", "score"]
+    slim = {(r["norm_a"], r["norm_b"]): r["score"] for r in slim_df.collect()}
+    assert slim == full
+
+
+def test_contract_local_preserves_components(spark):
+    """_contract_local (per-partition union-find) must leave global
+    components unchanged for any partitioning — chain spanning partitions,
+    star, isolated pair, dupes and self-loops in the input."""
+    from berkeley_entity_spark.operators.clustering import (
+        _contract_local,
+        connected_components,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5),      # chain
+             (10, 11), (10, 12), (10, 13),        # star
+             (20, 21), (21, 20), (21, 21),        # dupes + self-loop
+             (30, 31)]
+    for n_parts in (1, 3, 7):
+        df = spark.createDataFrame(edges, "u long, v long").repartition(n_parts)
+        comp = {r["node_id"]: r["component"]
+                for r in connected_components(df).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                        10: 10, 11: 10, 12: 10, 13: 10,
+                        20: 20, 21: 20, 30: 30, 31: 30}
+        contracted = _contract_local(df)
+        # contraction alone: stars to per-partition minima, no self-loops,
+        # u > v orientation
+        rows = contracted.collect()
+        assert all(r["u"] > r["v"] for r in rows)
