@@ -740,12 +740,18 @@ def q_er_clusters(spark, sf_dir):
     mentions = extract_mentions(_cap_docs(spark, sf_dir)).localCheckpoint(eager=True)
     surfaces = distinct_surfaces(mentions).persist()
     n_surfaces = surfaces.count()
-    pairs = candidate_pairs(mentions, cfg, surfaces=surfaces, n_surfaces=n_surfaces)
+    # prune at BOTH cuts (same admissible codegen bound, same edge set):
+    # inside blocking it runs on the raw self-join stream BEFORE the pair-
+    # dedup shuffle (96% of pairs never reach an exchange); inside scoring
+    # it guards the Arrow kernel independently of the caller.
     # features_out=False: only the score reaches match_edges (zero-weight
-    # Python features skipped — scores bit-identical); prune_threshold: the
-    # codegen coarse bound drops never-matchable pairs before the Arrow
-    # kernel (CorefPruner.scala:36-47 cascade, JVM-side) — edge set provably
+    # Python features skipped — scores bit-identical).  The coarse bound is
+    # the CorefPruner.scala:36-47 cascade moved JVM-side — edge set provably
     # unchanged, so the DuckDB oracle needs no prune clause
+    er_prune = (weights_vector(ORACLE_ER_WEIGHTS), ORACLE_ER_THRESHOLD)
+    pairs = candidate_pairs(
+        mentions, cfg, surfaces=surfaces, n_surfaces=n_surfaces, prune=er_prune
+    )
     scored = score_pairs(
         pairs,
         {},

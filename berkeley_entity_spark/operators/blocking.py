@@ -131,24 +131,18 @@ def minhash_signatures(surfaces: DataFrame, cfg: PipelineConfig) -> DataFrame:
         "node_id", "norm_name",
         F.explode(char_shingles_col("norm_name", k)).alias("sh"),
     )
-    # Hash each DISTINCT shingle once, broadcast, and min-aggregate the
-    # precomputed digests: shingles repeat heavily across surfaces (common
-    # trigrams), so this cuts md5 evaluations by ~|occurrences|/|vocab| (the
-    # corpus-independent char-trigram vocabulary is bounded by charset^k —
-    # a few-MB broadcast even at web scale, and the broadcast hint keeps the
-    # join map-side regardless of autoBroadcastJoinThreshold).  Signatures
-    # are byte-identical to hashing inline: min over the same digest set.
-    vocab = ex.select("sh").distinct().select(
-        "sh",
+    # Hash inline per occurrence.  A/B-measured against the "hash each
+    # DISTINCT shingle once + broadcast-join the digests back" variant at
+    # sf0.1 (21k surfaces, interleaved min-of-3): inline 0.26s vs vocab-join
+    # 1.07s — codegen md5 is cheap enough that the extra distinct + join
+    # stages cost 4x more than the redundant hashing saves, and the digest
+    # table (|vocab| x n_hashes x 32-char hex) is a tens-of-MB broadcast at
+    # web charsets.  Inline also keeps the stage a single codegen span.
+    sig = ex.groupBy("node_id", "norm_name").agg(
         *[
-            F.md5(F.concat(F.lit(f"{i}|"), F.col("sh"))).alias(f"h{i}")
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh{i}")
             for i in range(n_hashes)
-        ],
-    )
-    sig = (
-        ex.join(F.broadcast(vocab), "sh")
-        .groupBy("node_id", "norm_name")
-        .agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(n_hashes)])
+        ]
     )
     band_cols = [
         F.concat_ws(
@@ -172,6 +166,7 @@ def candidate_pairs(
     cfg: PipelineConfig,
     surfaces: DataFrame | None = None,
     n_surfaces: int | None = None,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """Full blocking stage: distinct surfaces -> union of passes -> dedup.
 
@@ -183,6 +178,16 @@ def candidate_pairs(
     one join instead of two of each — at web scale this halves the shuffle
     count of the dominant stage; at bench scale it halves its fixed job cost.
 
+    prune=(weights, threshold): valid ONLY when the consumer keeps
+    above-threshold edges (the q_er_clusters decode path).  Applies the
+    admissible codegen score bound (scoring.prune_never_match) to the RAW
+    self-join output, BEFORE the unordered-pair dedup groupBy — the pair
+    stream shrinks by the prune rate (96% at sf0.1) before it ever hits the
+    dedup exchange or the attribute joins, which are the largest
+    intermediates of the ER spine at web scale.  Survivor pairs are
+    identical to pruning after dedup: the bound is a pure function of the
+    (norm, acr) pair, the same for every duplicate row of that pair.
+
     Output: (block_key, node_a, node_b, norm_a, norm_b, pass) at the distinct
     surface level, plus representative mention/url columns for the FIXTURES
     candidate_pairs contract.
@@ -192,6 +197,36 @@ def candidate_pairs(
     sn_keys = surface_block_keys(surfaces)
     mh_keys = minhash_signatures(surfaces, cfg)
     keys = sn_keys.unionByName(mh_keys)
+    if prune is not None:
+        # the bound's acronym term needs the exact is_acr flags to stay
+        # admissible for negative weights; a broadcast lookup keeps the
+        # join map-side (falls back to shuffle past the byte gate — the
+        # same join the unpruned tail pays twice anyway)
+        from berkeley_entity_spark.util import maybe_broadcast
+
+        acr_lut = surfaces.select("node_id", "is_acr")
+        if n_surfaces is not None:
+            acr_lut = maybe_broadcast(acr_lut, n_surfaces)
+        keys = keys.join(acr_lut, "node_id")
+        # Precompute the bound's per-surface derived values ONCE per key row
+        # (O(surfaces x keys), rides the window shuffle) instead of per
+        # candidate pair: evaluated per pair, the bound re-ran the regex
+        # split + array builds ~8x per side per candidate — measured 3x
+        # slower than not pruning at all.  With these columns the per-pair
+        # bound is one levenshtein + one array_intersect + scalar compares.
+        toks = F.split(F.col("norm_name"), " ")
+        keys = keys.withColumns(
+            {
+                "_dt": F.array_distinct(toks),
+                "_first": F.element_at(toks, 1),
+                "_last": F.element_at(toks, -1),
+                "_ntok": F.size(toks),
+                "_acr_s": F.array_join(
+                    F.transform(toks, lambda t: F.substring(t, 1, 1)), ""
+                ),
+                "_ln": F.length("norm_name"),
+            }
+        ).withColumn("_ndt", F.size("_dt"))
 
     if cfg.salt_hot_blocks:
         # head-domain skew: a hot key (mega-surname, boilerplate LSH bucket)
@@ -238,38 +273,76 @@ def candidate_pairs(
         F.col("a.block_key").startswith("MH:"), F.lit(cfg.max_block_size)
     ).otherwise(F.lit(cfg.neighborhood))
     a, b = ranked.alias("a"), ranked.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.block_key") == F.col("b.block_key"))
-            & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("b.rn") > F.col("a.rn"))
-            & (F.col("b.rn") <= F.col("a.rn") + width),
-        )
-        .where(F.col("a.node_id") != F.col("b.node_id"))
-        .select(
-            F.col("a.block_key").alias("block_key"),
-            F.least("a.node_id", "b.node_id").alias("node_a"),
-            F.greatest("a.node_id", "b.node_id").alias("node_b"),
-            F.when(F.col("a.block_key").startswith("MH:"), F.lit("lsh"))
-            .otherwise(F.lit("sortedneighborhood"))
-            .alias("pass"),
-        )
-    )
+    a_first = F.col("a.node_id") < F.col("b.node_id")
+    pair_cols = [
+        F.col("a.block_key").alias("block_key"),
+        F.least("a.node_id", "b.node_id").alias("node_a"),
+        F.greatest("a.node_id", "b.node_id").alias("node_b"),
+        F.when(F.col("a.block_key").startswith("MH:"), F.lit("lsh"))
+        .otherwise(F.lit("sortedneighborhood"))
+        .alias("pass"),
+    ]
+    if prune is not None:
+        # surface attributes oriented by node order, available pre-dedup
+        pair_cols += [
+            F.when(a_first, F.col("a.norm_name")).otherwise(F.col("b.norm_name")).alias("norm_a"),
+            F.when(a_first, F.col("b.norm_name")).otherwise(F.col("a.norm_name")).alias("norm_b"),
+            F.when(a_first, F.col("a.is_acr")).otherwise(F.col("b.is_acr")).alias("acr_a"),
+            F.when(a_first, F.col("b.is_acr")).otherwise(F.col("a.is_acr")).alias("acr_b"),
+        ]
+    joined = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a.salt") == F.col("b.salt"))
+        & (F.col("b.rn") > F.col("a.rn"))
+        & (F.col("b.rn") <= F.col("a.rn") + width),
+    ).where(F.col("a.node_id") != F.col("b.node_id"))
+    if prune is not None:
+        from berkeley_entity_spark.operators.scoring import prune_bound_prepped
+
+        # The bound filter MUST stay a post-join Filter: OR-ing with an
+        # always-false NON-DETERMINISTIC term (monotonically_increasing_id,
+        # not rand — Spark 4 constant-folds rand's known [0,1) bounds) makes
+        # the predicate unsplittable and non-pushable, else Catalyst folds
+        # it into the join condition AHEAD of the cheap rn-range conjuncts
+        # and every same-block candidate pays the levenshtein (measured 5x
+        # slower).  The Or short-circuits, so the term never evaluates.
+        w_arr, threshold = prune
+        pred = prune_bound_prepped(w_arr, threshold)
+        joined = joined.where(pred | (F.monotonically_increasing_id() < F.lit(-1)))
+    pairs = joined.select(*pair_cols)
     # one candidate per unordered node pair; keep the first pass name
     # deterministically (min) so reruns are identical
-    pairs = pairs.groupBy("node_a", "node_b").agg(
-        F.min("block_key").alias("block_key"), F.min("pass").alias("pass")
-    )
+    attr_aggs = [F.min("block_key").alias("block_key"), F.min("pass").alias("pass")]
+    if prune is not None:
+        # functionally dependent on (node_a, node_b); min = the single value
+        attr_aggs += [
+            F.min("norm_a").alias("norm_a"), F.min("norm_b").alias("norm_b"),
+            F.min("acr_a").alias("acr_a"), F.min("acr_b").alias("acr_b"),
+        ]
+    pairs = pairs.groupBy("node_a", "node_b").agg(*attr_aggs)
+    # the attribute lookups broadcast when the (already counted) surface
+    # table is small — map-side joins instead of pair shuffles; gated on
+    # rows AND estimated bytes (string columns can blow past the executor
+    # budget long before the row ceiling); at 10^12 pages the table exceeds
+    # both and we shuffle
+    from berkeley_entity_spark.util import maybe_broadcast
+
+    if prune is not None:
+        # norm/acr already ride on the pair rows; only url/mention remain
+        su = surfaces.select("node_id", "rep_url", "rep_mention")
+        if n_surfaces is not None:
+            su = maybe_broadcast(su, n_surfaces)
+        return (
+            pairs.join(su.toDF("node_a", "url_a", "mention_a"), "node_a")
+            .join(su.toDF("node_b", "url_b", "mention_b"), "node_b")
+            .select(
+                "block_key", "node_a", "node_b", "norm_a", "norm_b", "acr_a",
+                "acr_b", "url_a", "mention_a", "url_b", "mention_b", "pass",
+            )
+        )
     s = surfaces.select("node_id", "norm_name", "rep_url", "rep_mention", "is_acr")
     if n_surfaces is not None:
-        # the attribute lookups broadcast when the (already counted) surface
-        # table is small — two map-side joins instead of two pair shuffles;
-        # gated on rows AND estimated bytes (string columns can blow past the
-        # executor budget long before the row ceiling); at 10^12 pages the
-        # table exceeds both and we shuffle
-        from berkeley_entity_spark.util import maybe_broadcast
-
         s = maybe_broadcast(s, n_surfaces)
     return (
         pairs.join(

@@ -154,6 +154,135 @@ def _prune_upper_bound(pairs: DataFrame, w: np.ndarray):
     return known + F.lit(slack)
 
 
+def prune_bound_prepped(w: np.ndarray, threshold: float):
+    """Admissible prune PREDICATE (same bound family as _prune_upper_bound)
+    over PRE-COMPUTED per-surface columns on the two sides of a self-join
+    (aliases `a` and `b`): _dt (distinct tokens), _ndt (its size), _first /
+    _last (first/last token), _ntok (token count), _acr_s (initials
+    string), _ln (surface length), is_acr, norm_name.
+
+    Why a second form: evaluated directly on the raw band self-join output,
+    the norm-pair form re-splits each surface ~8x per candidate pair (regex
+    split + array builds, duplicated again by the orientation CASEs) — the
+    per-pair cost dwarfed the shuffle it was saving.  Precomputing the
+    derived values once per KEY ROW (O(surfaces x keys), on the small side
+    of the join) leaves per-pair work at one levenshtein + one
+    array_intersect + scalar compares.  Every term is symmetric in (a, b),
+    so no orientation CASEs are needed.  subset is equivalently
+    intersect-size == own-distinct-size (cheaper than two array_excepts).
+
+    Two-stage cascade: stage 1 replaces levenshtein_ratio by its O(1)
+    length-gap upper bound (lev_dist >= |len_a - len_b|, so ratio <= 1 -
+    gap/max_len; both ratios live in [0, 1]) and jaccard/subset by their
+    [0, 1] suprema, leaving only scalar compares — no DP, no array walk;
+    stage 2 (the full bound) runs only on stage-1 survivors via And
+    short-circuit.  For a negative weight the supremum of w*value over
+    [0, 1] is 0, so every stage-1 term is max'd against 0 and the stage-1
+    bound dominates stage 2 for ANY weight signs.  The final predicate
+    admits exactly the pairs _prune_upper_bound would."""
+    idx = {name: i for i, name in enumerate(FEATURE_NAMES)}
+    w_lev = float(w[idx["levenshtein"]])
+    w_jacc = float(w[idx["token_jaccard"]])
+    lna, lnb = F.col("a._ln"), F.col("b._ln")
+    max_len = F.greatest(lna, lnb)
+    lev_ub = F.when(max_len == 0, F.lit(1.0)).otherwise(
+        1.0 - F.abs(lna - lnb) / max_len
+    )
+    lev = F.when(max_len == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein(F.col("a.norm_name"), F.col("b.norm_name")) / max_len
+    )
+    inter = F.size(F.array_intersect(F.col("a._dt"), F.col("b._dt")))
+    union = F.col("a._ndt") + F.col("b._ndt") - inter
+    jacc = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    exact = (F.col("a.norm_name") == F.col("b.norm_name")).cast("double")
+    last_eq = (F.col("a._last") == F.col("b._last")).cast("double")
+    first_eq = (F.col("a._first") == F.col("b._first")).cast("double")
+    init_last = (
+        (F.col("a._last") == F.col("b._last"))
+        & (F.substring(F.col("a._first"), 1, 1) == F.substring(F.col("b._first"), 1, 1))
+    ).cast("double")
+    acronym = (
+        (
+            (F.col("a._ntok") == 1) & F.col("a.is_acr") & (F.col("b._ntok") > 1)
+            & (F.col("a.norm_name") == F.col("b._acr_s"))
+        )
+        | (
+            (F.col("b._ntok") == 1) & F.col("b.is_acr") & (F.col("a._ntok") > 1)
+            & (F.col("b.norm_name") == F.col("a._acr_s"))
+        )
+    ).cast("double")
+    subset = ((inter == F.col("a._ndt")) | (inter == F.col("b._ndt"))).cast("double")
+    rest = (
+        float(w[idx["exact_eq"]]) * exact
+        + float(w[idx["last_eq"]]) * last_eq
+        + float(w[idx["first_eq"]]) * first_eq
+        + float(w[idx["init_last_eq"]]) * init_last
+        + float(w[idx["acronym_match"]]) * acronym
+        + float(w[idx["bias"]])
+    )
+    slack = (
+        max(float(w[idx["jaro_winkler"]]), 0.0)
+        + max(float(w[idx["tfidf_cosine"]]), 0.0)
+        + max(float(w[idx["token_align"]]), 0.0)
+    )
+    w_sub = float(w[idx["token_subset"]])
+    # stage 1: scalar-only admissible bound (each [0,1] term at its sup)
+    lev_term = (
+        w_lev * lev_ub if w_lev >= 0 else F.lit(0.0)
+    )
+    stage1 = (
+        lev_term + max(w_jacc, 0.0) + max(w_sub, 0.0) + rest + F.lit(slack)
+    ) > F.lit(threshold)
+    # stage 2: the full bound
+    stage2 = (
+        w_lev * lev + w_jacc * jacc + w_sub * subset + rest + F.lit(slack)
+    ) > F.lit(threshold)
+    return stage1 & stage2
+
+
+def prune_never_match(
+    pairs: DataFrame, weights: np.ndarray, threshold: float,
+    barrier: bool = False,
+) -> DataFrame:
+    """Filter out pairs whose admissible score upper bound cannot cross
+    `threshold` — safe wherever the consumer keeps only above-threshold
+    edges.  Computes the codegen levenshtein column if the caller has not
+    already; returns the input schema unchanged.  Used by score_pairs
+    (prune_threshold) and by blocking.candidate_pairs(prune=...), where
+    running it BEFORE the pair-dedup groupBy shrinks the dominant shuffle
+    by the prune rate (96% at sf0.1) — at web scale the dedup exchange is
+    the largest intermediate of the whole ER spine.
+
+    barrier=True pins the filter at this exact plan position: the predicate
+    is OR-ed with an always-false NON-DETERMINISTIC term, which makes the
+    condition unsplittable and non-pushable (PushPredicateThroughJoin /
+    ThroughNonJoin both require deterministic conditions).  Needed when
+    `pairs` is the raw output of the band self-join — otherwise Catalyst
+    folds the bound (including the O(len^2) levenshtein) into the join
+    condition AHEAD of the cheap rn-range conjuncts, and every same-block
+    candidate pays it (measured 5x slower than no prune at sf0.1).  The
+    term must be monotonically_increasing_id() — NOT rand(), whose [0,1)
+    bounds Spark 4 constant-folds away, un-barriering the predicate.  The
+    Or short-circuits, so the term is never actually evaluated."""
+    had_lev = "_lev_cg" in pairs.columns
+    if not had_lev:
+        pairs = pairs.withColumn(
+            "_lev_cg",
+            F.when(
+                F.greatest(F.length("norm_a"), F.length("norm_b")) == 0, F.lit(1.0)
+            ).otherwise(
+                1.0
+                - F.levenshtein("norm_a", "norm_b")
+                / F.greatest(F.length("norm_a"), F.length("norm_b"))
+            ),
+        )
+    pred = _prune_upper_bound(pairs, weights) > F.lit(threshold)
+    if barrier:
+        pred = pred | (F.monotonically_increasing_id() < F.lit(-1))
+    pruned = pairs.where(pred)
+    return pruned if had_lev else pruned.drop("_lev_cg")
+
+
 def score_pairs(
     pairs: DataFrame,
     idf: dict[str, float],

@@ -267,3 +267,44 @@ def test_contract_local_preserves_components(spark):
         # u > v orientation
         rows = contracted.collect()
         assert all(r["u"] > r["v"] for r in rows)
+
+
+def test_candidate_pairs_prune_same_edges(spark, tiny_corpus):
+    """candidate_pairs(prune=...) must yield the exact same above-threshold
+    edge set (node_a, node_b, score) as the unpruned path — the pre-dedup
+    prune only removes pairs that can never decode as matches."""
+    from berkeley_entity_spark.config import PipelineConfig
+    from berkeley_entity_spark.operators.blocking import candidate_pairs, distinct_surfaces
+    from berkeley_entity_spark.operators.extract import extract_mentions
+    from berkeley_entity_spark.operators.scoring import score_pairs, weights_vector
+
+    import __spark_entry__ as entry
+
+    _, pages, _ = tiny_corpus
+    cfg = PipelineConfig()
+    mentions = extract_mentions(pages).localCheckpoint(eager=True)
+    surfaces = distinct_surfaces(mentions).persist()
+    n = surfaces.count()
+    w = weights_vector(entry.ORACLE_ER_WEIGHTS)
+    thr = entry.ORACLE_ER_THRESHOLD
+
+    def edges(prune):
+        pairs = candidate_pairs(
+            mentions, cfg, surfaces=surfaces, n_surfaces=n, prune=prune
+        )
+        scored = score_pairs(pairs, {}, weights=w, features_out=False)
+        return {
+            (r["node_a"], r["node_b"], r["score"])
+            for r in scored.where(f"score > {thr}").collect()
+        }
+
+    full = edges(None)
+    pruned = edges((w, thr))
+    assert pruned == full
+    assert len(full) > 0
+    # schema contract identical on both paths
+    cols = candidate_pairs(mentions, cfg, surfaces=surfaces, n_surfaces=n).columns
+    cols_p = candidate_pairs(
+        mentions, cfg, surfaces=surfaces, n_surfaces=n, prune=(w, thr)
+    ).columns
+    assert cols == cols_p

@@ -54,7 +54,8 @@ def main() -> None:
     counts["n_surfaces"] = surfaces.count()
     t = tick("surfaces", t)
     pairs = candidate_pairs(
-        mentions, cfg, surfaces=surfaces, n_surfaces=counts["n_surfaces"]
+        mentions, cfg, surfaces=surfaces, n_surfaces=counts["n_surfaces"],
+        prune=(weights_vector(entry.ORACLE_ER_WEIGHTS), entry.ORACLE_ER_THRESHOLD),
     ).localCheckpoint(eager=True)
     counts["n_pairs"] = pairs.count()
     t = tick("blocking", t)
