@@ -137,6 +137,7 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
     checkpoint_every: int = 1,
+    small_graph_threshold: int = 500_000,
 ) -> DataFrame:
     """(u, v) edges -> (node_id, component) with component = min node id of
     the component.  Converges when the edge-set checksum is stable (every
@@ -145,6 +146,19 @@ def connected_components(
     Each round is materialized with localCheckpoint — without it the logical
     plan doubles per round and the job dies re-deriving lineage (measured:
     tiny input went from minutes to <1s/round with per-round checkpoints).
+
+    Hybrid finish: _contract_local first shrinks the edge multiset to a
+    per-partition star forest (<= one edge per distinct node per partition,
+    computed distributed).  If THAT contracted set is under
+    small_graph_threshold rows, the remaining cross-partition merge is a
+    driver-side union-find over an Arrow-collected 2-column long table —
+    bounded (the gate is on the post-contraction count, NOT the raw pair
+    volume), and it replaces 10+ tiny near-empty-shuffle jobs with one
+    collect, which at bench scale is the entire CC cost (measured 7.6s ->
+    ~1s; each loop round is 4-6 exchanges + a signature job of pure fixed
+    overhead on a few-thousand-row edge set).  Past the gate — the 100 TB
+    path — the alternating large/small-star loop runs exactly as before;
+    set small_graph_threshold=0 to force it (tests do).
     """
     # AQE off for the duration of the loop: every round runs 4-6 exchanges
     # over an already-contracted (small, evenly hashed) edge set, and AQE's
@@ -173,6 +187,36 @@ def connected_components(
     # edge set in the thousands pays pure task-scheduling overhead for it.
     # ~500k edges per partition keeps partitions far under executor memory.
     n_edges = curr.count()
+    if n_edges <= small_graph_threshold:
+        # driver-side finish (see docstring): the contracted star forest is
+        # two long columns, <= threshold rows — Arrow-collect and union-find
+        pdf = curr.toPandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for u, v in zip(pdf["u"], pdf["v"]):
+            u, v = int(u), int(v)
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        mapping = pd.DataFrame(
+            [(x, find(x)) for x in parent], columns=["node_id", "component"]
+        ).astype("int64")
+        return spark.createDataFrame(
+            mapping, schema="node_id long, component long"
+        ).localCheckpoint(eager=True)
     loop_parts = max(4, min(int(prev_parts), n_edges // 500_000 + 1))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))

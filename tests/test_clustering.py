@@ -67,3 +67,31 @@ def test_cc_converges_on_long_chain(spark):
     vals = comp.select(F.countDistinct("component")).collect()[0][0]
     assert vals == 1
     assert comp.count() == n + 1
+
+
+def test_cc_distributed_loop_matches_driver_finish(spark):
+    """The large/small-star loop (small_graph_threshold=0 forces it) and the
+    hybrid driver-side union-find finish must produce identical mappings on
+    the same mixed-topology graph, for several partitionings."""
+    rng = random.Random(13)
+    nodes = [rng.randrange(-(2**40), 2**40) for _ in range(150)]
+    edges = []
+    for i in range(0, 100, 10):
+        chain = nodes[i : i + 10]
+        edges += list(zip(chain, chain[1:]))
+    hub = nodes[100]
+    edges += [(hub, nodes[101 + i]) for i in range(20)]
+    edges += [(nodes[130], nodes[131]), (nodes[131], nodes[130])]  # dupes
+    rng.shuffle(edges)
+    for n_parts in (1, 5):
+        df = spark.createDataFrame(edges, "u long, v long").repartition(n_parts)
+        via_loop = {
+            r["node_id"]: r["component"]
+            for r in connected_components(df, small_graph_threshold=0).collect()
+        }
+        via_driver = {
+            r["node_id"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert via_loop == via_driver
+        assert via_loop == _union_find_components(edges)
