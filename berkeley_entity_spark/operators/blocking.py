@@ -208,25 +208,6 @@ def candidate_pairs(
         if n_surfaces is not None:
             acr_lut = maybe_broadcast(acr_lut, n_surfaces)
         keys = keys.join(acr_lut, "node_id")
-        # Precompute the bound's per-surface derived values ONCE per key row
-        # (O(surfaces x keys), rides the window shuffle) instead of per
-        # candidate pair: evaluated per pair, the bound re-ran the regex
-        # split + array builds ~8x per side per candidate — measured 3x
-        # slower than not pruning at all.  With these columns the per-pair
-        # bound is one levenshtein + one array_intersect + scalar compares.
-        toks = F.split(F.col("norm_name"), " ")
-        keys = keys.withColumns(
-            {
-                "_dt": F.array_distinct(toks),
-                "_first": F.element_at(toks, 1),
-                "_last": F.element_at(toks, -1),
-                "_ntok": F.size(toks),
-                "_acr_s": F.array_join(
-                    F.transform(toks, lambda t: F.substring(t, 1, 1)), ""
-                ),
-                "_ln": F.length("norm_name"),
-            }
-        ).withColumn("_ndt", F.size("_dt"))
 
     if cfg.salt_hot_blocks:
         # head-domain skew: a hot key (mega-surname, boilerplate LSH bucket)
@@ -263,12 +244,39 @@ def candidate_pairs(
     ranked = keys.withColumn("rn", F.row_number().over(w))
     if not cfg.salt_hot_blocks:
         ranked = ranked.where(F.col("rn") <= cfg.max_block_size)
+    # Materialize the cache BEFORE the self-join: with a lazy persist the
+    # two join branches race — each scan task evaluates the window+minhash
+    # DAG until the cache fills, so most of the keys stage computes twice.
+    # One count (the rows are already in memory bytes) guarantees both
+    # sides read the cache.  At web scale this is also the right call:
+    # the ranked table is read exactly twice, and recomputing the minhash
+    # agg is strictly more expensive than one in-memory materialization.
     ranked = ranked.persist()
+    ranked.count()
     if cfg.salt_hot_blocks:
-        # materialize ranked now (we pay this window either way), then free
-        # the keys cache — the minhash signatures never recompute.
-        ranked.count()
+        # free the keys cache — the minhash signatures never recompute.
         keys.unpersist()
+    if prune is not None:
+        # Per-surface derived values for the prune bound, computed ON TOP of
+        # the cached narrow table (so they never hit cache bytes — measured
+        # ~1s slower to cache the wide rows than to re-derive them lazily):
+        # each join side derives them in the same codegen span as its cache
+        # scan, once per KEY ROW, not per candidate pair (evaluated per
+        # pair, the bound re-ran the regex split + array builds ~8x per
+        # side — measured 3x slower than not pruning at all).
+        toks = F.split(F.col("norm_name"), " ")
+        ranked = ranked.withColumns(
+            {
+                "_dt": F.array_distinct(toks),
+                "_first": F.element_at(toks, 1),
+                "_last": F.element_at(toks, -1),
+                "_ntok": F.size(toks),
+                "_acr_s": F.array_join(
+                    F.transform(toks, lambda t: F.substring(t, 1, 1)), ""
+                ),
+                "_ln": F.length("norm_name"),
+            }
+        ).withColumn("_ndt", F.size("_dt"))
     width = F.when(
         F.col("a.block_key").startswith("MH:"), F.lit(cfg.max_block_size)
     ).otherwise(F.lit(cfg.neighborhood))
