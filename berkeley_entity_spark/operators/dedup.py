@@ -157,10 +157,22 @@ def ngram_jaccard_pairs(
     # recompute over a cached parquet scan beats row-cache materialization
     # + memory pressure.  Revisit only if the scan itself becomes the
     # bottleneck (e.g. remote object store).
-    dn = (
-        documents.select("doc_id", F.explode(shingles_col(n, text_col)).alias("ngram"))
-        .distinct()
-    )
+    # per-doc dedup happens IN-ROW (array_distinct before explode) — the
+    # emitted (doc_id, ngram) pairs are unique by construction, so no
+    # distinct shuffle of the exploded postings is needed at all (that
+    # exchange was the query's largest).  The postings then persist
+    # EAGERLY: six plan branches consume dn (sizes, df table, ranked
+    # prefix x2 via the self-join, docsets x2), and without a
+    # materialization point each re-runs the shingle build — measured 10.9s
+    # vs 3.0s warm at sf0.1.  MEMORY_AND_DISK default: at web scale the
+    # postings list exceeds memory and spills, which still beats six
+    # recomputes of a full-corpus explode.  The count() is deliberate —
+    # a lazy persist lets the six branches race before the cache fills.
+    dn = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(n, text_col))).alias("ngram"),
+    ).persist()
+    dn.count()
     sizes = dn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     df_tab = dn.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
     cold = dn.join(df_tab.where(F.col("df") <= max_ngram_df), "ngram")
@@ -175,11 +187,35 @@ def ngram_jaccard_pairs(
         F.col("rn") <= F.floor((1.0 - threshold) * F.col("szc") + 1e-9) + 1
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin positional filter: both docs order their cold ngrams by the
+    # SAME global total order (df asc, ngram), so for a collision at
+    # positions (rn_a, rn_b), common ngrams strictly before it number at
+    # most min(rn_a, rn_b) - 1 and common ngrams after it at most
+    # min(szc_a - rn_a, szc_b - rn_b) — so intersection <= that sum + 1.
+    # jaccard >= θ needs intersection >= θ/(1+θ)·(sz_a+sz_b) >=
+    # θ/(1+θ)·(szc_a+szc_b) (cold <= full size), so dropping collisions
+    # whose bound is below the cold-size requirement is lossless: a
+    # qualifying pair's every collision has bound >= its true intersection
+    # >= the requirement.  (-1e-9 before ceil only ever lowers the
+    # requirement — float-safe.)  Cheap scalar math, folded into the join,
+    # and it cuts the candidate set BEFORE the pair dedup and the exact
+    # array_intersect verify — the two costliest steps downstream.
+    pos_ub = (
+        F.least(F.col("a.rn"), F.col("b.rn"))
+        + F.least(
+            F.col("a.szc") - F.col("a.rn"), F.col("b.szc") - F.col("b.rn")
+        )
+    )
+    req = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.szc") + F.col("b.szc"))
+        - 1e-9
+    )
     cand = (
         a.join(
             b,
             (F.col("a.ngram") == F.col("b.ngram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (pos_ub >= req),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
