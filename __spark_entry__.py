@@ -298,6 +298,21 @@ def q_ann_lsh(spark, sf_dir):
     return t.select("query_id", "neighbor_id", "rank")
 
 
+def q_ann_ivf(spark, sf_dir):
+    """Similarity search (IVF scale path): inverted-file ANN — seeded
+    coarse quantizer (the oracle embeds the anchor matrix as exact double
+    literals), ONE corpus scan assigns lists + emits n_probe probes,
+    candidates via centroid equi-join (unique by construction — each
+    neighbor lives in exactly one list, so no dedup shuffle), exact cosine
+    re-rank with the (cosine desc, id asc) tie rule."""
+    from berkeley_entity_spark.operators.similarity import ivf_topk
+
+    t = ivf_topk(
+        _t(spark, sf_dir, "embeddings"), k=3, n_centroids=8, n_probe=2
+    )
+    return t.select("query_id", "neighbor_id", "rank")
+
+
 def q_embed_near_dup(spark, sf_dir):
     """Embedding near-dup (exact form): all pairs with cosine >= 0.35,
     id_a < id_b.  The broadcast-matmul kernel; the LSH-bucketed variant
@@ -820,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh": q_ann_lsh,
+        "q_ann_ivf": q_ann_ivf,
         "q_embed_near_dup": q_embed_near_dup,
         "q_wiki_title": q_wiki_title,
         "q_wiki_categories": q_wiki_categories,
@@ -1241,6 +1257,54 @@ FROM r WHERE rank <= {k}
 """
 
 
+def _ann_ivf_oracle(
+    k: int = 3, n_centroids: int = 8, n_probe: int = 2, dim: int = 64,
+    seed: int = 11,
+) -> str:
+    """Full SQL re-derivation of the IVF top-k: the seeded anchor matrix is
+    EMBEDDED as double literals (string-cast, same as the LSH oracle);
+    assignment/probing = row_number over (dot desc, cid asc) — exactly the
+    kernel's stable argsort tie rule; candidates are an equi-join of probes
+    against rank-1 assignments; re-rank is exact cosine."""
+    import numpy as np
+
+    C = np.random.RandomState(seed).standard_normal((n_centroids, dim))
+    rows = ",\n  ".join(
+        "("
+        + str(c)
+        + ", ["
+        + ", ".join(f"CAST('{float(C[c, d])!r}' AS DOUBLE)" for d in range(dim))
+        + "])"
+        for c in range(n_centroids)
+    )
+    return f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+c(cid, cv) AS (VALUES {rows}),
+dots AS (SELECT e.vec_id, c.cid, list_inner_product(e.v, c.cv) AS ip
+         FROM e CROSS JOIN c),
+pr AS (SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ip DESC, cid ASC) AS rn
+       FROM dots),
+cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+         FROM (SELECT vec_id, cid FROM pr WHERE rn <= {n_probe}) p
+         JOIN (SELECT vec_id, cid FROM pr WHERE rn = 1) a
+           ON p.cid = a.cid AND p.vec_id <> a.vec_id),
+r AS (SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(ea.v, eb.v) DESC,
+                        neighbor_id ASC) AS rank
+      FROM cand
+      JOIN e ea ON ea.vec_id = cand.query_id
+      JOIN e eb ON eb.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
 def _minhash_oracle(bands: int = 4, rows: int = 2) -> str:
     n = bands * rows
     mh = ", ".join(
@@ -1449,6 +1513,7 @@ FROM m JOIN lab USING (norm_name)
         """,
         "q_simhash_pairs": _simhash_oracle(),
         "q_ann_lsh": _ann_lsh_oracle(),
+        "q_ann_ivf": _ann_ivf_oracle(),
         "q_er_mentions": _er_mentions_oracle(),
         "q_ann_topk": """
             SELECT query_id, neighbor_id, rank FROM (

@@ -330,3 +330,145 @@ def embedding_near_dup(
         )
         .distinct()
     )
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+
+def ivf_anchor_matrix(n_centroids: int, dim: int, seed: int = 11) -> np.ndarray:
+    """Seeded random coarse-quantizer anchors (n_centroids, dim).
+
+    Deliberately NOT normalized and NOT data-trained: argmax of dot(v, c)
+    over centroids is what both the kernel and the DuckDB oracle compute
+    (per-query scale-invariant, so no normalization is needed), and a
+    data-free seeded quantizer lets the oracle embed the exact matrix as
+    double literals — same trick as the LSH plane matrices.  For a trained
+    quantizer use ivf_train_centroids and pass the result via
+    `centroids=`."""
+    return np.random.RandomState(seed).standard_normal((n_centroids, dim))
+
+
+def ivf_probe_assignments(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, cid, probe_rank) for each vector's n_probe nearest coarse
+    centroids, probe_rank 1-based in (dot desc, cid asc) order — one Arrow
+    kernel pass over the corpus; the rank-1 row doubles as the vector's
+    inverted-list assignment, so IVF needs exactly ONE corpus scan.
+
+    np.argsort(-dots, kind="stable") reproduces the (dot desc, cid asc)
+    tie rule of the SQL oracle's row_number window exactly."""
+    C = centroids.astype(np.float64).T  # (dim, n_centroids)
+    n_probe = min(n_probe, centroids.shape[0])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
+            dots = M @ C  # (n, n_centroids)
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf[id_col].to_numpy(), n_probe),
+                    "cid": order.reshape(-1).astype(np.int32),
+                    "probe_rank": np.tile(
+                        np.arange(1, n_probe + 1, dtype=np.int32), n
+                    ),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        gen, schema="vec_id long, cid int, probe_rank int"
+    )
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    dim: int = 64,
+    sample_n: int = 4096,
+    iters: int = 10,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic driver-side Lloyd k-means over a BOUNDED sample — the
+    IVF coarse-quantizer trainer (FAISS-style train-on-sample; the sample
+    cap mirrors the reference's driver-side trainer precedent).  Sample =
+    first `sample_n` rows by id (deterministic under any partitioning);
+    init = seeded permutation of the sample; an emptied cluster keeps its
+    previous centroid.  Returns (n_centroids, dim) float64."""
+    pdf = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_n)
+        .toPandas()
+    )
+    X = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    C = X[rng.permutation(len(X))[:n_centroids]].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            members = X[a == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    dim: int = 64,
+    seed: int = 11,
+    centroids: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via an INVERTED FILE index (IVF): coarse-quantize
+    the corpus into n_centroids inverted lists (one scan), probe each
+    query's n_probe nearest lists, exact cosine re-rank the candidates.
+
+    The scale shape: candidate generation is an equi-join on centroid id —
+    no cross join anywhere — and each corpus vector lives in exactly ONE
+    inverted list, so (query, neighbor) candidates are unique by
+    construction (no dedup shuffle; the LSH sibling needs a distinct
+    because a pair can collide in many tables).  Expected list length is
+    n / n_centroids: at 10^9 rows pick n_centroids ≈ n / 10^4 and n_probe
+    8-32 for the recall/cost trade.  Recall comes from probing multiple
+    lists; with a trained quantizer (ivf_train_centroids) lists follow the
+    data distribution and recall rises at the same cost."""
+    C = centroids if centroids is not None else ivf_anchor_matrix(n_centroids, dim, seed)
+    probes = ivf_probe_assignments(
+        embeddings, C, n_probe, vec_col=vec_col, id_col=id_col
+    )
+    assign = probes.where(F.col("probe_rank") == 1).select("vec_id", "cid")
+    cand = (
+        probes.select(F.col("vec_id").alias("query_id"), "cid")
+        .join(assign.toDF("neighbor_id", "cid"), "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    base = with_unit_norm(embeddings.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("unit")
+    )
+    scored = (
+        cand.join(base.toDF("query_id", "unit_a"), "query_id")
+        .join(base.toDF("neighbor_id", "unit_b"), "neighbor_id")
+        .select("query_id", "neighbor_id", _dot("unit_a", "unit_b").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

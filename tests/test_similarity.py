@@ -125,3 +125,66 @@ def test_embedding_near_dup_finds_exact_duplicates(spark, emb):
     ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
     missing = [(i, i + 100000) for i in ids if (i, i + 100000) not in pairs]
     assert not missing, f"missed {len(missing)} exact-dup pairs, e.g. {missing[:3]}"
+
+
+def test_ivf_topk_recall_and_uniqueness(emb, numpy_topk):
+    """IVF: candidates are unique by construction (each neighbor in exactly
+    one inverted list), output ranks contiguous from 1, and top-1 recall vs
+    exact is reasonable for the probe budget."""
+    from berkeley_entity_spark.operators.similarity import ivf_topk
+
+    rows = ivf_topk(emb, k=K, n_centroids=8, n_probe=3).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], {})[r["rank"]] = r["neighbor_id"]
+    # ranks contiguous, neighbors unique per query
+    for q, by_rank in got.items():
+        assert sorted(by_rank) == list(range(1, len(by_rank) + 1))
+        assert len(set(by_rank.values())) == len(by_rank)
+    hits = sum(
+        1 for q, neigh in numpy_topk.items() if q in got and neigh[0] in set(got[q].values())
+    )
+    assert hits / len(numpy_topk) >= 0.5, hits / len(numpy_topk)
+
+
+def test_ivf_assignment_matches_numpy_argmax(emb):
+    """The kernel's (dot desc, cid asc) stable-argsort rule must equal a
+    plain numpy argmax over the same anchor matrix (raw, unnormalized
+    vectors — argmax is per-query scale-invariant)."""
+    from berkeley_entity_spark.operators.similarity import (
+        ivf_anchor_matrix,
+        ivf_probe_assignments,
+    )
+
+    C = ivf_anchor_matrix(8, 64, seed=11)
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in ivf_probe_assignments(emb, C, n_probe=1).collect()
+    }
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    M = np.stack(pdf["embedding"].map(np.asarray).to_list()).astype(np.float64)
+    want = (M @ C.T).argmax(axis=1)
+    for vid, w in zip(pdf["vec_id"], want):
+        assert got[int(vid)] == int(w)
+
+
+def test_ivf_trained_centroids_deterministic_and_usable(emb, numpy_topk):
+    """The driver-side Lloyd trainer is deterministic (same sample, same
+    seed -> identical matrix) and its centroids plug into ivf_topk."""
+    from berkeley_entity_spark.operators.similarity import (
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    C1 = ivf_train_centroids(emb, n_centroids=8, sample_n=256, iters=5)
+    C2 = ivf_train_centroids(emb, n_centroids=8, sample_n=256, iters=5)
+    assert np.array_equal(C1, C2)
+    rows = ivf_topk(emb, k=K, n_probe=3, centroids=C1).collect()
+    assert len(rows) > 0
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(
+        1 for q, neigh in numpy_topk.items() if q in got and neigh[0] in got[q]
+    )
+    assert hits / len(numpy_topk) >= 0.5, hits / len(numpy_topk)
