@@ -815,6 +815,43 @@ def q_conll_roundtrip(spark, sf_dir):
     return parse_conll(render_conll(pages, chunks))
 
 
+def q_joint_entity(spark, sf_dir):
+    """M8 — joint coref+typing+linking BP decode (the reference's headline
+    joint model, JointDocFactorGraphOnto.scala:44-250 build, 297-451
+    message passing, 453-530 decode) over the capitalized documents
+    corpus: per-page factor graphs with antecedent/type/link variables,
+    agreement factors gated on the antecedent choice, loopy sum-product
+    in an Arrow kernel, one page per group.  The candidate-title vote DB
+    is derived from the corpus itself (full surface -> underscore title
+    with frequency votes, plus the surface's first token as the ambiguous
+    second candidate).  NO DuckDB oracle: iterative message passing is
+    not SQL-expressible — the driver records the rows-only check; the
+    exactness evidence is tests/test_joint.py (BP vs brute-force
+    enumeration on trees; gamma=0 decode == the three independent
+    argmaxes; joint agreement flips; partitioning invariance)."""
+    from berkeley_entity_spark.operators.extract import extract_mentions
+    from berkeley_entity_spark.operators.joint import (
+        joint_entity_decode,
+        surface_link_candidates,
+    )
+
+    m = extract_mentions(_cap_docs(spark, sf_dir))
+    surf = m.groupBy("norm_name").agg(F.count(F.lit(1)).alias("votes"))
+    votes = surf.select(
+        F.col("norm_name").alias("surface"),
+        F.replace("norm_name", F.lit(" "), F.lit("_")).alias("title"),
+        "votes",
+    ).unionByName(
+        surf.select(
+            F.col("norm_name").alias("surface"),
+            F.element_at(F.split("norm_name", " "), 1).alias("title"),
+            (F.col("votes") - (F.col("votes") / 2).cast("bigint")).alias("votes"),
+        )
+    )
+    out = joint_entity_decode(m, surface_link_candidates(votes, top_k=2))
+    return out.select("url", "m_idx", "antecedent", "etype", "link")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_lineitem_agg": q_lineitem_agg,
@@ -850,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mention_props": q_mention_props,
         "q_entity_consensus": q_entity_consensus,
         "q_conll_roundtrip": q_conll_roundtrip,
+        "q_joint_entity": q_joint_entity,
         "q_ner_tags": q_ner_tags,
         "q_er_pipeline": q_er_pipeline,
         "q_er_clusters": q_er_clusters,

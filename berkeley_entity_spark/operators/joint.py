@@ -1,0 +1,272 @@
+"""M8 — joint coreference + typing + linking inference (the reference's
+headline contribution: Durrett & Klein 2014, "A Joint Model for Entity
+Analysis"; joint/JointDocFactorGraphOnto.scala).
+
+Per document, the reference builds one factor graph
+(JointDocFactorGraphOnto.scala:44-250) over three families of variables
+and runs loopy BP (ibid:297-451), then decodes marginals independently
+(ibid:453-530).  This operator re-expresses that per-doc graph with
+mention-level nodes and runs the SAME inference shape inside an Arrow
+kernel, one document per group — documents are independent (M11), so the
+Spark plan is a single applyInPandas over doc groups with no shuffle
+beyond the groupBy:
+
+  * C_i — antecedent choice for mention i: domain = NEW + the previous
+    `window` mentions (the reference's pruned domain,
+    DocumentGraph.scala:91-115).  Unary = the trained pairwise scorer
+    (operators/scoring.py weights over features.featurize_pair — the same
+    kernel the ER spine uses), NEW = 0 (threshold-decode convention).
+  * T_i — semantic type of mention i over TYPE_DOMAIN: unary from the
+    lexicon counts (the NER emission analog; the reference wires token
+    NER nodes, we use the mention-level "intermediate type layer" variant
+    it also ships, JointDocFactorGraphOnto.scala:178-209).
+  * L_i — link (wiki title) of mention i: domain = top-k candidate titles
+    for the surface from the vote DB + NIL; unary = log vote share
+    (ibid:135-175's query/denotation layer collapsed to its prior — the
+    latent query chooser needs the query featurizer we don't port).
+
+  Factors beyond the unaries (all gated on the antecedent choice, the
+  BetterPropertyFactor pattern, bp/BetterPropertyFactor.scala):
+  * (C_i, T_i, T_j): +gamma_type when a_i = j and t_i == t_j — coref
+    prefers type-agreeing antecedents AND types flow across links.
+  * (C_i, L_i, L_j): +gamma_link when a_i = j and l_i == l_j != NIL.
+  * (L_i, T_i): +delta_title_type when the candidate title's type matches
+    t_i (wiki+NER factor, JointDocFactorGraphOnto.scala:238-250).
+
+Correctness anchors (tests/test_joint.py): with all interaction weights 0
+the BP decode equals the three independent argmaxes EXACTLY (the unary
+graph is a forest, BP is exact on it); a constructed two-mention document
+flips the ambiguous mention's type/link to agree with its antecedent as
+gamma rises; per-doc output is bit-deterministic and partitioning-
+invariant.  The full joint objective is not SQL-expressible (iterative
+message passing), so the driver query carries no DuckDB oracle — the
+rows-only check plus these tests are the evidence, disclosed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from berkeley_entity_spark.ml.bp import FactorGraph
+
+TYPE_DOMAIN = ("LOC", "MISC", "ORG", "PER")  # sorted; index = domain value
+NIL = ""  # link domain position 0
+
+
+def default_type_lexicons() -> tuple[frozenset, frozenset, frozenset]:
+    """(person, org, loc) token sets — the same gazetteers the NER
+    operator scores with (operators/ner.py), so joint typing and the CRF
+    see one vocabulary."""
+    from berkeley_entity_spark.operators.ner import LOC_GAZETTEER
+    from berkeley_entity_spark.synth import FIRST, LAST, ORG_SUF, ORG_W1, ORG_W2
+
+    persons = frozenset(w.lower() for w in FIRST + LAST)
+    orgs = frozenset(w.lower() for w in ORG_W1 + ORG_W2 + ORG_SUF)
+    return persons, orgs, frozenset(LOC_GAZETTEER)
+
+
+def type_unary(tokens: list[str], persons, orgs, locs) -> np.ndarray:
+    """Mention-level type scores over TYPE_DOMAIN (lexicon-count linear
+    model — the mention analog of ner.emission_scores)."""
+    per = sum(1.0 for t in tokens if t in persons)
+    org = sum(1.0 for t in tokens if t in orgs)
+    loc = sum(1.0 for t in tokens if t in locs)
+    # order matches TYPE_DOMAIN = (LOC, MISC, ORG, PER); MISC gets a
+    # small floor so lexicon-less mentions stay MISC
+    return np.array([2.0 * loc, 0.5, 2.0 * org, 2.0 * per])
+
+
+def surface_link_candidates(
+    link_votes: DataFrame, title_type_expr=None, top_k: int = 3
+) -> DataFrame:
+    """(surface, cands array<struct<title,votes,ttype>>) — each surface's
+    top-k candidate titles by (votes desc, title asc), the per-mention
+    link domain (WikipediaTitleGivenSurfaceDB semantics; deterministic).
+
+    link_votes: (surface, title, votes).  title_type_expr: a Column
+    mapping `title` to a TYPE_DOMAIN string for the wiki+NER factor
+    (defaults to a deterministic hash bucketing — a synthetic KB type,
+    real plumbing)."""
+    if title_type_expr is None:
+        title_type_expr = F.element_at(
+            F.array(*[F.lit(t) for t in TYPE_DOMAIN]),
+            (F.pmod(F.xxhash64("title"), F.lit(len(TYPE_DOMAIN))) + 1).cast("int"),
+        )
+    w = Window.partitionBy("surface").orderBy(F.desc("votes"), F.asc("title"))
+    return (
+        link_votes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= top_k)
+        .withColumn("ttype", title_type_expr)
+        .groupBy("surface")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("_rn", "title", "votes", "ttype"))
+            ).alias("cands")
+        )
+    )
+
+
+def joint_entity_decode(
+    mentions: DataFrame,
+    link_candidates: DataFrame | None = None,
+    weights: np.ndarray | None = None,
+    gamma_type: float = 1.5,
+    gamma_link: float = 1.5,
+    delta_title_type: float = 1.0,
+    window: int = 8,
+    n_iters: int = 5,
+    max_mentions: int = 40,
+    nil_votes: float = 1.0,
+    prune_margin: float = -4.0,
+) -> DataFrame:
+    """Joint BP decode: mentions -> (url, m_idx, sent_idx, start,
+    norm_name, antecedent, etype, link).
+
+    antecedent = the decoded antecedent's m_idx, -1 for NEW; etype in
+    TYPE_DOMAIN; link = decoded title or NULL for NIL.  Documents longer
+    than max_mentions decode their first max_mentions and emit the rest
+    as independent unary argmaxes (the reference prunes domains to keep
+    graphs tractable too, DocumentGraph.scala:91-115; disclosed cap, no
+    rows dropped).  Set gamma_type=gamma_link=delta_title_type=0 to
+    recover the three independent decisions exactly."""
+    from berkeley_entity_spark.operators.features import (
+        featurize_pair,
+        levenshtein_ratio,
+    )
+    from berkeley_entity_spark.operators.scoring import load_default_weights
+
+    w_arr = weights if weights is not None else load_default_weights()
+    spark = mentions.sparkSession
+    lex = spark.sparkContext.broadcast(default_type_lexicons())
+
+    cols = ["url", "sent_idx", "start", "end", "norm_name", "is_acr"]
+    m = mentions.select(*cols)
+    if link_candidates is not None:
+        m = m.join(
+            link_candidates.toDF("norm_name", "_cands"), "norm_name", "left"
+        )
+    else:
+        m = m.withColumn("_cands", F.lit(None).cast(
+            "array<struct<_rn:int,title:string,votes:bigint,ttype:string>>"
+        ))
+
+    n_types = len(TYPE_DOMAIN)
+
+    def decode_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        persons, orgs, locs = lex.value
+        pdf = pdf.sort_values(["sent_idx", "start", "end", "norm_name"]).reset_index(
+            drop=True
+        )
+        url = pdf["url"].iloc[0]
+        n_all = len(pdf)
+        n = min(n_all, max_mentions)
+        toks = [str(s).split(" ") for s in pdf["norm_name"]]
+        t_un = [type_unary(t, persons, orgs, locs) for t in toks]
+        # link domains: position 0 = NIL, then candidate titles in
+        # (votes desc, title asc) order (the _rn sort key)
+        domains: list[list[tuple[str, str]]] = []
+        l_un: list[np.ndarray] = []
+        for cands in pdf["_cands"]:
+            titles, scores = [(NIL, "MISC")], [np.log(nil_votes)]
+            if cands is not None and len(cands):
+                for c in cands:
+                    titles.append((c["title"], c["ttype"]))
+                    scores.append(np.log(float(c["votes"])))
+            domains.append(titles)
+            l_un.append(np.asarray(scores))
+
+        g = FactorGraph()
+        c_nodes, t_nodes, l_nodes, c_domain = [], [], [], []
+        for i in range(n):
+            # prune the antecedent domain by the unary score, like the
+            # reference (DocumentGraph.scala:91-115 getPrunedDomain):
+            # below prune_margin an antecedent can't win and only bloats
+            # the agreement-factor count — NEW (score 0) always stays, so
+            # the decode is unchanged for every pruned candidate
+            scored_ants = []
+            for j in range(max(0, i - window), i):
+                feats = featurize_pair(
+                    pdf["norm_name"].iloc[i], pdf["norm_name"].iloc[j], {},
+                    bool(pdf["is_acr"].iloc[i]), bool(pdf["is_acr"].iloc[j]),
+                    lev=levenshtein_ratio(
+                        pdf["norm_name"].iloc[i], pdf["norm_name"].iloc[j]
+                    ),
+                )
+                s = float(np.dot(w_arr, feats))
+                if s >= prune_margin:
+                    scored_ants.append((j, s))
+            ants = [j for j, _ in scored_ants]
+            c_domain.append(ants)
+            c = g.add_node(1 + len(ants))
+            t = g.add_node(n_types)
+            l = g.add_node(len(domains[i]))
+            c_nodes.append(c)
+            t_nodes.append(t)
+            l_nodes.append(l)
+            cu = np.zeros(1 + len(ants))
+            for pos, (_, s) in enumerate(scored_ants, start=1):
+                cu[pos] = s
+            g.add_factor([c], cu)
+            g.add_factor([t], t_un[i])
+            g.add_factor([l], l_un[i])
+            # wiki+NER: title's KB type agrees with the mention type
+            lt = np.zeros((len(domains[i]), n_types))
+            for li, (title, ttype) in enumerate(domains[i]):
+                if title != NIL and ttype in TYPE_DOMAIN:
+                    lt[li, TYPE_DOMAIN.index(ttype)] = delta_title_type
+            g.add_factor([l, t], lt)
+        # agreement factors, gated on the antecedent choice
+        for i in range(n):
+            for pos, j in enumerate(c_domain[i], start=1):
+                if gamma_type != 0.0:
+                    tab = np.zeros((1 + len(c_domain[i]), n_types, n_types))
+                    tab[pos][np.eye(n_types, dtype=bool)] = gamma_type
+                    g.add_factor([c_nodes[i], t_nodes[i], t_nodes[j]], tab)
+                if gamma_link != 0.0:
+                    di, dj = len(domains[i]), len(domains[j])
+                    tab = np.zeros((1 + len(c_domain[i]), di, dj))
+                    for li in range(1, di):
+                        for lj in range(1, dj):
+                            if domains[i][li][0] == domains[j][lj][0]:
+                                tab[pos, li, lj] = gamma_link
+                    g.add_factor([c_nodes[i], l_nodes[i], l_nodes[j]], tab)
+        decoded = g.decode(n_iters)
+        rows = []
+        for i in range(n_all):
+            if i < n:
+                a = decoded[c_nodes[i]]
+                ant = c_domain[i][a - 1] if a > 0 else -1
+                ty = TYPE_DOMAIN[decoded[t_nodes[i]]]
+                li = decoded[l_nodes[i]]
+            else:  # past the cap: independent unary argmaxes
+                ant = -1
+                ty = TYPE_DOMAIN[int(np.argmax(t_un[i]))]
+                li = int(np.argmax(l_un[i]))
+            title = domains[i][li][0]
+            rows.append(
+                (
+                    url, i, int(pdf["sent_idx"].iloc[i]),
+                    int(pdf["start"].iloc[i]), pdf["norm_name"].iloc[i],
+                    int(ant), ty, None if title == NIL else title,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "url", "m_idx", "sent_idx", "start", "norm_name",
+                "antecedent", "etype", "link",
+            ],
+        )
+
+    schema = (
+        "url string, m_idx int, sent_idx int, start int, norm_name string, "
+        "antecedent int, etype string, link string"
+    )
+    return m.groupBy("url").applyInPandas(
+        lambda pdf: decode_doc(pdf), schema=schema
+    )
