@@ -852,6 +852,50 @@ def q_joint_entity(spark, sf_dir):
     return out.select("url", "m_idx", "antecedent", "etype", "link")
 
 
+def q_joint_degenerate(spark, sf_dir):
+    """M8 correctness anchor with a FULL DuckDB oracle: the joint BP
+    kernel in its interaction-free configuration (all agreement weights
+    0), where the factor graph is a forest and sum-product is EXACT — so
+    the decode must equal three independent argmaxes, all of which ARE
+    SQL-expressible: antecedent = argmax of the portable-feature linear
+    score over the 8-mention window (NEW above ties, the ER spine's 1e-9
+    zero-lattice guard), type = lexicon-count argmax over TYPE_DOMAIN
+    order, link = vote argmax vs NIL.  This runs the REAL kernel —
+    graph construction, message passing, marginals, decode — end-to-end
+    against an independent engine; the interaction factors themselves are
+    covered by tests/test_joint.py (enumeration exactness + flips)."""
+    from berkeley_entity_spark.operators.extract import extract_mentions
+    from berkeley_entity_spark.operators.joint import (
+        joint_entity_decode,
+        surface_link_candidates,
+    )
+    from berkeley_entity_spark.operators.scoring import weights_vector
+
+    m = extract_mentions(_cap_docs(spark, sf_dir), appositive_subspans=True)
+    surf = m.groupBy("norm_name").agg(F.count(F.lit(1)).alias("votes"))
+    votes = surf.select(
+        F.col("norm_name").alias("surface"),
+        F.replace("norm_name", F.lit(" "), F.lit("_")).alias("title"),
+        "votes",
+    ).unionByName(
+        surf.select(
+            F.col("norm_name").alias("surface"),
+            F.element_at(F.split("norm_name", " "), 1).alias("title"),
+            (F.col("votes") - (F.col("votes") / 2).cast("bigint")).alias("votes"),
+        )
+    )
+    out = joint_entity_decode(
+        m,
+        surface_link_candidates(votes, top_k=2),
+        weights=weights_vector(ORACLE_ER_WEIGHTS),
+        gamma_type=0.0,
+        gamma_link=0.0,
+        delta_title_type=0.0,
+        new_coref_bias=ORACLE_ER_THRESHOLD,
+    )
+    return out.select("url", "m_idx", "antecedent", "etype", "link")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_lineitem_agg": q_lineitem_agg,
@@ -888,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_consensus": q_entity_consensus,
         "q_conll_roundtrip": q_conll_roundtrip,
         "q_joint_entity": q_joint_entity,
+        "q_joint_degenerate": q_joint_degenerate,
         "q_ner_tags": q_ner_tags,
         "q_er_pipeline": q_er_pipeline,
         "q_er_clusters": q_er_clusters,
@@ -1248,6 +1293,111 @@ GROUP BY c.comp
 """
 
 
+def _joint_degenerate_oracle() -> str:
+    """Full SQL re-derivation of q_joint_degenerate: with all interaction
+    weights 0 the joint decode factorizes into three independent argmaxes
+    (the BP engine computes them THROUGH message passing; the oracle
+    computes them directly — exactness of that equivalence is the
+    factorization theorem, verified by the hash match):
+
+      antecedent — argmax of the ORACLE_ER_WEIGHTS linear score (the
+        q_er_clusters feature SQL, plus the exact_eq term that surface-
+        level dedup made unreachable there) over the 8-mention window,
+        ties to the earlier mention, NEW unless the max clears the 1e-9
+        zero-lattice guard; -1 past the kernel's max_mentions=40 cap.
+      type — lexicon-count argmax over TYPE_DOMAIN order (ties to the
+        earlier type, matching np.argmax).
+      link — the (votes desc, title asc) top candidate when its votes
+        beat nil_votes=1, else NULL."""
+    from berkeley_entity_spark.operators.joint import default_type_lexicons
+
+    w = ORACLE_ER_WEIGHTS
+    persons, orgs, locs = default_type_lexicons()
+    plist = ", ".join(f"'{t}'" for t in sorted(persons))
+    olist = ", ".join(f"'{t}'" for t in sorted(orgs))
+    llist = ", ".join(f"'{t}'" for t in sorted(locs))
+    acr_of = "array_to_string(list_transform({t}, t -> substr(t, 1, 1)), '')"
+    return f"""
+WITH m0 AS (SELECT * FROM ({_er_mentions_oracle()}) q),
+m AS (SELECT url, norm_name, is_acr,
+             CAST(row_number() OVER (PARTITION BY url
+                  ORDER BY sent_idx, start, "end", norm_name) - 1 AS INTEGER)
+               AS m_idx
+      FROM m0),
+pr AS (SELECT a.url, a.m_idx, b.m_idx AS j,
+              string_split(a.norm_name, ' ') AS ta,
+              string_split(b.norm_name, ' ') AS tb,
+              a.norm_name AS na, b.norm_name AS nb,
+              a.is_acr AS aa, b.is_acr AS ab
+       FROM m a JOIN m b
+         ON a.url = b.url AND b.m_idx >= a.m_idx - 8 AND b.m_idx < a.m_idx),
+sc AS (SELECT url, m_idx, j,
+   {w['jaro_winkler']} * jaro_winkler_similarity(na, nb)
+ + {w['levenshtein']} * (CASE WHEN na = nb THEN 1.0
+        WHEN length(na) = 0 OR length(nb) = 0 THEN 0.0
+        ELSE 1.0 - levenshtein(na, nb) * 1.0 / greatest(length(na), length(nb))
+   END)
+ + {w['token_jaccard']} * (len(list_intersect(ta, tb)) * 1.0
+     / (len(list_distinct(ta)) + len(list_distinct(tb))
+        - len(list_intersect(ta, tb))))
+ + {w['exact_eq']} * (CASE WHEN na = nb THEN 1.0 ELSE 0.0 END)
+ + {w['last_eq']} * (CASE WHEN ta[len(ta)] = tb[len(tb)] THEN 1.0 ELSE 0.0 END)
+ + {w['first_eq']} * (CASE WHEN ta[1] = tb[1] THEN 1.0 ELSE 0.0 END)
+ + {w['init_last_eq']} * (CASE WHEN ta[len(ta)] = tb[len(tb)]
+             AND substr(ta[1], 1, 1) = substr(tb[1], 1, 1)
+        THEN 1.0 ELSE 0.0 END)
+ + {w['acronym_match']} * (CASE WHEN (len(ta) = 1 AND aa AND len(tb) > 1
+              AND ta[1] = {acr_of.format(t='tb')})
+          OR (len(tb) = 1 AND ab AND len(ta) > 1
+              AND tb[1] = {acr_of.format(t='ta')})
+        THEN 1.0 ELSE 0.0 END)
+ + {w['token_subset']} * (CASE WHEN list_has_all(ta, tb) OR list_has_all(tb, ta)
+        THEN 1.0 ELSE 0.0 END)
+ + ({w['bias']}) AS s
+   FROM pr),
+ba AS (SELECT url, m_idx,
+              CASE WHEN s > {ORACLE_ER_THRESHOLD!r} THEN j ELSE -1 END AS ant
+       FROM (SELECT *, row_number() OVER (PARTITION BY url, m_idx
+                                          ORDER BY s DESC, j ASC) AS rn
+             FROM sc)
+       WHERE rn = 1),
+mtk AS (SELECT url, m_idx, unnest(string_split(norm_name, ' ')) AS tk FROM m),
+tsc AS (SELECT url, m_idx,
+               2.0 * sum(CASE WHEN tk IN ({llist}) THEN 1 ELSE 0 END) AS s_loc,
+               2.0 * sum(CASE WHEN tk IN ({olist}) THEN 1 ELSE 0 END) AS s_org,
+               2.0 * sum(CASE WHEN tk IN ({plist}) THEN 1 ELSE 0 END) AS s_per
+        FROM mtk GROUP BY url, m_idx),
+ty AS (SELECT url, m_idx,
+              CASE WHEN s_loc >= 0.5 AND s_loc >= s_org AND s_loc >= s_per
+                   THEN 'LOC'
+                   WHEN 0.5 >= s_org AND 0.5 >= s_per THEN 'MISC'
+                   WHEN s_org >= s_per THEN 'ORG'
+                   ELSE 'PER' END AS etype
+       FROM tsc),
+sv AS (SELECT norm_name, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY norm_name),
+cand AS (SELECT norm_name, replace(norm_name, ' ', '_') AS title, n AS votes
+         FROM sv
+         UNION ALL
+         SELECT norm_name, string_split(norm_name, ' ')[1],
+                n - CAST(floor(n / 2.0) AS BIGINT)
+         FROM sv),
+lk AS (SELECT norm_name,
+              CASE WHEN votes > 1 THEN title ELSE NULL END AS link
+       FROM (SELECT *, row_number() OVER (PARTITION BY norm_name
+                                          ORDER BY votes DESC, title ASC) AS rn
+             FROM cand)
+       WHERE rn = 1)
+SELECT m.url, m.m_idx,
+       CAST(CASE WHEN m.m_idx >= 40 THEN -1
+                 ELSE coalesce(ba.ant, -1) END AS INTEGER) AS antecedent,
+       ty.etype, lk.link
+FROM m
+LEFT JOIN ba ON ba.url = m.url AND ba.m_idx = m.m_idx
+JOIN ty ON ty.url = m.url AND ty.m_idx = m.m_idx
+LEFT JOIN lk ON lk.norm_name = m.norm_name
+"""
+
+
 def _ann_lsh_oracle(k: int = 3, n_planes: int = 4, n_tables: int = 16, dim: int = 64) -> str:
     """Full SQL re-derivation of the hyperplane-LSH top-k: the seeded plane
     matrices are EMBEDDED as double literals (string-cast — DuckDB parses
@@ -1553,6 +1703,7 @@ FROM m JOIN lab USING (norm_name)
         "q_ann_lsh": _ann_lsh_oracle(),
         "q_ann_ivf": _ann_ivf_oracle(),
         "q_er_mentions": _er_mentions_oracle(),
+        "q_joint_degenerate": _joint_degenerate_oracle(),
         "q_ann_topk": """
             SELECT query_id, neighbor_id, rank FROM (
               SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -123,6 +123,7 @@ def joint_entity_decode(
     max_mentions: int = 40,
     nil_votes: float = 1.0,
     prune_margin: float = -4.0,
+    new_coref_bias: float = 0.0,
 ) -> DataFrame:
     """Joint BP decode: mentions -> (url, m_idx, sent_idx, start,
     norm_name, antecedent, etype, link).
@@ -208,7 +209,13 @@ def joint_entity_decode(
             c_nodes.append(c)
             t_nodes.append(t)
             l_nodes.append(l)
+            # new_coref_bias: NEW's unary.  The SQL-oracled degenerate
+            # query sets it to the ER spine's 1e-9 threshold so a pair
+            # whose TRUE score is exactly 0 (they exist on the rational
+            # feature lattice — see ORACLE_ER_THRESHOLD) decodes NEW in
+            # both engines instead of riding each engine's 1e-16 noise
             cu = np.zeros(1 + len(ants))
+            cu[0] = new_coref_bias
             for pos, (_, s) in enumerate(scored_ants, start=1):
                 cu[pos] = s
             g.add_factor([c], cu)
