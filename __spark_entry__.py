@@ -896,6 +896,25 @@ def q_joint_degenerate(spark, sf_dir):
     return out.select("url", "m_idx", "antecedent", "etype", "link")
 
 
+def q_nominal_mentions(spark, sf_dir):
+    """P4 analog — NOMINAL mention extraction.  The reference gets nominal
+    mentions ("the company") from constituency-parse NP spans
+    (PreprocessingDriver.java:100-110, CorefDocAssembler.scala:66-90); the
+    parser itself is an external model (out of scope), so the web-text
+    analog is a deterministic DT-led chunker: determiner + 1..3 word
+    tokens, run stopped by non-words/nested determiners/function words.
+    Runs over the RAW documents text (nominals are lowercase by nature);
+    the DuckDB oracle re-derives the chunker with window leads."""
+    from berkeley_entity_spark.operators.extract import nominal_mentions
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        "CAST(doc_id AS STRING) AS url", "text"
+    )
+    return nominal_mentions(pages).select(
+        "url", "sent_idx", "start", "end", "span", "head", "norm_name"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_lineitem_agg": q_lineitem_agg,
@@ -933,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conll_roundtrip": q_conll_roundtrip,
         "q_joint_entity": q_joint_entity,
         "q_joint_degenerate": q_joint_degenerate,
+        "q_nominal_mentions": q_nominal_mentions,
         "q_ner_tags": q_ner_tags,
         "q_er_pipeline": q_er_pipeline,
         "q_er_clusters": q_er_clusters,
@@ -1398,6 +1418,58 @@ LEFT JOIN lk ON lk.norm_name = m.norm_name
 """
 
 
+def _nominal_mentions_oracle() -> str:
+    """SQL re-derivation of the DT-led nominal chunker
+    (extract._nominals_from_text): window leads give the next 3 tokens'
+    word-ness; run length = the first failing position; span includes the
+    determiner; spans are already in normal form (lowercase, no periods),
+    so norm_name = span."""
+    from berkeley_entity_spark.operators.extract import (
+        _DETERMINERS,
+        _NP_STOP,
+        MAX_NOMINAL_TOKENS,
+    )
+
+    assert MAX_NOMINAL_TOKENS == 3, "oracle hand-unrolls 3 leads"
+    dets = ", ".join(f"'{d}'" for d in sorted(_DETERMINERS))
+    stops = ", ".join(f"'{s}'" for s in sorted(_NP_STOP))
+    return f"""
+WITH tok AS (SELECT CAST(doc_id AS VARCHAR) AS url, {TOKQ} AS toks FROM documents),
+t AS (SELECT url, unnest(toks) AS tk, generate_subscripts(toks, 1) AS i
+      FROM tok),
+w AS (SELECT url, i, tk,
+             tk IN ({dets}) AS is_det,
+             (regexp_matches(tk, '^[a-z][a-z\\-]*$')
+              AND tk NOT IN ({dets}) AND tk NOT IN ({stops})) AS is_w
+      FROM t),
+led AS (SELECT url, i, tk, is_det,
+               lead(tk, 1) OVER win AS t1, lead(tk, 2) OVER win AS t2,
+               lead(tk, 3) OVER win AS t3,
+               coalesce(lead(is_w, 1) OVER win, FALSE) AS w1,
+               coalesce(lead(is_w, 2) OVER win, FALSE) AS w2,
+               coalesce(lead(is_w, 3) OVER win, FALSE) AS w3
+        FROM w
+        WINDOW win AS (PARTITION BY url ORDER BY i)),
+runs AS (SELECT url, i, tk, t1, t2, t3,
+                CASE WHEN NOT w1 THEN 0
+                     WHEN NOT w2 THEN 1
+                     WHEN NOT w3 THEN 2
+                     ELSE 3 END AS L
+         FROM led WHERE is_det)
+SELECT url, CAST(0 AS INTEGER) AS sent_idx,
+       CAST(i - 1 AS INTEGER) AS start,
+       CAST(i + L AS INTEGER) AS "end",
+       span, list_extract(string_split(span, ' '),
+                          len(string_split(span, ' '))) AS head,
+       span AS norm_name
+FROM (SELECT url, i, L,
+             tk || ' ' || t1
+             || CASE WHEN L >= 2 THEN ' ' || t2 ELSE '' END
+             || CASE WHEN L >= 3 THEN ' ' || t3 ELSE '' END AS span
+      FROM runs WHERE L >= 1)
+"""
+
+
 def _ann_lsh_oracle(k: int = 3, n_planes: int = 4, n_tables: int = 16, dim: int = 64) -> str:
     """Full SQL re-derivation of the hyperplane-LSH top-k: the seeded plane
     matrices are EMBEDDED as double literals (string-cast — DuckDB parses
@@ -1704,6 +1776,7 @@ FROM m JOIN lab USING (norm_name)
         "q_ann_ivf": _ann_ivf_oracle(),
         "q_er_mentions": _er_mentions_oracle(),
         "q_joint_degenerate": _joint_degenerate_oracle(),
+        "q_nominal_mentions": _nominal_mentions_oracle(),
         "q_ann_topk": """
             SELECT query_id, neighbor_id, rank FROM (
               SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -188,3 +188,79 @@ def extracted_text(pages: DataFrame) -> DataFrame:
 
     return pages.select("url", "html").mapInPandas(gen, schema="url string, text string")
 
+
+
+# ---------------------------------------------------------- nominal mentions
+
+# Determiner closed class (DT) and the run-terminating function words.
+# Both lists are deliberately tiny and FROZEN: the same literals are
+# embedded in the q_nominal_mentions DuckDB oracle, so any edit must touch
+# both (the oracle hash enforces it).
+_DETERMINERS = frozenset(("the", "a", "an", "this", "that", "these", "those"))
+_NP_STOP = frozenset(("and", "or", "but", "of", "in", "on", "at", "to", "for"))
+_NP_TOKEN = re.compile(r"^[a-z][a-z\-]*$")
+MAX_NOMINAL_TOKENS = 3
+
+
+def _nominals_from_text(text: str) -> list[tuple[int, int, int, str]]:
+    """(sent_idx, start, end, span) for each determiner-led nominal chunk.
+
+    P4 analog: the reference extracts NOMINAL mentions ("the company")
+    from constituency-parse NP spans (PreprocessingDriver.java:100-110,
+    CorefDocAssembler.scala:66-90); without an external parser, the
+    deterministic web-text analog is a DT-led chunk — a determiner
+    followed by 1..MAX_NOMINAL_TOKENS lowercase word tokens (run stops at
+    non-words, nested determiners, and function words; longer runs are
+    truncated, NP-chunk style).  The span INCLUDES the determiner, the
+    head is the last token — the reference's NP head convention for these
+    chunks."""
+    out = []
+    for s_idx, sent in enumerate(split_sentences([text])):
+        toks = sent.split(" ")
+        n = len(toks)
+        for i, t in enumerate(toks):
+            if t not in _DETERMINERS:
+                continue
+            j = i + 1
+            while (
+                j < n
+                and j - i <= MAX_NOMINAL_TOKENS
+                and _NP_TOKEN.match(toks[j])
+                and toks[j] not in _DETERMINERS
+                and toks[j] not in _NP_STOP
+            ):
+                j += 1
+            j = min(j, i + 1 + MAX_NOMINAL_TOKENS)
+            if j > i + 1:
+                out.append((s_idx, i, j, " ".join(toks[i:j])))
+    return out
+
+
+def nominal_mentions(pages: DataFrame) -> DataFrame:
+    """webpages -> nominal-mention rows (url, sent_idx, start, end, span,
+    head, norm_name, mtype='nominal').
+
+    Same Arrow shape and determinism contract as extract_mentions; these
+    feed coref as the reference's NOMINAL mention type (resolved by
+    head/semclass agreement rather than string match)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                for s_idx, a, b, span in _nominals_from_text(text):
+                    rows.append(
+                        (url, s_idx, a, b, span, span.rsplit(" ", 1)[-1],
+                         normalize_name(span), "nominal")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "sent_idx", "start", "end", "span", "head",
+                         "norm_name", "mtype"],
+            )
+
+    return pages.select("url", "text").mapInPandas(
+        gen,
+        schema="url string, sent_idx int, start int, end int, span string, "
+               "head string, norm_name string, mtype string",
+    ).withColumn("mention_id", F.xxhash64("url", "sent_idx", "start", "end"))

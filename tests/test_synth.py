@@ -64,3 +64,36 @@ def test_surface_variants_cover_phenomena():
     assert kind_o == "org"
     acr = entity_surface(1, 2, 40)
     assert acr.isupper() and len(acr) == 3
+
+
+def test_nominal_chunker_cases():
+    """P4 analog: DT-led nominal chunks — determiner kept in the span,
+    runs stop at function words/nested determiners, truncate at 3."""
+    from berkeley_entity_spark.operators.extract import _nominals_from_text
+
+    # determiner + up to 3 word tokens, longer runs truncated
+    assert _nominals_from_text("the company said hello there now") == [
+        (0, 0, 4, "the company said hello")
+    ]
+    # a nested determiner ends candidacy for the outer run; determiners
+    # followed immediately by another determiner emit nothing
+    assert _nominals_from_text("a a the line sort table window more") == [
+        (0, 2, 6, "the line sort table")
+    ]
+    # stop word ends the run; determiner with no following word emits nothing
+    assert _nominals_from_text("the big and small") == [(0, 0, 2, "the big")]
+    assert _nominals_from_text("table the") == []
+
+
+def test_nominal_mentions_distributed(spark):
+    from berkeley_entity_spark.operators.extract import nominal_mentions
+
+    df = spark.createDataFrame(
+        [("u1", "the quick brown fox jumps"), ("u2", "no determiners here")],
+        "url string, text string",
+    )
+    rows = {(r["url"], r["start"], r["end"]): r for r in nominal_mentions(df).collect()}
+    assert set(rows) == {("u1", 0, 4)}
+    r = rows[("u1", 0, 4)]
+    assert r["span"] == "the quick brown fox" and r["head"] == "fox"
+    assert r["norm_name"] == "the quick brown fox" and r["mtype"] == "nominal"
