@@ -915,6 +915,55 @@ def q_nominal_mentions(spark, sf_dir):
     )
 
 
+def q_nominal_link(spark, sf_dir):
+    """Nominal coreference core (CorefDocAssembler + the head-match
+    resolution the reference applies to NOMINAL mentions): each DT-led
+    nominal links to the NEAREST PRECEDING proper mention in the same
+    document whose normalized name contains the nominal's head word
+    (ties impossible: "nearest preceding" is a strict order on start).
+    Pure DataFrame ops — the nominal table joins the proper-mention table
+    on (url, head-word containment) with a window argmax; at web scale
+    both sides are per-doc-partitioned and the join carries no arrays.
+    Output: one row per LINKED nominal (url, start, head, ant_start,
+    ant_norm)."""
+    from berkeley_entity_spark.operators.extract import (
+        extract_mentions,
+        nominal_mentions,
+    )
+
+    raw = _t(spark, sf_dir, "documents").selectExpr(
+        "CAST(doc_id AS STRING) AS url", "text"
+    )
+    nom = nominal_mentions(raw).select(
+        "url", F.col("start").alias("n_start"), "head"
+    )
+    # appositive_subspans=True so the antecedent table is exactly the
+    # q_er_mentions mention set (the oracle reuses that oracle verbatim)
+    prop = extract_mentions(
+        _cap_docs(spark, sf_dir), appositive_subspans=True
+    ).select(
+        "url", F.col("start").alias("p_start"), F.col("norm_name").alias("ant_norm")
+    )
+    j = nom.join(prop, "url").where(
+        (F.col("p_start") < F.col("n_start"))
+        & F.array_contains(F.split("ant_norm", " "), F.col("head"))
+    )
+    w = Window.partitionBy("url", "n_start").orderBy(
+        F.desc("p_start"), F.asc("ant_norm")
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "url",
+            F.col("n_start").alias("start"),
+            "head",
+            F.col("p_start").alias("ant_start"),
+            "ant_norm",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_lineitem_agg": q_lineitem_agg,
@@ -953,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_joint_entity": q_joint_entity,
         "q_joint_degenerate": q_joint_degenerate,
         "q_nominal_mentions": q_nominal_mentions,
+        "q_nominal_link": q_nominal_link,
         "q_ner_tags": q_ner_tags,
         "q_er_pipeline": q_er_pipeline,
         "q_er_clusters": q_er_clusters,
@@ -1777,6 +1827,22 @@ FROM m JOIN lab USING (norm_name)
         "q_er_mentions": _er_mentions_oracle(),
         "q_joint_degenerate": _joint_degenerate_oracle(),
         "q_nominal_mentions": _nominal_mentions_oracle(),
+        "q_nominal_link": f"""
+WITH nom AS (SELECT url, start AS n_start, head
+             FROM ({_nominal_mentions_oracle()}) n),
+prop AS (SELECT url, start AS p_start, norm_name AS ant_norm
+         FROM ({_er_mentions_oracle()}) m),
+j AS (SELECT nom.url, nom.n_start, nom.head, prop.p_start, prop.ant_norm,
+             row_number() OVER (PARTITION BY nom.url, nom.n_start
+                                ORDER BY prop.p_start DESC, prop.ant_norm ASC)
+               AS rn
+      FROM nom JOIN prop ON nom.url = prop.url
+       AND prop.p_start < nom.n_start
+       AND list_contains(string_split(prop.ant_norm, ' '), nom.head))
+SELECT url, CAST(n_start AS INTEGER) AS start, head,
+       CAST(p_start AS INTEGER) AS ant_start, ant_norm
+FROM j WHERE rn = 1
+""",
         "q_ann_topk": """
             SELECT query_id, neighbor_id, rank FROM (
               SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
