@@ -56,11 +56,25 @@ def _spark(cpus: int | None = None, shuffle: int | None = None):
     return s
 
 
+def _spin_calibration() -> float:
+    """Single-process pure-CPU spin wall (seconds) — ~1.1s on this box's
+    nominal windows, 2x+ when the host is degraded.  Recorded around the
+    headline loop so a reader can normalize cross-round walls: per-query
+    ratios against this number separate host drift from code change
+    (round-2 lesson: a 'regression' window showed every untouched TPC-H
+    query uniformly 2.5x slower with calibration 2.1s vs 1.1 nominal)."""
+    out = subprocess.run(
+        [sys.executable, "-c", _SPIN], capture_output=True, text=True
+    )
+    return round(float(out.stdout.strip()), 3)
+
+
 def run_headline() -> dict:
     import __spark_entry__ as entrymod
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    spin_before = _spin_calibration()
     spark = _spark()
     qs = entrymod.queries()
     # untimed warm-up: codegen/JIT + python worker pool + parquet footer reads,
@@ -82,11 +96,24 @@ def run_headline() -> dict:
         dt = round(time.monotonic() - t0, 3)
         per_query[name] = dt
         total += dt
+    # second timed pass: auxiliary min-of-2 per query.  The headline
+    # `value` stays the FIRST pass (the metric r1/r2 recorded); the min
+    # pass exists because this host's wall drifts up to 3x between
+    # windows — min-of-2 plus the spin calibrations lets a reader tell
+    # host drift from code change without re-running.
+    per_query_min: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per_query_min[name] = min(per_query[name], round(time.monotonic() - t0, 3))
     return {
         "metric": "headline_query_wall_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        "queries_min2": per_query_min,
+        "total_min2": round(sum(per_query_min.values()), 3),
+        "spin_calibration_sec": [spin_before, _spin_calibration()],
         "sf": sf,
     }
 
