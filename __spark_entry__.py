@@ -304,7 +304,15 @@ def q_ann_ivf(spark, sf_dir):
     literals), ONE corpus scan assigns lists + emits n_probe probes,
     candidates via centroid equi-join (unique by construction — each
     neighbor lives in exactly one list, so no dedup shuffle), exact cosine
-    re-rank with the (cosine desc, id asc) tie rule."""
+    re-rank with the (cosine desc, id asc) tie rule.
+
+    Known residual oracle risk (disclosed): list assignment compares
+    vector-centroid dots AGAINST EACH OTHER, so a vector whose top-2
+    centroid dots differ by less than the engines' summation-order gap
+    (~1e-13 relative over 64 terms) could be assigned differently by
+    numpy (pairwise/SIMD accumulation) and DuckDB (left-to-right) — the
+    same class of exposure the accepted q_ann_lsh oracle carries at its
+    sign(ip) boundary; no such near-tie exists in the gate corpora."""
     from berkeley_entity_spark.operators.similarity import ivf_topk
 
     t = ivf_topk(
@@ -815,6 +823,27 @@ def q_conll_roundtrip(spark, sf_dir):
     return parse_conll(render_conll(pages, chunks))
 
 
+def _joint_vote_db(m):
+    """Corpus-derived candidate-title vote DB shared by BOTH joint queries
+    AND mirrored literal-for-literal by the q_joint_degenerate oracle's
+    `cand` CTE — one definition so the oracle can never silently validate
+    a different vote DB than q_joint_entity runs with: full surface ->
+    underscore title with frequency votes, plus the surface's first token
+    as the ambiguous second candidate at ceil(votes/2)."""
+    surf = m.groupBy("norm_name").agg(F.count(F.lit(1)).alias("votes"))
+    return surf.select(
+        F.col("norm_name").alias("surface"),
+        F.replace("norm_name", F.lit(" "), F.lit("_")).alias("title"),
+        "votes",
+    ).unionByName(
+        surf.select(
+            F.col("norm_name").alias("surface"),
+            F.element_at(F.split("norm_name", " "), 1).alias("title"),
+            (F.col("votes") - (F.col("votes") / 2).cast("bigint")).alias("votes"),
+        )
+    )
+
+
 def q_joint_entity(spark, sf_dir):
     """M8 — joint coref+typing+linking BP decode (the reference's headline
     joint model, JointDocFactorGraphOnto.scala:44-250 build, 297-451
@@ -835,20 +864,13 @@ def q_joint_entity(spark, sf_dir):
         surface_link_candidates,
     )
 
-    m = extract_mentions(_cap_docs(spark, sf_dir))
-    surf = m.groupBy("norm_name").agg(F.count(F.lit(1)).alias("votes"))
-    votes = surf.select(
-        F.col("norm_name").alias("surface"),
-        F.replace("norm_name", F.lit(" "), F.lit("_")).alias("title"),
-        "votes",
-    ).unionByName(
-        surf.select(
-            F.col("norm_name").alias("surface"),
-            F.element_at(F.split("norm_name", " "), 1).alias("title"),
-            (F.col("votes") - (F.col("votes") / 2).cast("bigint")).alias("votes"),
-        )
+    # the mention table feeds the vote-DB branch AND the decode branch;
+    # eager checkpoint so the Arrow extract kernel runs once (the
+    # q_er_pipeline precedent)
+    m = extract_mentions(_cap_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    out = joint_entity_decode(
+        m, surface_link_candidates(_joint_vote_db(m), top_k=2)
     )
-    out = joint_entity_decode(m, surface_link_candidates(votes, top_k=2))
     return out.select("url", "m_idx", "antecedent", "etype", "link")
 
 
@@ -871,22 +893,12 @@ def q_joint_degenerate(spark, sf_dir):
     )
     from berkeley_entity_spark.operators.scoring import weights_vector
 
-    m = extract_mentions(_cap_docs(spark, sf_dir), appositive_subspans=True)
-    surf = m.groupBy("norm_name").agg(F.count(F.lit(1)).alias("votes"))
-    votes = surf.select(
-        F.col("norm_name").alias("surface"),
-        F.replace("norm_name", F.lit(" "), F.lit("_")).alias("title"),
-        "votes",
-    ).unionByName(
-        surf.select(
-            F.col("norm_name").alias("surface"),
-            F.element_at(F.split("norm_name", " "), 1).alias("title"),
-            (F.col("votes") - (F.col("votes") / 2).cast("bigint")).alias("votes"),
-        )
-    )
+    m = extract_mentions(
+        _cap_docs(spark, sf_dir), appositive_subspans=True
+    ).localCheckpoint(eager=True)
     out = joint_entity_decode(
         m,
-        surface_link_candidates(votes, top_k=2),
+        surface_link_candidates(_joint_vote_db(m), top_k=2),
         weights=weights_vector(ORACLE_ER_WEIGHTS),
         gamma_type=0.0,
         gamma_link=0.0,
@@ -935,29 +947,39 @@ def q_nominal_link(spark, sf_dir):
         "CAST(doc_id AS STRING) AS url", "text"
     )
     nom = nominal_mentions(raw).select(
-        "url", F.col("start").alias("n_start"), "head"
+        "url", F.col("sent_idx").alias("n_sent"),
+        F.col("start").alias("n_start"), "head",
     )
     # appositive_subspans=True so the antecedent table is exactly the
     # q_er_mentions mention set (the oracle reuses that oracle verbatim)
     prop = extract_mentions(
         _cap_docs(spark, sf_dir), appositive_subspans=True
     ).select(
-        "url", F.col("start").alias("p_start"), F.col("norm_name").alias("ant_norm")
+        "url", F.col("sent_idx").alias("p_sent"),
+        F.col("start").alias("p_start"), F.col("norm_name").alias("ant_norm"),
+    )
+    # "preceding" is DOCUMENT order over sentence-relative coordinates:
+    # (sent, start) lexicographic — cross-sentence antecedents allowed,
+    # and the argmax partition keys the FULL nominal identity (url, sent,
+    # start), so same-start nominals in different sentences never collapse
+    precedes = (F.col("p_sent") < F.col("n_sent")) | (
+        (F.col("p_sent") == F.col("n_sent")) & (F.col("p_start") < F.col("n_start"))
     )
     j = nom.join(prop, "url").where(
-        (F.col("p_start") < F.col("n_start"))
-        & F.array_contains(F.split("ant_norm", " "), F.col("head"))
+        precedes & F.array_contains(F.split("ant_norm", " "), F.col("head"))
     )
-    w = Window.partitionBy("url", "n_start").orderBy(
-        F.desc("p_start"), F.asc("ant_norm")
+    w = Window.partitionBy("url", "n_sent", "n_start").orderBy(
+        F.desc("p_sent"), F.desc("p_start"), F.asc("ant_norm")
     )
     return (
         j.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select(
             "url",
+            F.col("n_sent").alias("sent_idx"),
             F.col("n_start").alias("start"),
             "head",
+            F.col("p_sent").alias("ant_sent"),
             F.col("p_start").alias("ant_start"),
             "ant_norm",
         )
@@ -1839,7 +1861,9 @@ j AS (SELECT nom.url, nom.n_start, nom.head, prop.p_start, prop.ant_norm,
       FROM nom JOIN prop ON nom.url = prop.url
        AND prop.p_start < nom.n_start
        AND list_contains(string_split(prop.ant_norm, ' '), nom.head))
-SELECT url, CAST(n_start AS INTEGER) AS start, head,
+SELECT url, CAST(0 AS INTEGER) AS sent_idx,
+       CAST(n_start AS INTEGER) AS start, head,
+       CAST(0 AS INTEGER) AS ant_sent,
        CAST(p_start AS INTEGER) AS ant_start, ant_norm
 FROM j WHERE rn = 1
 """,

@@ -49,6 +49,39 @@ def _unit_matrix(pdf: pd.DataFrame, vec_col: str) -> np.ndarray:
     return M
 
 
+def _topk_cell(k: int, qvec_col: str = "_qvec", cvec_col: str = "_cvec"):
+    """The shared per-cell exact-cosine top-k kernel (cosine_topk's block
+    cells and ivf_topk's inverted-list cells): numpy matmul over the cell,
+    self-pairs masked, per-query top-k under the global
+    (cosine desc, neighbor_id asc) tie rule — ONE implementation so the
+    determinism contract the oracles hash can never diverge between the
+    two operators."""
+
+    def cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        qids = np.asarray(left["_qid"], dtype=np.int64)
+        cids = np.asarray(right["_cid"], dtype=np.int64)
+        S = _unit_matrix(left, qvec_col) @ _unit_matrix(right, cvec_col).T
+        S[qids[:, None] == cids[None, :]] = -np.inf
+        rows = []
+        kk = min(k, len(cids))
+        for r in range(len(qids)):
+            idx = np.lexsort((cids, -S[r]))[:kk]
+            rows.extend(
+                (int(qids[r]), int(cids[j]), float(S[r, j]))
+                for j in idx
+                if S[r, j] > -np.inf
+            )
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+
+    return cell
+
+
 def _blocked_cross(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -112,31 +145,8 @@ def cosine_topk(
     (the round-1 `toPandas()` broadcast is gone); task memory is bounded by
     |corpus|/n_blocks + |queries|/n_qchunks rows."""
     src = queries if queries is not None else embeddings
-
-    def cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty or right.empty:
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype="int64"),
-                 "neighbor_id": pd.Series(dtype="int64"),
-                 "cosine": pd.Series(dtype="float64")}
-            )
-        qids = np.asarray(left["_qid"], dtype=np.int64)
-        cids = np.asarray(right["_cid"], dtype=np.int64)
-        S = _unit_matrix(left, "_qvec") @ _unit_matrix(right, "_cvec").T
-        S[qids[:, None] == cids[None, :]] = -np.inf
-        rows = []
-        kk = min(k, len(cids))
-        for r in range(len(qids)):
-            idx = np.lexsort((cids, -S[r]))[:kk]
-            rows.extend(
-                (int(qids[r]), int(cids[j]), float(S[r, j]))
-                for j in idx
-                if S[r, j] > -np.inf
-            )
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
-
     partial = _blocked_cross(
-        embeddings, src, cell,
+        embeddings, src, _topk_cell(k),
         "query_id bigint, neighbor_id bigint, cosine double",
         n_blocks, n_qchunks, vec_col, id_col,
     )
@@ -398,28 +408,36 @@ def ivf_train_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> np.ndarray:
-    """Deterministic driver-side Lloyd k-means over a BOUNDED sample — the
-    IVF coarse-quantizer trainer (FAISS-style train-on-sample; the sample
-    cap mirrors the reference's driver-side trainer precedent).  Sample =
+    """Deterministic driver-side SPHERICAL k-means over a BOUNDED sample —
+    the IVF coarse-quantizer trainer (FAISS-style train-on-sample; the
+    sample cap mirrors the reference's driver-side trainer precedent).
+
+    Spherical, not plain Lloyd: search-time assignment is max inner
+    product (ivf_probe_assignments), and with unequal-norm centroids
+    max-dot and min-L2 disagree — plain Lloyd means shrink toward the
+    origin for diffuse clusters, so large-norm centroids would steal
+    search-time traffic from the lists the training optimized.  Training
+    on unit vectors and re-normalizing centroids each iteration makes
+    max-dot and min-angle identical at train and search time.  Sample =
     first `sample_n` rows by id (deterministic under any partitioning);
     init = seeded permutation of the sample; an emptied cluster keeps its
-    previous centroid.  Returns (n_centroids, dim) float64."""
+    previous centroid.  Returns (n_centroids, dim) float64, unit rows."""
     pdf = (
         embeddings.select(id_col, vec_col)
         .orderBy(id_col)
         .limit(sample_n)
         .toPandas()
     )
-    X = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
+    X = _unit_matrix(pdf, vec_col)
     rng = np.random.RandomState(seed)
     C = X[rng.permutation(len(X))[:n_centroids]].copy()
     for _ in range(iters):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        a = d2.argmin(axis=1)
+        a = (X @ C.T).argmax(axis=1)
         for c in range(n_centroids):
             members = X[a == c]
             if len(members):
-                C[c] = members.mean(axis=0)
+                m = members.mean(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-30)
     return C
 
 
@@ -459,9 +477,15 @@ def ivf_topk(
     (ivf_train_centroids) lists follow the data distribution and recall
     rises at the same cost."""
     C = centroids if centroids is not None else ivf_anchor_matrix(n_centroids, dim, seed)
+    # probes feeds two plan branches (query side + list side); without a
+    # materialization point each branch re-runs the matmul+argsort corpus
+    # pass (no exchange below it => no ReusedExchange), so "one corpus
+    # scan" would silently become two.  Eager persist, same rationale as
+    # the ER blocking cache.
     probes = ivf_probe_assignments(
         embeddings, C, n_probe, vec_col=vec_col, id_col=id_col
-    )
+    ).persist()
+    probes.count()
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec")
     )
@@ -492,32 +516,13 @@ def ivf_topk(
         .join(F.broadcast(qch_ids), how="cross")
     )
 
-    def cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty or right.empty:
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype="int64"),
-                 "neighbor_id": pd.Series(dtype="int64"),
-                 "cosine": pd.Series(dtype="float64")}
-            )
-        qids = np.asarray(left["_qid"], dtype=np.int64)
-        cids = np.asarray(right["_cid"], dtype=np.int64)
-        S = _unit_matrix(left, "_qvec") @ _unit_matrix(right, "_cvec").T
-        S[qids[:, None] == cids[None, :]] = -np.inf
-        rows = []
-        kk = min(k, len(cids))
-        for r in range(len(qids)):
-            idx = np.lexsort((cids, -S[r]))[:kk]
-            rows.extend(
-                (int(qids[r]), int(cids[j]), float(S[r, j]))
-                for j in idx
-                if S[r, j] > -np.inf
-            )
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
-
     partial = (
         qside.groupBy("cid", "_qch")
         .cogroup(lside.groupBy("_lcid", "_qch"))
-        .applyInPandas(cell, schema="query_id bigint, neighbor_id bigint, cosine double")
+        .applyInPandas(
+            _topk_cell(k),
+            schema="query_id bigint, neighbor_id bigint, cosine double",
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
