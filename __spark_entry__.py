@@ -986,6 +986,21 @@ def q_nominal_link(spark, sf_dir):
     )
 
 
+def q_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. 2003) — the
+    partial-overlap detector (quotes/boilerplate) that whole-doc hashing
+    misses.  k=5 char-gram rolling hash mod 2^31-1, per-4-window minima,
+    distinct per doc.  The DuckDB oracle recomputes every hash by direct
+    positionwise modular fold (mathematically identical to the kernel's
+    rolling recurrence mod M) and the window minima with a ROWS frame —
+    the corpus is ASCII so unicode(char) == the kernel's utf-8 byte."""
+    from berkeley_entity_spark.operators.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), k=5, window=4
+    ).select("doc_id", "fp")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_lineitem_agg": q_lineitem_agg,
@@ -1025,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_joint_degenerate": q_joint_degenerate,
         "q_nominal_mentions": q_nominal_mentions,
         "q_nominal_link": q_nominal_link,
+        "q_winnowing": q_winnowing,
         "q_ner_tags": q_ner_tags,
         "q_er_pipeline": q_er_pipeline,
         "q_er_clusters": q_er_clusters,
@@ -1542,6 +1558,35 @@ FROM (SELECT url, i, L,
 """
 
 
+def _winnowing_oracle(k: int = 5, window: int = 4) -> str:
+    """SQL re-derivation of textstats.winnowing_fingerprints: hash at
+    position i = fold((acc*B + byte) % M) over the k chars (identical to
+    the kernel's rolling recurrence mod M — rolling is just an incremental
+    evaluation of this fold); minima over `window`-wide ROWS frames, the
+    whole-doc min when there are <= window hashes; DISTINCT per doc.
+    Every intermediate fits BIGINT: (M-1)*B + 127 < 2^52."""
+    B, M = 1000003, (1 << 31) - 1
+    # positionwise modular fold over k characters
+    h = f"unicode(substr(text, i, 1))::BIGINT"
+    for j in range(1, k):
+        h = f"(({h}) * {B} + unicode(substr(text, i + {j}, 1))) % {M}"
+    return f"""
+WITH d AS (SELECT doc_id, text, length(text) - {k} + 1 AS L
+           FROM documents WHERE length(text) >= {k}),
+h AS (SELECT doc_id, L, i, {h} AS hash
+      FROM (SELECT doc_id, text, L, unnest(generate_series(1, L)) AS i
+            FROM d)),
+wm AS (SELECT doc_id, i, L,
+              min(hash) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW
+                              AND {window - 1} FOLLOWING) AS fp
+       FROM h)
+SELECT DISTINCT doc_id, fp FROM wm
+WHERE L <= {window} AND i = 1
+   OR L > {window} AND i <= L - {window} + 1
+"""
+
+
 def _ann_lsh_oracle(k: int = 3, n_planes: int = 4, n_tables: int = 16, dim: int = 64) -> str:
     """Full SQL re-derivation of the hyperplane-LSH top-k: the seeded plane
     matrices are EMBEDDED as double literals (string-cast — DuckDB parses
@@ -1849,6 +1894,7 @@ FROM m JOIN lab USING (norm_name)
         "q_er_mentions": _er_mentions_oracle(),
         "q_joint_degenerate": _joint_degenerate_oracle(),
         "q_nominal_mentions": _nominal_mentions_oracle(),
+        "q_winnowing": _winnowing_oracle(),
         "q_nominal_link": f"""
 WITH nom AS (SELECT url, start AS n_start, head
              FROM ({_nominal_mentions_oracle()}) n),
