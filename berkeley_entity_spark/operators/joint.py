@@ -124,6 +124,7 @@ def joint_entity_decode(
     nil_votes: float = 1.0,
     prune_margin: float = -4.0,
     new_coref_bias: float = 0.0,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Joint BP decode: mentions -> (url, m_idx, sent_idx, start,
     norm_name, antecedent, etype, link).
@@ -274,6 +275,15 @@ def joint_entity_decode(
         "url string, m_idx int, sent_idx int, start int, norm_name string, "
         "antecedent int, etype string, link string"
     )
-    return m.groupBy("url").applyInPandas(
+    # EXPLICIT hash repartition by url before the grouping: the mention
+    # table is tiny in bytes but the per-doc kernel is Python-heavy, and
+    # AQE coalesces a small grouping exchange to ONE partition (measured:
+    # the whole corpus decoded serially, 22s for work 32 cores finish in
+    # ~1s).  repartition(N, url) satisfies the grouping's required
+    # distribution, so no further (coalescible) exchange is inserted —
+    # partitioning follows CORES, not bytes, which is the right rule for
+    # any Python-kernel stage.
+    n_parts = n_partitions or m.sparkSession.sparkContext.defaultParallelism
+    return m.repartition(n_parts, "url").groupBy("url").applyInPandas(
         lambda pdf: decode_doc(pdf), schema=schema
     )
