@@ -5,7 +5,6 @@ partitioning-invariant determinism."""
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
