@@ -1001,6 +1001,19 @@ def q_winnowing(spark, sf_dir):
     ).select("doc_id", "fp")
 
 
+def q_winnow_overlap(spark, sf_dir):
+    """Partial-overlap dedup pairs: docs sharing >= 3 winnowing
+    fingerprints (quotes / boilerplate overlap — what whole-doc hashing
+    and shingle-set Jaccard miss).  Equi-join on fingerprint with a
+    hot-fingerprint guard (df <= 200, the stop-ngram rule's sibling);
+    the oracle recomputes fingerprints bitwise and replays the join."""
+    from berkeley_entity_spark.operators.textstats import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"), k=5, window=4, min_shared=3
+    ).select("id_a", "id_b", F.col("shared").cast("long").alias("shared"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_lineitem_agg": q_lineitem_agg,
@@ -1041,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nominal_mentions": q_nominal_mentions,
         "q_nominal_link": q_nominal_link,
         "q_winnowing": q_winnowing,
+        "q_winnow_overlap": q_winnow_overlap,
         "q_ner_tags": q_ner_tags,
         "q_er_pipeline": q_er_pipeline,
         "q_er_clusters": q_er_clusters,
@@ -1895,6 +1909,16 @@ FROM m JOIN lab USING (norm_name)
         "q_joint_degenerate": _joint_degenerate_oracle(),
         "q_nominal_mentions": _nominal_mentions_oracle(),
         "q_winnowing": _winnowing_oracle(),
+        "q_winnow_overlap": f"""
+WITH fps AS (SELECT doc_id, fp FROM ({_winnowing_oracle()}) w),
+dfc AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 200),
+cold AS (SELECT doc_id, fp FROM fps JOIN dfc USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS shared
+FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 3
+""",
         "q_nominal_link": f"""
 WITH nom AS (SELECT url, start AS n_start, head
              FROM ({_nominal_mentions_oracle()}) n),

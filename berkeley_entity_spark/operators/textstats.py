@@ -135,3 +135,43 @@ def winnowing_fingerprints(
     return documents.select("doc_id", text_col).mapInPandas(
         gen, schema="doc_id bigint, fp bigint"
     )
+
+
+def winnow_overlap_pairs(
+    documents: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 3,
+    max_fp_df: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, shared) — document pairs sharing >= min_shared
+    winnowing fingerprints: the partial-overlap dedup pass (quoted
+    passages, injected boilerplate) that whole-doc and shingle-set
+    methods miss (Schleimer et al. 2003 §4; the exact-substring dedup
+    motivation of Lee et al. 2022).
+
+    Scale shape: the fingerprint table is already distinct per doc, the
+    pair generation is an EQUI-JOIN on fp, and fingerprints shared by
+    more than max_fp_df docs (site chrome, licence boilerplate) are
+    dropped before the join — the same hot-key guard as the stop-ngram
+    rule in ngram_jaccard_pairs, so no fingerprint can induce a
+    quadratic blowup.  Dropping hot fps only LOWERS `shared`; pairs held
+    together solely by corpus-wide boilerplate are the intended
+    exclusion.  Selectivity comes from corpus entropy: on the synthetic
+    low-entropy word-soup tables most pairs share >= min_shared cold
+    fingerprints (the gate checks exactness, not selectivity); on real
+    web text a shared cold fingerprint implies a shared k-gram run."""
+    fps = winnowing_fingerprints(documents, k=k, window=window, text_col=text_col)
+    df_tab = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+    cold = fps.join(df_tab.where(F.col("_df") <= max_fp_df), "fp").select(
+        "doc_id", "fp"
+    )
+    return (
+        cold.toDF("id_a", "fp")
+        .join(cold.toDF("id_b", "fp"), "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

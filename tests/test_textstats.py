@@ -69,3 +69,25 @@ def test_winnowing_detects_overlap(spark):
     c = fp.where("doc_id = 3").select("fp")
     assert a.intersect(b).count() > 0  # shared passage detected
     assert a.intersect(c).count() == 0
+
+
+def test_winnow_overlap_detects_injected_quote(spark):
+    """Two docs sharing a long verbatim passage pair up; unrelated short
+    docs don't."""
+    from berkeley_entity_spark.operators.textstats import winnow_overlap_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + quote + " gamma delta"),
+            (2, "omega psi " + quote + " chi phi"),
+            (3, "completely different words here xyzzy plugh"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared"]
+        for r in winnow_overlap_pairs(docs, min_shared=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert all(3 not in p for p in pairs)
