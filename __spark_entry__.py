@@ -1014,6 +1014,31 @@ def q_winnow_overlap(spark, sf_dir):
     ).select("id_a", "id_b", F.col("shared").cast("long").alias("shared"))
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — the per-domain subsampling /
+    train-split primitive of a training-data pipeline: k docs per
+    stratum, chosen by a SEEDED HASH order (md5 of seed||doc_id — the
+    engine-portable determinism trick used throughout), so the sample is
+    reproducible under any partitioning and any engine, unlike
+    rand()-based sampleBy.  Strata = quality-score quartile buckets of
+    the documents table; scale shape: one window per stratum — no
+    collect, no rand, no global sort."""
+    from berkeley_entity_spark.operators.textstats import quality_score
+
+    q = quality_score(_t(spark, sf_dir, "documents"))
+    d = q.select(
+        "doc_id",
+        F.least(F.floor(F.col("quality") * 4), F.lit(3)).cast("int").alias("bucket"),
+        F.md5(F.concat(F.lit("7|"), F.col("doc_id").cast("string"))).alias("_h"),
+    )
+    w = Window.partitionBy("bucket").orderBy("_h", "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 25)
+        .select("bucket", "doc_id", F.col("rn").cast("int").alias("rn"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_lineitem_agg": q_lineitem_agg,
@@ -1055,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nominal_link": q_nominal_link,
         "q_winnowing": q_winnowing,
         "q_winnow_overlap": q_winnow_overlap,
+        "q_stratified_sample": q_stratified_sample,
         "q_ner_tags": q_ner_tags,
         "q_er_pipeline": q_er_pipeline,
         "q_er_clusters": q_er_clusters,
@@ -2064,6 +2090,22 @@ FROM j WHERE rn = 1
         "q_lang_id": f"""
             SELECT doc_id, stopword_ratio >= 0.08 AS pred_en
             FROM ({_STATS_SQL})
+        """,
+        "q_stratified_sample": f"""
+WITH q AS (SELECT doc_id,
+                  round(0.4 * least(n_tokens / 100.0, 1.0)
+                      + 0.4 * least(stopword_ratio * 4.0, 1.0)
+                      + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality
+           FROM ({_STATS_SQL})),
+d AS (SELECT doc_id,
+             CAST(least(floor(quality * 4), 3) AS INTEGER) AS bucket,
+             md5('7|' || CAST(doc_id AS VARCHAR)) AS h
+      FROM q)
+SELECT bucket, doc_id, CAST(rn AS INTEGER) AS rn
+FROM (SELECT bucket, doc_id,
+             row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rn
+      FROM d)
+WHERE rn <= 25
         """,
         "q_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "q_event_hourly": """
