@@ -271,9 +271,12 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """Dedup (SimHash): hamming<=3 candidate pairs.  Token hash is DuckDB's
-    md5_number_lower convention, so the oracle recomputes the full 64-bit
-    bit-majority signature + banding-equivalent exact pairs in SQL."""
+    """Dedup (SimHash): hamming<=3 candidate pairs as hamming-0 star edges
+    (signature group -> min-id rep, linear in dup-class size) plus rep-rep
+    band-join pairs over distinct signatures with the minhash-style
+    hot-bucket cap.  Token hash is DuckDB's md5_number_lower convention, so
+    the oracle recomputes the full 64-bit bit-majority signature and
+    replays the star + capped band join bitwise in SQL."""
     from berkeley_entity_spark.operators.dedup import simhash_near_pairs
 
     p = simhash_near_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
@@ -1021,8 +1024,10 @@ def q_stratified_sample(spark, sf_dir):
     engine-portable determinism trick used throughout), so the sample is
     reproducible under any partitioning and any engine, unlike
     rand()-based sampleBy.  Strata = quality-score quartile buckets of
-    the documents table; scale shape: one window per stratum — no
-    collect, no rand, no global sort."""
+    the documents table; scale shape: two-phase top-k (salted local
+    top-25 per (stratum, salt), then a final window over <= 25*32
+    survivors per stratum) — no collect, no rand, no global sort, and no
+    task ever holds a full stratum."""
     from berkeley_entity_spark.operators.textstats import quality_score
 
     q = quality_score(_t(spark, sf_dir, "documents"))
@@ -1031,9 +1036,21 @@ def q_stratified_sample(spark, sf_dir):
         F.least(F.floor(F.col("quality") * 4), F.lit(3)).cast("int").alias("bucket"),
         F.md5(F.concat(F.lit("7|"), F.col("doc_id").cast("string"))).alias("_h"),
     )
+    # two-phase top-k (VERDICT r3): a single window per stratum funnels the
+    # whole stratum through one task — a straggler/OOM at 100x.  Phase 1
+    # takes top-25 per (bucket, salt) with a deterministic 32-way salt, so
+    # no task ever sorts more than its partition; phase 2's global window
+    # then sees <= 25*32 rows per stratum.  Top-k by a total order composes
+    # through per-salt top-k, so the output is bit-identical and the DuckDB
+    # oracle is unchanged.
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(32))
+    w1 = Window.partitionBy("bucket", salt).orderBy("_h", "doc_id")
+    survivors = d.withColumn("_rn1", F.row_number().over(w1)).where(
+        F.col("_rn1") <= 25
+    )
     w = Window.partitionBy("bucket").orderBy("_h", "doc_id")
     return (
-        d.withColumn("rn", F.row_number().over(w))
+        survivors.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 25)
         .select("bucket", "doc_id", F.col("rn").cast("int").alias("rn"))
     )
@@ -1219,12 +1236,16 @@ JOIN gm ON gm.cluster_id = s.cluster_id
 """
 
 
-def _simhash_oracle(max_hamming: int = 3) -> str:
+def _simhash_oracle(max_hamming: int = 3, max_bucket: int = 200) -> str:
     """Full SimHash re-derivation: per-token md5_number_lower hash ->
     64-bit bit-majority signature (bit_or packing keeps UBIGINT, no
-    HUGEINT) -> exact hamming pairs.  Banding in the Spark query is
-    recall-lossless at hamming<=3 (4 bands of 16 bits; 3 flipped bits
-    cannot touch all 4), so exact all-pairs here is the same set."""
+    HUGEINT) -> the SAME pair set the Spark operator emits, replayed
+    bitwise: hamming-0 star edges (signature-group member -> min-doc_id
+    representative) plus rep-rep pairs from the 4x16-bit band join over
+    DISTINCT signatures with the row_number() <= max_bucket hot-bucket
+    cap.  Banding is recall-lossless at hamming<=3 (3 flipped bits
+    cannot touch all 4 bands), so below the cap the rep-rep set equals
+    exact all-pairs over distinct signatures."""
     return f"""
 WITH docs AS ({_DOCS_DUP_SQL}),
 tok AS (SELECT DISTINCT doc_id, unnest({TOKQ}) AS t FROM docs),
@@ -1237,11 +1258,24 @@ bits AS (SELECT doc_id, j,
 sig AS (SELECT doc_id,
                bit_or(CASE WHEN 2 * ones > n THEN 1::UBIGINT << j
                            ELSE 0::UBIGINT END) AS sh
-        FROM bits GROUP BY doc_id)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+        FROM bits GROUP BY doc_id),
+grp AS (SELECT sh, min(doc_id) AS rep FROM sig GROUP BY sh),
+intra AS (SELECT g.rep AS id_a, s.doc_id AS id_b, 0 AS hamming
+          FROM sig s JOIN grp g USING (sh) WHERE s.doc_id <> g.rep),
+bands AS (SELECT rep, sh, i, (sh >> (i * 16)) & 65535 AS bval
+          FROM grp CROSS JOIN generate_series(0, 3) AS gs(i)),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY i, bval ORDER BY rep) AS rn
+           FROM bands),
+capped AS (SELECT * FROM ranked WHERE rn <= {max_bucket}),
+cand AS (SELECT DISTINCT a.rep AS id_a, b.rep AS id_b, a.sh AS sa, b.sh AS sb
+         FROM capped a JOIN capped b
+           ON a.i = b.i AND a.bval = b.bval AND a.rep < b.rep),
+cross_p AS (SELECT id_a, id_b,
+                   CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming})
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM intra
+UNION ALL
+SELECT id_a, id_b, hamming FROM cross_p
 """
 
 

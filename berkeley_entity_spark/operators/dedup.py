@@ -297,14 +297,41 @@ def simhash64(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_pairs(
-    documents: DataFrame, max_hamming: int = 8, text_col: str = "text"
+    documents: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Candidate pairs with hamming(simhash) <= max_hamming via 4x16-bit
     banding (a pair within hamming 3 shares at least one exact 16-bit band;
-    wider radii still yield high recall), verified exactly with bit_count."""
+    wider radii still yield high recall), verified exactly with bit_count.
+
+    Scale shape (the 100 TB path): identical signatures NEVER enter the band
+    self-join.  Every signature group collapses to its min-doc_id
+    representative first; hamming-0 edges come straight out of that groupBy
+    as a star (rep, member) — LINEAR in the dup-class size, where the old
+    all-pairs form was quadratic on exactly the templated-boilerplate
+    classes a dedup pass exists for.  The band join then runs over DISTINCT
+    signatures only, with the same `row_number() <= max_bucket` hot-bucket
+    cap minhash_lsh_pairs uses (recall loss from the cap is deliberate and
+    mirrored bitwise in the DuckDB oracle).  Under transitive closure the
+    star + rep-rep edge set yields the same components as all-pairs.
+    """
     sig = simhash64(documents, text_col).where(F.col("simhash").isNotNull())
-    bands = sig.select(
-        "doc_id",
+    groups = sig.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
+    # hamming-0 star edges: every non-representative member -> its rep
+    intra = (
+        sig.join(groups, "simhash")
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    dsig = groups.select(F.col("rep"), F.col("simhash"))
+    bands = dsig.select(
+        "rep",
         "simhash",
         F.explode(
             F.array(
@@ -317,23 +344,28 @@ def simhash_near_pairs(
             )
         ).alias("bucket"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    w = Window.partitionBy("bucket").orderBy("rep")
+    ranked = bands.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= max_bucket
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep") < F.col("b.rep")),
         )
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
+            F.col("a.rep").alias("id_a"),
+            F.col("b.rep").alias("id_b"),
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
         .distinct()
     )
-    return cand.select(
+    cross = cand.select(
         "id_a",
         "id_b",
-        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+    return intra.unionByName(cross)

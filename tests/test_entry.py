@@ -66,3 +66,13 @@ def test_query_matches_oracle(spark, duck, name):
     sc, sn, sh, _ = table_signature(sdf.columns, [tuple(r) for r in sdf.collect()])
     oc, on_, oh, _ = table_signature(res.columns, res.fetchall())
     assert sc == oc and sn == on_ and sh == oh
+
+
+def test_stratified_sample_two_phase_plan(spark):
+    """VERDICT r3: the pre-window exchange must be salted (two Window
+    nodes, the first partitioned by (bucket, pmod(xxhash64(doc_id), 32)))
+    so no task ever holds a full stratum."""
+    df = entrymod.queries()["q_stratified_sample"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2, plan
+    assert "xxhash64" in plan and "pmod" in plan, plan
