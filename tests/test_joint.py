@@ -257,3 +257,74 @@ def test_corpus_smoke_and_cap(spark):
         for r in rows:
             assert r["antecedent"] == -1 or 0 <= r["antecedent"] < r["m_idx"]
             assert r["etype"] in TYPE_DOMAIN
+
+
+def test_joint_pair_margins_are_wide(spark):
+    """q_joint_pair's cross-engine safety claim, verified empirically: on
+    the sf0.001 corpus restriction (first two mentions per >=2-mention
+    doc), every decode decision either sits on an EXACT-equal-input tie
+    (bit-consistent in both engines, same index tie-break) or has a
+    relative margin far above float noise."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from berkeley_entity_spark.operators.extract import extract_mentions
+    from berkeley_entity_spark.operators.features import (
+        featurize_pair,
+        levenshtein_ratio,
+    )
+    from berkeley_entity_spark.operators.scoring import weights_vector
+
+    gamma, bias, prune = 1.5, entrymod.ORACLE_ER_THRESHOLD, -4.0
+    w = weights_vector(entrymod.ORACLE_ER_WEIGHTS)
+    persons, orgs, locs = default_type_lexicons()
+    m = extract_mentions(
+        entrymod._cap_docs(spark, "/root/testdata/sf0.001"),
+        appositive_subspans=True,
+    )
+    pdf = m.select("url", "sent_idx", "start", "end", "norm_name", "is_acr").toPandas()
+    pdf = pdf.sort_values(["url", "sent_idx", "start", "end", "norm_name"])
+    min_ant, min_type = np.inf, np.inf
+    n_docs = 0
+    for url, g in pdf.groupby("url"):
+        if len(g) < 2:
+            continue
+        n_docs += 1
+        r0, r1 = g.iloc[0], g.iloc[1]
+        s = float(
+            np.dot(
+                w,
+                featurize_pair(
+                    r1["norm_name"], r0["norm_name"], {},
+                    bool(r1["is_acr"]), bool(r0["is_acr"]),
+                    lev=levenshtein_ratio(r1["norm_name"], r0["norm_name"]),
+                ),
+            )
+        )
+        tu0 = type_unary(r0["norm_name"].split(" "), persons, orgs, locs)
+        tu1 = type_unary(r1["norm_name"].split(" "), persons, orgs, locs)
+        e0, e1 = np.exp(tu0), np.exp(tu1)
+        S0, S1 = e0.sum(), e1.sum()
+        if s >= prune:
+            zg = S0 * S1 + (np.exp(gamma) - 1.0) * (e0 * e1).sum()
+            min_ant = min(min_ant, abs(s + np.log(zg) - bias - np.log(S0 * S1)))
+            m1 = e1 * (np.exp(bias) * S0 + np.exp(s) * (S0 + (np.exp(gamma) - 1) * e0))
+            m0 = e0 * (np.exp(bias) * S1 + np.exp(s) * (S1 + (np.exp(gamma) - 1) * e1))
+        else:
+            min_ant = min(min_ant, abs(s - prune))
+            m1, m0 = e1.copy(), e0.copy()
+        for mm, ua, ub in ((m1, tu1, tu0), (m0, tu0, tu1)):
+            top = np.max(mm)
+            for k in range(4):
+                if mm[k] == top:
+                    continue
+                # exact-equal-input tie classes are excluded: they are
+                # bit-consistent; anything else must have a wide margin
+                kt = int(np.argmax(mm))
+                if ua[k] == ua[kt] and ub[k] == ub[kt]:
+                    continue
+                min_type = min(min_type, (top - mm[k]) / top)
+    assert n_docs >= 100
+    assert min_ant > 1e-6, min_ant
+    assert min_type > 1e-6, min_type

@@ -28,7 +28,14 @@ import __spark_entry__ as entrymod  # noqa: E402
 from berkeley_entity_spark.session import get_spark  # noqa: E402
 
 OUT = "/root/repo/INVARIANTS.json"
-PINNED = ["q_er_pipeline", "q_ner_tags"]
+# query -> the sf dir its pin is collected at.  The two synth-corpus
+# queries ignore sf_dir; q_joint_entity reads it, so its pin uses sf0.01 —
+# the scale the driver's correctness gate runs at.
+PINNED = {
+    "q_er_pipeline": "/root/testdata/sf0.001",
+    "q_ner_tags": "/root/testdata/sf0.001",
+    "q_joint_entity": "/root/testdata/sf0.01",
+}
 MIN_F1 = 0.99
 
 
@@ -53,6 +60,28 @@ def check_gold_f1(spark) -> float:
     return float(f1["f1"])
 
 
+def check_joint_kernel(spark) -> bool:
+    """Independent gate for the q_joint_entity pin: the REAL BP kernel with
+    a nonzero gated agreement weight must hash-match its closed-form DuckDB
+    re-derivation (q_joint_pair) on sf0.001 — if the kernel regressed, this
+    fails and the pin is refused."""
+    import duckdb
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracles import table_signature
+
+    sdf = entrymod.queries()["q_joint_pair"](spark, "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    res = con.sql(entrymod.oracle_sql()["q_joint_pair"])
+    sc_, sn, sh, _ = table_signature(sdf.columns, [tuple(r) for r in sdf.collect()])
+    oc, on_, oh, _ = table_signature(res.columns, res.fetchall())
+    return sc_ == oc and sn == on_ and sh == oh
+
+
 def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
@@ -62,10 +91,16 @@ def main() -> None:
         print("REFUSING to repin: end-to-end F1 below threshold — the change "
               "being pinned is a regression, not a deliberate behavior change.")
         sys.exit(1)
+    if not check_joint_kernel(spark):
+        print("REFUSING to repin: the joint BP kernel no longer matches its "
+              "closed-form q_joint_pair oracle — regression, not a deliberate "
+              "behavior change.")
+        sys.exit(1)
+    print("joint-kernel gate: q_joint_pair closed-form replay OK")
     qs = entrymod.queries()
     data: dict[str, list[list]] = {}
-    for name in PINNED:
-        rows = qs[name](spark, "/root/testdata/sf0.001").collect()
+    for name, sf_dir in PINNED.items():
+        rows = qs[name](spark, sf_dir).collect()
         data[name] = sorted([list(r) for r in rows])
         print(f"{name}: {len(rows)} invariant rows")
     with open(OUT, "w") as f:
