@@ -591,6 +591,33 @@ def q_bcubed(spark, sf_dir):
     return m.select(*[F.round(c, 6).alias(c) for c in m.columns])
 
 
+def q_ceafe(spark, sf_dir):
+    """CEAFe + the CoNLL average — the reference's HEADLINE metric
+    (CorefConllScorer.scala:72-88 averages MUC + B3 + CEAFe; CEAFe = Luo
+    2005 phi4 with an optimal per-document 1:1 cluster alignment, run as a
+    Hungarian over the (cluster x entity) intersection CELLS in an Arrow
+    kernel — never the mentions).  Documents are bucketed into 40 pseudo-
+    docs with binary pred/gold clusterings (text-length parity vs a
+    doc_id-derived bit), so every per-doc alignment is at most 2x2 and the
+    DuckDB oracle computes the Hungarian EXACTLY as
+    greatest(phi00+phi11, phi01+phi10) — the same optimum the general
+    kernel finds; B3/MUC run on doc-scoped ids so the global aggs equal
+    the scorer's per-doc accumulation."""
+    from berkeley_entity_spark.evaluate import conll_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    it = d.select(
+        F.col("doc_id").alias("mention_id"),
+        (F.col("doc_id") % 40).cast("string").alias("g"),
+        (F.length("text") % 2).cast("string").alias("cluster_id"),
+        ((F.col("doc_id") / 40).cast("long") % 2).cast("string").alias("entity_id"),
+    )
+    pred = it.select("mention_id", "g", "cluster_id")
+    gold = it.select("mention_id", "g", "entity_id")
+    m = conll_metrics(pred, gold, doc_col="g")
+    return m.select(*[F.round(c, 6).alias(c) for c in m.columns])
+
+
 def q_mention_props(spark, sf_dir):
     """P11/S4: number+gender mention properties via the Bergsma-Lin count
     lookup (phrase -> head backoff, confidence-gated gender, person
@@ -1158,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_hourly": q_event_hourly,
         "q_sessionize": q_sessionize,
         "q_bcubed": q_bcubed,
+        "q_ceafe": q_ceafe,
         "q_mention_props": q_mention_props,
         "q_entity_consensus": q_entity_consensus,
         "q_conll_roundtrip": q_conll_roundtrip,
@@ -2148,6 +2176,53 @@ FROM m JOIN lab USING (norm_name)
                    round(CASE WHEN mucp + mucr > 0
                               THEN 2 * mucp * mucr / (mucp + mucr) ELSE 0.0 END, 6) AS muc_f1
             FROM m
+        """,
+        "q_ceafe": """
+            WITH it AS (SELECT doc_id,
+                               doc_id % 40 AS g,
+                               length(text) % 2 AS c,
+                               (doc_id // 40) % 2 AS e
+                        FROM documents),
+            cells AS (SELECT g, c, e, count(*) AS n_ce FROM it GROUP BY g, c, e),
+            nc AS (SELECT g, c, sum(n_ce) AS n_c, count(*) AS p_c FROM cells GROUP BY g, c),
+            ne AS (SELECT g, e, sum(n_ce) AS n_e, count(*) AS p_e FROM cells GROUP BY g, e),
+            b3 AS (SELECT sum(n_ce) AS n,
+                          sum(n_ce * n_ce * 1.0 / n_c) AS sp,
+                          sum(n_ce * n_ce * 1.0 / n_e) AS sr
+                   FROM cells JOIN nc USING (g, c) JOIN ne USING (g, e)),
+            mp AS (SELECT sum(n_c - p_c) AS tp, sum(n_c - 1) AS den FROM nc),
+            mr AS (SELECT sum(n_e - p_e) AS tp, sum(n_e - 1) AS den FROM ne),
+            phi AS (SELECT cells.g, cells.c, cells.e,
+                           2.0 * n_ce / (n_c + n_e) AS phi
+                    FROM cells JOIN nc USING (g, c) JOIN ne USING (g, e)),
+            pv AS (SELECT g,
+                     coalesce(max(CASE WHEN c = 0 AND e = 0 THEN phi END), 0) AS p00,
+                     coalesce(max(CASE WHEN c = 0 AND e = 1 THEN phi END), 0) AS p01,
+                     coalesce(max(CASE WHEN c = 1 AND e = 0 THEN phi END), 0) AS p10,
+                     coalesce(max(CASE WHEN c = 1 AND e = 1 THEN phi END), 0) AS p11
+                   FROM phi GROUP BY g),
+            cf AS (SELECT sum(greatest(p00 + p11, p01 + p10)) AS sphi FROM pv),
+            cnt AS (SELECT sum(np) AS snp, sum(ng) AS sng FROM (
+                     SELECT g, count(DISTINCT c) AS np, count(DISTINCT e) AS ng
+                     FROM it GROUP BY g)),
+            m AS (SELECT sp * 1.0 / n AS b3p, sr * 1.0 / n AS b3r,
+                         CASE WHEN mp.den > 0 THEN mp.tp * 1.0 / mp.den ELSE 0.0 END AS mucp,
+                         CASE WHEN mr.den > 0 THEN mr.tp * 1.0 / mr.den ELSE 0.0 END AS mucr,
+                         CASE WHEN snp > 0 THEN sphi / snp ELSE 0.0 END AS cp,
+                         CASE WHEN sng > 0 THEN sphi / sng ELSE 0.0 END AS cr
+                  FROM b3, mp, mr, cf, cnt),
+            f AS (SELECT
+                    CASE WHEN mucp + mucr > 0 THEN 2 * mucp * mucr / (mucp + mucr) ELSE 0.0 END AS muc_f1,
+                    CASE WHEN b3p + b3r > 0 THEN 2 * b3p * b3r / (b3p + b3r) ELSE 0.0 END AS b3_f1,
+                    cp AS ceafe_precision, cr AS ceafe_recall,
+                    CASE WHEN cp + cr > 0 THEN 2 * cp * cr / (cp + cr) ELSE 0.0 END AS ceafe_f1
+                  FROM m)
+            SELECT round(muc_f1, 6) AS muc_f1, round(b3_f1, 6) AS b3_f1,
+                   round(ceafe_precision, 6) AS ceafe_precision,
+                   round(ceafe_recall, 6) AS ceafe_recall,
+                   round(ceafe_f1, 6) AS ceafe_f1,
+                   round((muc_f1 + b3_f1 + ceafe_f1) / 3.0, 6) AS conll_f1
+            FROM f
         """,
         "q_simhash_pairs": _simhash_oracle(),
         "q_ann_lsh": _ann_lsh_oracle(),

@@ -110,7 +110,11 @@ def blocking_recall(
 
 
 def coref_cluster_metrics(
-    pred: DataFrame, gold: DataFrame, key: str = "mention_id"
+    pred: DataFrame,
+    gold: DataFrame,
+    key: str = "mention_id",
+    conll: bool = False,
+    doc_col: str | None = None,
 ) -> DataFrame:
     """B-cubed and MUC as pure DataFrame aggregations — one row:
     (b3_precision, b3_recall, b3_f1, muc_precision, muc_recall, muc_f1).
@@ -128,7 +132,11 @@ def coref_cluster_metrics(
 
     Mentions present in only one side are ignored (the caller aligns first —
     J4); everything stays in three small aggregations over the cells table.
-    """
+    With conll=True, delegates to conll_metrics and ALSO returns
+    ceafe_precision/recall/f1 + conll_f1 (the CoNLL scorer average) —
+    pass doc_col for per-document alignment."""
+    if conll:
+        return conll_metrics(pred, gold, key, doc_col=doc_col)
     j = pred.select(key, "cluster_id").join(gold.select(key, "entity_id"), key)
     cells = j.groupBy("cluster_id", "entity_id").agg(
         F.count(F.lit(1)).alias("n_ce")
@@ -180,6 +188,116 @@ def bcubed_muc(pred: DataFrame, gold: DataFrame, key: str = "mention_id") -> dic
     """Dict form of coref_cluster_metrics for tests/reports."""
     row = coref_cluster_metrics(pred, gold, key).collect()[0]
     return {k: float(row[k]) for k in row.asDict()}
+
+
+def ceafe_metrics(
+    pred: DataFrame,
+    gold: DataFrame,
+    key: str = "mention_id",
+    doc_col: str | None = None,
+) -> DataFrame:
+    """CEAFe (Luo 2005, phi4) — the third leg of the reference's headline
+    CoNLL score (coref/CorefConllScorer.scala:72-88 parses MUC + B3 + CEAFe
+    from the scorer v7, whose CEAFe runs Algorithm::Munkres per document).
+
+    phi4(C, E) = 2|C ∩ E| / (|C| + |E|); per document, an optimal 1:1
+    alignment between pred clusters and gold entities maximizes sum(phi4);
+    precision = sum(phi) / #pred clusters, recall = sum(phi) / #gold
+    entities (phi4(C, C) = 1), aggregated over documents by summing
+    numerators and denominators exactly like the scorer.
+
+    Spark shape: the (doc, cluster, entity) intersection cells are three
+    DataFrame aggs; the Hungarian runs per doc in an Arrow kernel over
+    those CELLS (tens of rows per doc — never the mentions), so the only
+    data that reaches Python is one row per non-empty cluster x entity
+    cell.  doc_col=None treats the whole input as one document (fine for
+    corpus-level clusterings; per-doc coref should pass the doc column).
+    Mentions present in only one side are ignored (caller aligns first —
+    same convention as coref_cluster_metrics)."""
+    import pandas as pd
+
+    from berkeley_entity_spark.ml.assignment import hungarian_max
+
+    dc = doc_col
+    pcols = [key, "cluster_id"] + ([dc] if dc else [])
+    gcols = [key, "entity_id"] + ([dc] if dc else [])
+    j = pred.select(*pcols).join(gold.select(*[c for c in gcols if c != dc]), key)
+    doc = F.col(dc) if dc else F.lit("_all")
+    cells = j.groupBy(doc.alias("_doc"), "cluster_id", "entity_id").agg(
+        F.count(F.lit(1)).alias("n_ce")
+    )
+    nc = cells.groupBy("_doc", "cluster_id").agg(F.sum("n_ce").alias("n_c"))
+    ne = cells.groupBy("_doc", "entity_id").agg(F.sum("n_ce").alias("n_e"))
+    full = cells.join(nc, ["_doc", "cluster_id"]).join(ne, ["_doc", "entity_id"])
+
+    def align(pdf: pd.DataFrame) -> pd.DataFrame:
+        cl = {c: i for i, c in enumerate(sorted(pdf["cluster_id"].unique()))}
+        en = {e: i for i, e in enumerate(sorted(pdf["entity_id"].unique()))}
+        import numpy as np
+
+        mat = np.zeros((len(cl), len(en)))
+        for r in pdf.itertuples():
+            mat[cl[r.cluster_id], en[r.entity_id]] = (
+                2.0 * r.n_ce / (r.n_c + r.n_e)
+            )
+        phi, _ = hungarian_max(mat)
+        return pd.DataFrame(
+            {"phi": [phi], "n_pred": [len(cl)], "n_gold": [len(en)]}
+        )
+
+    per_doc = full.groupBy("_doc").applyInPandas(
+        align, schema="phi double, n_pred long, n_gold long"
+    )
+    safe = lambda a, b: F.when(b > 0, a / b).otherwise(F.lit(0.0))  # noqa: E731
+    f1 = lambda p, r: F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))  # noqa: E731
+    agg = per_doc.agg(
+        F.sum("phi").alias("sphi"),
+        F.sum("n_pred").alias("snp"),
+        F.sum("n_gold").alias("sng"),
+    )
+    out = agg.select(
+        safe(F.col("sphi"), F.col("snp")).alias("ceafe_precision"),
+        safe(F.col("sphi"), F.col("sng")).alias("ceafe_recall"),
+    )
+    return out.select(
+        "ceafe_precision",
+        "ceafe_recall",
+        f1(F.col("ceafe_precision"), F.col("ceafe_recall")).alias("ceafe_f1"),
+    )
+
+
+def conll_metrics(
+    pred: DataFrame,
+    gold: DataFrame,
+    key: str = "mention_id",
+    doc_col: str | None = None,
+) -> DataFrame:
+    """The CoNLL scorer's headline number: one row with muc_f1, b3_f1,
+    ceafe_precision/recall/f1, and conll_f1 = (MUC + B3 + CEAFe)/3
+    (CorefConllScorer.scala:72-88 semantics).  When doc_col is given,
+    cluster/entity ids are doc-scoped before the global B3/MUC aggs —
+    clusters never span documents in the scorer, so the global cell sums
+    equal the scorer's per-document accumulation exactly."""
+    if doc_col:
+        pred = pred.withColumn(
+            "cluster_id", F.concat_ws("␟", doc_col, "cluster_id")
+        )
+        gold = gold.withColumn(
+            "entity_id", F.concat_ws("␟", doc_col, "entity_id")
+        )
+    base = coref_cluster_metrics(pred, gold, key)
+    ceafe = ceafe_metrics(pred, gold, key, doc_col=doc_col)
+    return (
+        base.crossJoin(ceafe)
+        .withColumn(
+            "conll_f1",
+            (F.col("muc_f1") + F.col("b3_f1") + F.col("ceafe_f1")) / 3.0,
+        )
+        .select(
+            "muc_f1", "b3_f1",
+            "ceafe_precision", "ceafe_recall", "ceafe_f1", "conll_f1",
+        )
+    )
 
 
 def per_doc_pairwise_stats(

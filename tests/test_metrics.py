@@ -104,3 +104,80 @@ def test_bootstrap_significance(spark):
     # determinism across runs
     r3 = bootstrap_significance(stats_bad, stats_good, n_trials=200).collect()[0]
     assert r3["frac_sig"] == r["frac_sig"]
+
+
+# ----------------------------------------------------------------- CEAFe
+
+
+def test_hungarian_matches_brute_force():
+    import itertools
+
+    import numpy as np
+
+    from berkeley_entity_spark.ml.assignment import hungarian_max
+
+    rng = np.random.RandomState(3)
+    for _ in range(40):
+        nr, nc = rng.randint(1, 6), rng.randint(1, 6)
+        s = np.round(rng.rand(nr, nc) * 10, 3)
+        got, pairs = hungarian_max(s)
+        k = min(nr, nc)
+        want = max(
+            sum(s[r, c] for r, c in zip(rsel, perm))
+            for rsel in itertools.combinations(range(nr), k)
+            for perm in itertools.permutations(range(nc), k)
+        )
+        assert got == pytest.approx(want, abs=1e-9)
+        assert len({r for r, _ in pairs}) == len(pairs)
+        assert len({c for _, c in pairs}) == len(pairs)
+
+
+def test_ceafe_identity_is_perfect(spark):
+    from berkeley_entity_spark.evaluate import ceafe_metrics
+
+    pred, gold = frames(spark, [["a", "b"], ["c"]], [["a", "b"], ["c"]])
+    row = ceafe_metrics(pred, gold).collect()[0]
+    assert row["ceafe_precision"] == pytest.approx(1.0)
+    assert row["ceafe_recall"] == pytest.approx(1.0)
+    assert row["ceafe_f1"] == pytest.approx(1.0)
+
+
+def test_ceafe_textbook_example(spark):
+    """Luo 2005 phi4 by hand: gold {1,2,3},{4,5}; pred {1,2,4},{3},{5}.
+    phi = [[2/3, 2/5], [1/2, 0], [0, 2/3]]; optimal = C1-E1 + C3-E2 = 4/3;
+    precision = (4/3)/3, recall = (4/3)/2."""
+    from berkeley_entity_spark.evaluate import ceafe_metrics
+
+    pred, gold = frames(
+        spark, [["1", "2", "4"], ["3"], ["5"]], [["1", "2", "3"], ["4", "5"]]
+    )
+    row = ceafe_metrics(pred, gold).collect()[0]
+    p, r = (4 / 3) / 3, (4 / 3) / 2
+    assert row["ceafe_precision"] == pytest.approx(p)
+    assert row["ceafe_recall"] == pytest.approx(r)
+    assert row["ceafe_f1"] == pytest.approx(2 * p * r / (p + r))
+
+
+def test_conll_f1_is_average_and_doc_scoped(spark):
+    """conll_f1 = (MUC + B3 + CEAFe)/3, and doc-scoping must make two
+    single-doc corpora equal one two-doc corpus with reused local ids."""
+    from berkeley_entity_spark.evaluate import conll_metrics
+
+    pred = spark.createDataFrame(
+        [("a", "d1", 0), ("b", "d1", 0), ("c", "d1", 1),
+         ("x", "d2", 0), ("y", "d2", 1)],
+        "mention_id string, g string, cluster_id long",
+    )
+    gold = spark.createDataFrame(
+        [("a", "d1", 0), ("b", "d1", 1), ("c", "d1", 1),
+         ("x", "d2", 0), ("y", "d2", 1)],
+        "mention_id string, g string, entity_id long",
+    )
+    row = conll_metrics(pred, gold, doc_col="g").collect()[0]
+    assert row["conll_f1"] == pytest.approx(
+        (row["muc_f1"] + row["b3_f1"] + row["ceafe_f1"]) / 3
+    )
+    # reused local cluster id 0 in d2 must NOT merge with d1's cluster 0:
+    # CEAFe counts 5 pred clusters total (3 in d1 after scoping? no — 2+2)
+    # sanity: perfect d2, imperfect d1 -> ceafe strictly between 0 and 1
+    assert 0.0 < row["ceafe_f1"] < 1.0
