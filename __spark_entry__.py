@@ -771,6 +771,12 @@ ORACLE_ER_WEIGHTS = {
 # observed), so the decode is deterministic across engines.
 ORACLE_ER_THRESHOLD = 1e-9
 
+# Queries whose oracle is a VALUES-pin collected at a SPECIFIC sf dir (they
+# read sf_dir, unlike the synth-corpus pins): the driver's correctness gate
+# runs at sf0.01, so that is where the pin is taken; tools/check_oracles.py
+# skips them at other scales instead of reporting a vacuous mismatch.
+PIN_SF_DIR = {"q_joint_entity": "/root/testdata/sf0.01"}
+
 
 def q_er_clusters(spark, sf_dir):
     """M7/J1-J3/M1-M2 with a TRUE engine-independent oracle: the REAL

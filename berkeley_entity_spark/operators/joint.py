@@ -21,9 +21,15 @@ beyond the groupBy:
     NER nodes, we use the mention-level "intermediate type layer" variant
     it also ships, JointDocFactorGraphOnto.scala:178-209).
   * L_i — link (wiki title) of mention i: domain = top-k candidate titles
-    for the surface from the vote DB + NIL; unary = log vote share
-    (ibid:135-175's query/denotation layer collapsed to its prior — the
-    latent query chooser needs the query featurizer we don't port).
+    for the surface from the vote DB + NIL; unary = log vote share.
+  * Q_i — OPTIONAL latent query variable (ibid:135-175): pass
+    query_candidates (surface_query_candidates) and each mention gets a
+    query node over its deterministic surface variants (full / first
+    token / last token — the Query.extractQueriesBest analog), a
+    QueryChooser-style vote-mass prior, and a (Q_i, L_i) factor carrying
+    per-variant candidate vote shares; the link domain becomes the union
+    over variants and the plain L unary is dropped (its mass flows
+    through Q).  Off by default — the SQL-oracled queries run without it.
 
   Factors beyond the unaries (all gated on the antecedent choice, the
   BetterPropertyFactor pattern, bp/BetterPropertyFactor.scala):
@@ -111,6 +117,45 @@ def surface_link_candidates(
     )
 
 
+def query_variants_col(surface_col: str = "surface"):
+    """Deterministic query variants for a mention surface — the web-scale
+    analog of the reference's Query.extractQueriesBest (wiki/Query.scala:
+    the final-head span, the full span, de-determined forms): full
+    surface, first token, last token; deduplicated keeping first, so the
+    variant INDEX is a stable domain position."""
+    s = F.col(surface_col)
+    toks = F.split(s, " ")
+    return F.array_distinct(
+        F.array(s, F.element_at(toks, 1), F.element_at(toks, -1))
+    )
+
+
+def surface_query_candidates(
+    link_votes: DataFrame, title_type_expr=None, top_k: int = 3
+) -> DataFrame:
+    """(surface, qcands array<struct<q_idx,variant,cands>>) — the latent
+    query layer's per-surface domain (JointDocFactorGraphOnto.scala:135-175
+    wires one Query node per mention whose choice selects which candidate
+    list feeds the link variable).  Each variant's candidate list is the
+    vote DB's top-k for THAT variant string — a first-token query hits the
+    DB only where the token is itself a known surface, exactly the
+    ambiguity the latent variable exists to arbitrate."""
+    per_surface = surface_link_candidates(link_votes, title_type_expr, top_k)
+    surfaces = link_votes.select("surface").distinct()
+    variants = surfaces.select(
+        "surface",
+        F.posexplode(query_variants_col("surface")).alias("q_idx", "variant"),
+    )
+    joined = variants.join(
+        per_surface.toDF("variant", "vcands"), "variant", "left"
+    )
+    return joined.groupBy("surface").agg(
+        F.sort_array(
+            F.collect_list(F.struct("q_idx", "variant", "vcands"))
+        ).alias("qcands")
+    )
+
+
 def joint_entity_decode(
     mentions: DataFrame,
     link_candidates: DataFrame | None = None,
@@ -125,9 +170,10 @@ def joint_entity_decode(
     prune_margin: float = -4.0,
     new_coref_bias: float = 0.0,
     n_partitions: int | None = None,
+    query_candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Joint BP decode: mentions -> (url, m_idx, sent_idx, start,
-    norm_name, antecedent, etype, link).
+    norm_name, antecedent, etype, link, query).
 
     antecedent = the decoded antecedent's m_idx, -1 for NEW; etype in
     TYPE_DOMAIN; link = decoded title or NULL for NIL.  Documents longer
@@ -135,7 +181,19 @@ def joint_entity_decode(
     as independent unary argmaxes (the reference prunes domains to keep
     graphs tractable too, DocumentGraph.scala:91-115; disclosed cap, no
     rows dropped).  Set gamma_type=gamma_link=delta_title_type=0 to
-    recover the three independent decisions exactly."""
+    recover the three independent decisions exactly.
+
+    query_candidates (from surface_query_candidates) switches on the
+    LATENT QUERY layer (JointDocFactorGraphOnto.scala:135-175): one Q_i
+    node per mention over its query variants, unary = log(1 + the
+    variant's total candidate votes) (the QueryChooser prior analog), a
+    (Q_i, L_i) factor carrying log vote shares per variant — titles
+    outside a variant's candidate list get a -30 log-potential — and the
+    link domain = NIL + the union of all variants' candidates in variant-
+    then-rank order.  `query` is the decoded variant (NULL without the
+    layer); capped-tail mentions decode the query-marginalized link
+    (logsumexp over Q) and the prior-argmax query, disclosed like the
+    antecedent cap."""
     from berkeley_entity_spark.operators.features import (
         featurize_pair,
         levenshtein_ratio,
@@ -148,16 +206,31 @@ def joint_entity_decode(
 
     cols = ["url", "sent_idx", "start", "end", "norm_name", "is_acr"]
     m = mentions.select(*cols)
-    if link_candidates is not None:
+    cand_t = "array<struct<_rn:int,title:string,votes:bigint,ttype:string>>"
+    if query_candidates is not None:
+        m = m.join(
+            query_candidates.toDF("norm_name", "_qcands"), "norm_name", "left"
+        ).withColumn("_cands", F.lit(None).cast(cand_t))
+    elif link_candidates is not None:
         m = m.join(
             link_candidates.toDF("norm_name", "_cands"), "norm_name", "left"
+        ).withColumn(
+            "_qcands",
+            F.lit(None).cast(
+                f"array<struct<q_idx:int,variant:string,vcands:{cand_t}>>"
+            ),
         )
     else:
-        m = m.withColumn("_cands", F.lit(None).cast(
-            "array<struct<_rn:int,title:string,votes:bigint,ttype:string>>"
-        ))
+        m = m.withColumn("_cands", F.lit(None).cast(cand_t)).withColumn(
+            "_qcands",
+            F.lit(None).cast(
+                f"array<struct<q_idx:int,variant:string,vcands:{cand_t}>>"
+            ),
+        )
 
     n_types = len(TYPE_DOMAIN)
+    NEG = -30.0  # log-potential for titles outside a variant's candidates
+    use_latent = query_candidates is not None  # plain bool for the closure
 
     def decode_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         persons, orgs, locs = lex.value
@@ -170,10 +243,49 @@ def joint_entity_decode(
         toks = [str(s).split(" ") for s in pdf["norm_name"]]
         t_un = [type_unary(t, persons, orgs, locs) for t in toks]
         # link domains: position 0 = NIL, then candidate titles in
-        # (votes desc, title asc) order (the _rn sort key)
+        # (votes desc, title asc) order (the _rn sort key); in latent mode
+        # the union over variants in variant-then-rank order, keep-first
+        latent = use_latent
         domains: list[list[tuple[str, str]]] = []
         l_un: list[np.ndarray] = []
-        for cands in pdf["_cands"]:
+        q_doms: list[list[str]] = []
+        q_uns: list[np.ndarray] = []
+        ql_tabs: list[np.ndarray] = []
+        for ridx in range(len(pdf)):
+            if latent:
+                qc = pdf["_qcands"].iloc[ridx]
+                surface = str(pdf["norm_name"].iloc[ridx])
+                if qc is None or not len(qc):
+                    qc = [{"q_idx": 0, "variant": surface, "vcands": None}]
+                titles = [(NIL, "MISC")]
+                pos = {NIL: 0}
+                variants, votes_tot = [], []
+
+                def _vc(q):
+                    v = q["vcands"]
+                    return [] if v is None else list(v)
+
+                for q in qc:
+                    variants.append(q["variant"])
+                    tot = 0.0
+                    for c in _vc(q):
+                        tot += float(c["votes"])
+                        if c["title"] not in pos:
+                            pos[c["title"]] = len(titles)
+                            titles.append((c["title"], c["ttype"]))
+                    votes_tot.append(tot)
+                tab = np.full((len(variants), len(titles)), NEG)
+                tab[:, 0] = np.log(nil_votes)
+                for qi, q in enumerate(qc):
+                    for c in _vc(q):
+                        tab[qi, pos[c["title"]]] = np.log(float(c["votes"]))
+                domains.append(titles)
+                l_un.append(np.zeros(len(titles)))  # mass flows via (Q, L)
+                q_doms.append(variants)
+                q_uns.append(np.log1p(np.asarray(votes_tot)))
+                ql_tabs.append(tab)
+                continue
+            cands = pdf["_cands"].iloc[ridx]
             titles, scores = [(NIL, "MISC")], [np.log(nil_votes)]
             if cands is not None and len(cands):
                 for c in cands:
@@ -181,9 +293,12 @@ def joint_entity_decode(
                     scores.append(np.log(float(c["votes"])))
             domains.append(titles)
             l_un.append(np.asarray(scores))
+            q_doms.append([])
+            q_uns.append(np.zeros(0))
+            ql_tabs.append(np.zeros((0, 0)))
 
         g = FactorGraph()
-        c_nodes, t_nodes, l_nodes, c_domain = [], [], [], []
+        c_nodes, t_nodes, l_nodes, q_nodes, c_domain = [], [], [], [], []
         for i in range(n):
             # prune the antecedent domain by the unary score, like the
             # reference (DocumentGraph.scala:91-115 getPrunedDomain):
@@ -221,7 +336,14 @@ def joint_entity_decode(
                 cu[pos] = s
             g.add_factor([c], cu)
             g.add_factor([t], t_un[i])
-            g.add_factor([l], l_un[i])
+            if latent:
+                q = g.add_node(len(q_doms[i]))
+                q_nodes.append(q)
+                g.add_factor([q], q_uns[i])
+                g.add_factor([q, l], ql_tabs[i])
+            else:
+                q_nodes.append(-1)
+                g.add_factor([l], l_un[i])
             # wiki+NER: title's KB type agrees with the mention type
             lt = np.zeros((len(domains[i]), n_types))
             for li, (title, ttype) in enumerate(domains[i]):
@@ -246,34 +368,46 @@ def joint_entity_decode(
         decoded = g.decode(n_iters)
         rows = []
         for i in range(n_all):
+            qv = None
             if i < n:
                 a = decoded[c_nodes[i]]
                 ant = c_domain[i][a - 1] if a > 0 else -1
                 ty = TYPE_DOMAIN[decoded[t_nodes[i]]]
                 li = decoded[l_nodes[i]]
+                if latent:
+                    qv = q_doms[i][decoded[q_nodes[i]]]
             else:  # past the cap: independent unary argmaxes
                 ant = -1
                 ty = TYPE_DOMAIN[int(np.argmax(t_un[i]))]
-                li = int(np.argmax(l_un[i]))
+                if latent:
+                    # query-marginalized link (logsumexp over Q), prior-
+                    # argmax query — the capped-tail analog of the unaries
+                    lsc = q_uns[i][:, None] + ql_tabs[i]
+                    mx = lsc.max(axis=0)
+                    li = int(np.argmax(mx + np.log(
+                        np.exp(lsc - mx[None, :]).sum(axis=0))))
+                    qv = q_doms[i][int(np.argmax(q_uns[i]))]
+                else:
+                    li = int(np.argmax(l_un[i]))
             title = domains[i][li][0]
             rows.append(
                 (
                     url, i, int(pdf["sent_idx"].iloc[i]),
                     int(pdf["start"].iloc[i]), pdf["norm_name"].iloc[i],
-                    int(ant), ty, None if title == NIL else title,
+                    int(ant), ty, None if title == NIL else title, qv,
                 )
             )
         return pd.DataFrame(
             rows,
             columns=[
                 "url", "m_idx", "sent_idx", "start", "norm_name",
-                "antecedent", "etype", "link",
+                "antecedent", "etype", "link", "query",
             ],
         )
 
     schema = (
         "url string, m_idx int, sent_idx int, start int, norm_name string, "
-        "antecedent int, etype string, link string"
+        "antecedent int, etype string, link string, query string"
     )
     # EXPLICIT hash repartition by url before the grouping: the mention
     # table is tiny in bytes but the per-doc kernel is Python-heavy, and

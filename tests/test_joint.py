@@ -328,3 +328,75 @@ def test_joint_pair_margins_are_wide(spark):
     assert n_docs >= 100
     assert min_ant > 1e-6, min_ant
     assert min_type > 1e-6, min_type
+
+
+# ------------------------------------------------------ latent query layer
+
+
+def test_latent_query_flips_ambiguous_link(spark):
+    """VERDICT r3 item 5 — the Q_i layer (JointDocFactorGraphOnto.scala:
+    135-175): 'acme corp' has a weak full-surface candidate but its first
+    token 'acme' is itself a heavily-voted surface; without the query
+    layer the link is the full-surface title, with it the stronger query
+    variant wins and the link flips."""
+    from berkeley_entity_spark.operators.joint import surface_query_candidates
+
+    m_df = spark.createDataFrame(
+        [("d", 0, 0, 1, "acme corp", False)],
+        "url string, sent_idx int, start int, end int, norm_name string, is_acr boolean",
+    )
+    votes = spark.createDataFrame(
+        [
+            ("acme corp", "acme_corp", 2),
+            ("acme", "acme_products", 50),
+        ],
+        "surface string, title string, votes bigint",
+    )
+    plain = _decode_map(
+        joint_entity_decode(m_df, surface_link_candidates(votes, top_k=2))
+    )
+    assert plain[("d", 0)][2] == "acme_corp"
+    out = joint_entity_decode(
+        m_df, query_candidates=surface_query_candidates(votes, top_k=2)
+    )
+    got = {(r["url"], r["m_idx"]): (r["link"], r["query"]) for r in out.collect()}
+    assert got[("d", 0)] == ("acme_products", "acme")
+
+
+def test_latent_query_joint_agreement_flips_link(spark):
+    """The gated link-agreement factor must act THROUGH the query layer:
+    alone, ambiguous 'acme' prefers acme_products (more votes); a coref
+    edge to 'acme corporation' (whose only candidate is acme_corporation)
+    plus a strong gamma_link pulls it to acme_corporation."""
+    from berkeley_entity_spark.operators.joint import surface_query_candidates
+
+    m_df = spark.createDataFrame(
+        [
+            ("d", 0, 0, 2, "acme corporation", False),
+            ("d", 0, 5, 6, "acme", False),
+        ],
+        "url string, sent_idx int, start int, end int, norm_name string, is_acr boolean",
+    )
+    votes = spark.createDataFrame(
+        [
+            ("acme corporation", "acme_corporation", 10),
+            ("acme", "acme_products", 12),
+            ("acme", "acme_corporation", 10),
+        ],
+        "surface string, title string, votes bigint",
+    )
+    qc = surface_query_candidates(votes, top_k=2)
+    alone = joint_entity_decode(
+        m_df, query_candidates=qc, gamma_link=0.0, gamma_type=0.0,
+        delta_title_type=0.0,
+    )
+    am = {(r["url"], r["m_idx"]): r["link"] for r in alone.collect()}
+    assert am[("d", 1)] == "acme_products"
+    joint = joint_entity_decode(
+        m_df, query_candidates=qc, gamma_link=8.0, gamma_type=0.0,
+        delta_title_type=0.0,
+    )
+    jm = {(r["url"], r["m_idx"]): (r["antecedent"], r["link"]) for r in joint.collect()}
+    assert jm[("d", 1)][0] == 0, "coref edge must exist for the gate to fire"
+    assert jm[("d", 1)][1] == "acme_corporation"
+    assert jm[("d", 0)][1] == "acme_corporation"

@@ -68,6 +68,10 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        pin_sf = getattr(entrymod, "PIN_SF_DIR", {}).get(name)
+        if pin_sf and pin_sf.rstrip("/") != sf_dir.rstrip("/"):
+            print(f"skip {name}: pin collected at {pin_sf}, not {sf_dir}")
+            continue
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()

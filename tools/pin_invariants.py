@@ -34,7 +34,7 @@ OUT = "/root/repo/INVARIANTS.json"
 PINNED = {
     "q_er_pipeline": "/root/testdata/sf0.001",
     "q_ner_tags": "/root/testdata/sf0.001",
-    "q_joint_entity": "/root/testdata/sf0.01",
+    **entrymod.PIN_SF_DIR,
 }
 MIN_F1 = 0.99
 
