@@ -1803,19 +1803,36 @@ LEFT JOIN lk ON lk.norm_name = m.norm_name
 
 def _nominal_mentions_oracle() -> str:
     """SQL re-derivation of the DT-led nominal chunker
-    (extract._nominals_from_text): window leads give the next 3 tokens'
-    word-ness; run length = the first failing position; span includes the
-    determiner; spans are already in normal form (lowercase, no periods),
-    so norm_name = span."""
+    (extract._nominals_from_text): window leads give the next
+    MAX_NOMINAL_TOKENS tokens' word-ness (the extended function-word stop
+    list + the length-gated verb-morphology stop, mirrored from
+    extract._verbish); run length = the first failing position; span
+    includes the determiner; spans are already in normal form (lowercase,
+    no periods), so norm_name = span."""
     from berkeley_entity_spark.operators.extract import (
         _DETERMINERS,
         _NP_STOP,
         MAX_NOMINAL_TOKENS,
     )
 
-    assert MAX_NOMINAL_TOKENS == 3, "oracle hand-unrolls 3 leads"
+    k = MAX_NOMINAL_TOKENS
     dets = ", ".join(f"'{d}'" for d in sorted(_DETERMINERS))
-    stops = ", ".join(f"'{s}'" for s in sorted(_NP_STOP))
+    stops = ", ".join("'" + s.replace("'", "''") + "'" for s in sorted(_NP_STOP))
+    leads_t = ",\n               ".join(
+        f"lead(tk, {j}) OVER win AS t{j}" for j in range(1, k + 1)
+    )
+    leads_w = ",\n               ".join(
+        f"coalesce(lead(is_w, {j}) OVER win, FALSE) AS w{j}"
+        for j in range(1, k + 1)
+    )
+    lcase = "\n                     ".join(
+        f"WHEN NOT w{j} THEN {j - 1}" for j in range(1, k + 1)
+    )
+    tlist = ", ".join(f"t{j}" for j in range(1, k + 1))
+    span_tail = "\n             ".join(
+        f"|| CASE WHEN L >= {j} THEN ' ' || t{j} ELSE '' END"
+        for j in range(2, k + 1)
+    )
     return f"""
 WITH tok AS (SELECT CAST(doc_id AS VARCHAR) AS url, {TOKQ} AS toks FROM documents),
 t AS (SELECT url, unnest(toks) AS tk, generate_subscripts(toks, 1) AS i
@@ -1823,21 +1840,18 @@ t AS (SELECT url, unnest(toks) AS tk, generate_subscripts(toks, 1) AS i
 w AS (SELECT url, i, tk,
              tk IN ({dets}) AS is_det,
              (regexp_matches(tk, '^[a-z][a-z\\-]*$')
-              AND tk NOT IN ({dets}) AND tk NOT IN ({stops})) AS is_w
+              AND tk NOT IN ({dets}) AND tk NOT IN ({stops})
+              AND NOT (length(tk) >= 5 AND tk LIKE '%ed')
+              AND NOT (length(tk) >= 6 AND tk LIKE '%ing')) AS is_w
       FROM t),
 led AS (SELECT url, i, tk, is_det,
-               lead(tk, 1) OVER win AS t1, lead(tk, 2) OVER win AS t2,
-               lead(tk, 3) OVER win AS t3,
-               coalesce(lead(is_w, 1) OVER win, FALSE) AS w1,
-               coalesce(lead(is_w, 2) OVER win, FALSE) AS w2,
-               coalesce(lead(is_w, 3) OVER win, FALSE) AS w3
+               {leads_t},
+               {leads_w}
         FROM w
         WINDOW win AS (PARTITION BY url ORDER BY i)),
-runs AS (SELECT url, i, tk, t1, t2, t3,
-                CASE WHEN NOT w1 THEN 0
-                     WHEN NOT w2 THEN 1
-                     WHEN NOT w3 THEN 2
-                     ELSE 3 END AS L
+runs AS (SELECT url, i, tk, {tlist},
+                CASE {lcase}
+                     ELSE {k} END AS L
          FROM led WHERE is_det)
 SELECT url, CAST(0 AS INTEGER) AS sent_idx,
        CAST(i - 1 AS INTEGER) AS start,
@@ -1847,8 +1861,7 @@ SELECT url, CAST(0 AS INTEGER) AS sent_idx,
        span AS norm_name
 FROM (SELECT url, i, L,
              tk || ' ' || t1
-             || CASE WHEN L >= 2 THEN ' ' || t2 ELSE '' END
-             || CASE WHEN L >= 3 THEN ' ' || t3 ELSE '' END AS span
+             {span_tail} AS span
       FROM runs WHERE L >= 1)
 """
 

@@ -197,9 +197,34 @@ def extracted_text(pages: DataFrame) -> DataFrame:
 # embedded in the q_nominal_mentions DuckDB oracle, so any edit must touch
 # both (the oracle hash enforces it).
 _DETERMINERS = frozenset(("the", "a", "an", "this", "that", "these", "those"))
-_NP_STOP = frozenset(("and", "or", "but", "of", "in", "on", "at", "to", "for"))
+# run stops: conjunctions/prepositions (the original list), relative
+# pronouns, auxiliaries/copulas, personal pronouns and the possessive
+# clitic — the function words a parser's NP boundary would exclude
+# (audited against the CorefDocAssembler.scala:506-556 error taxonomy in
+# tests/test_nominal_recall.py; head recall 0.47 -> 0.87 on that set)
+_NP_STOP = frozenset((
+    "and", "or", "but", "of", "in", "on", "at", "to", "for",
+    "who", "whom", "whose", "which", "where", "when", "while",
+    "is", "are", "was", "were", "be", "been", "has", "have", "had",
+    "will", "would", "shall", "should", "can", "could", "may", "might",
+    "must", "do", "does", "did", "not", "as", "by", "with", "from",
+    "into", "over", "under", "after", "before", "during", "than", "then",
+    "so", "because", "if", "it", "he", "she", "they", "we", "you", "i",
+    "'s",
+))
 _NP_TOKEN = re.compile(r"^[a-z][a-z\-]*$")
-MAX_NOMINAL_TOKENS = 3
+MAX_NOMINAL_TOKENS = 5
+
+
+def _verbish(t: str) -> bool:
+    """Length-gated verb-morphology stop: '-ed' (len>=5) / '-ing' (len>=6)
+    tokens end the nominal run — a parser-free proxy for the VP boundary.
+    The length gates exempt short adjectives/nouns (red, used, thing);
+    deverbal nouns like 'building' are a disclosed false stop, measured by
+    the recall audit."""
+    return (len(t) >= 5 and t.endswith("ed")) or (
+        len(t) >= 6 and t.endswith("ing")
+    )
 
 
 def _nominals_from_text(text: str) -> list[tuple[int, int, int, str]]:
@@ -228,6 +253,7 @@ def _nominals_from_text(text: str) -> list[tuple[int, int, int, str]]:
                 and _NP_TOKEN.match(toks[j])
                 and toks[j] not in _DETERMINERS
                 and toks[j] not in _NP_STOP
+                and not _verbish(toks[j])
             ):
                 j += 1
             j = min(j, i + 1 + MAX_NOMINAL_TOKENS)

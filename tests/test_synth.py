@@ -68,17 +68,21 @@ def test_surface_variants_cover_phenomena():
 
 def test_nominal_chunker_cases():
     """P4 analog: DT-led nominal chunks — determiner kept in the span,
-    runs stop at function words/nested determiners, truncate at 3."""
+    runs stop at function words / verb morphology / nested determiners,
+    truncate at MAX_NOMINAL_TOKENS=5."""
     from berkeley_entity_spark.operators.extract import _nominals_from_text
 
-    # determiner + up to 3 word tokens, longer runs truncated
+    # determiner + up to 5 word tokens, longer runs truncated
     assert _nominals_from_text("the company said hello there now") == [
-        (0, 0, 4, "the company said hello")
+        (0, 0, 6, "the company said hello there now")
     ]
+    assert _nominals_from_text(
+        "the big formal company reported hello there"
+    ) == [(0, 0, 4, "the big formal company")]  # '-ed' verb stop
     # a nested determiner ends candidacy for the outer run; determiners
     # followed immediately by another determiner emit nothing
     assert _nominals_from_text("a a the line sort table window more") == [
-        (0, 2, 6, "the line sort table")
+        (0, 2, 8, "the line sort table window more")
     ]
     # stop word ends the run; determiner with no following word emits nothing
     assert _nominals_from_text("the big and small") == [(0, 0, 2, "the big")]
@@ -93,7 +97,7 @@ def test_nominal_mentions_distributed(spark):
         "url string, text string",
     )
     rows = {(r["url"], r["start"], r["end"]): r for r in nominal_mentions(df).collect()}
-    assert set(rows) == {("u1", 0, 4)}
-    r = rows[("u1", 0, 4)]
-    assert r["span"] == "the quick brown fox" and r["head"] == "fox"
-    assert r["norm_name"] == "the quick brown fox" and r["mtype"] == "nominal"
+    assert set(rows) == {("u1", 0, 5)}
+    r = rows[("u1", 0, 5)]
+    assert r["span"] == "the quick brown fox jumps" and r["head"] == "jumps"
+    assert r["norm_name"] == "the quick brown fox jumps" and r["mtype"] == "nominal"
