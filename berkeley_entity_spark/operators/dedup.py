@@ -74,15 +74,18 @@ def minhash_signature_cols(n_hashes: int, shingle_expr):
     return [mk(i) for i in range(n_hashes)]
 
 
-def minhash_lsh_pairs(
+def minhash_band_buckets(
     documents: DataFrame,
     bands: int = 4,
     rows: int = 2,
     shingle_n: int = 3,
-    max_bucket: int = 200,
     text_col: str = "text",
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing an LSH band bucket."""
+    """(doc_id, bucket) — one row per (doc, LSH band): the md5 string-min
+    signature grouped into band buckets.  The building block shared by the
+    batch pair join (minhash_lsh_pairs) and the incremental streaming
+    dedup (streaming/ingest.py), so both derive candidates from the exact
+    same bucketing."""
     n_hashes = bands * rows
     # explode + hash-agg min: the md5 mins run inside whole-stage codegen;
     # the equivalent array-transform form is interpreted per element and
@@ -102,7 +105,19 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bucket"))
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bucket"))
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    bands: int = 4,
+    rows: int = 2,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing an LSH band bucket."""
+    buckets = minhash_band_buckets(documents, bands, rows, shingle_n, text_col)
     w = Window.partitionBy("bucket").orderBy("doc_id")
     # NOT persisted: the self-join recomputes the md5 signature exprs on
     # both sides, but A/B measurement (sf0.1, min-of-2 warm) put recompute

@@ -103,3 +103,65 @@ def test_mention_rate_stream_windows(spark, pages_dir, tmp_path):
     assert got, "no windows were finalized by the watermark"
     for start, n in got.items():
         assert start in want and n <= want[start], (start, n, want.get(start))
+
+
+def test_incremental_dedup_equals_batch_bucket_join(spark, pages_dir, tmp_path):
+    """VERDICT r3 item 8: draining the incremental MinHash-LSH dedup over
+    the page drops yields EXACTLY the batch band-bucket join pair set on
+    the same corpus — with no full-corpus signature recompute (per batch:
+    new-doc signatures + one equi-join against the accumulated state)."""
+    from berkeley_entity_spark.operators.dedup import minhash_band_buckets
+    from berkeley_entity_spark.streaming.ingest import (
+        start_incremental_dedup_stream,
+    )
+
+    _, base = pages_dir
+    root = str(tmp_path / "dedup_pages")
+    # drop 1: half the corpus.  drop 2: the other half PLUS exact copies of
+    # 20 drop-1 pages under new urls — cross-batch pairs — and a second
+    # copy of 5 of them — within-batch pairs.
+    d1 = base.where("pmod(xxhash64(url), 2) = 0")
+    d2 = base.where("pmod(xxhash64(url), 2) = 1")
+    dup1 = d1.where("pmod(xxhash64(url), 3) = 0").withColumn(
+        "url", F.concat(F.col("url"), F.lit("#dup"))
+    )
+    dup2 = d1.where("pmod(xxhash64(url), 7) = 0").withColumn(
+        "url", F.concat(F.col("url"), F.lit("#dup2"))
+    )
+    d1.write.mode("append").parquet(root)
+    d2.unionByName(dup1).unionByName(dup2).write.mode("append").parquet(root)
+    pages = d1.unionByName(d2).unionByName(dup1).unionByName(dup2)
+    state = str(tmp_path / "state")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    q = start_incremental_dedup_stream(spark, root, state, pairs, ckpt)
+    q.awaitTermination(300)
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs).distinct().collect()
+    }
+    b = minhash_band_buckets(
+        pages.select(F.col("url").alias("doc_id"), "text")
+    )
+    a = b.toDF("id_a", "bucket")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b.toDF("id_b", "bucket"), "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    # state accumulated incrementally: exactly one bucket row per (doc, band)
+    st = spark.read.parquet(state)
+    assert st.count() == b.count()
+    # a second availableNow run over the same source is a no-op (offsets
+    # checkpointed): no new pairs, no state growth
+    q2 = start_incremental_dedup_stream(spark, root, state, pairs, ckpt)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(pairs).count() == len(
+        spark.read.parquet(pairs).distinct().collect()
+    )
+    assert spark.read.parquet(state).count() == b.count()
