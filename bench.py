@@ -69,6 +69,22 @@ def _spin_calibration() -> float:
     return round(float(out.stdout.strip()), 3)
 
 
+def _group_job_stats(sc, group: str, before: set | None = None) -> tuple[int, int]:
+    """(jobs, stages) run under a job group since `before` (a prior job-id
+    snapshot).  The status store is fed by the ASYNC listener bus, so give
+    it a short drain window before reading — without it a job whose start
+    event is still queued is silently missed and the 'noise-free' metric
+    itself becomes noisy."""
+    time.sleep(0.3)
+    tracker = sc.statusTracker()
+    ids = set(tracker.getJobIdsForGroup(group) or []) - (before or set())
+    stages = 0
+    for j in ids:
+        info = tracker.getJobInfo(j)
+        stages += len(info.stageIds) if info else 0
+    return len(ids), stages
+
+
 def run_headline() -> dict:
     import __spark_entry__ as entrymod
 
@@ -88,14 +104,22 @@ def run_headline() -> dict:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
     per_query: dict[str, float] = {}
+    jobs_stages: dict[str, list[int]] = {}
+    sc = spark.sparkContext
     total = 0.0
     for name in HEADLINE:
+        sc.setJobGroup(name, name)
+        before = set(sc.statusTracker().getJobIdsForGroup(name) or [])
         t0 = time.monotonic()
         # foreach-noop forces full evaluation without driver collect
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = round(time.monotonic() - t0, 3)
         per_query[name] = dt
         total += dt
+        # job/stage counts: the NOISE-FREE per-query metric — walls on this
+        # host drift up to 3x between windows, scheduling structure doesn't
+        jobs_stages[name] = list(_group_job_stats(sc, name, before))
+    sc.setJobGroup("min2", "min2")
     # second timed pass: auxiliary min-of-2 per query.  The headline
     # `value` stays the FIRST pass (the metric r1/r2 recorded); the min
     # pass exists because this host's wall drifts up to 3x between
@@ -106,16 +130,25 @@ def run_headline() -> dict:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         per_query_min[name] = min(per_query[name], round(time.monotonic() - t0, 3))
-    return {
+    out = {
         "metric": "headline_query_wall_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
         "queries_min2": per_query_min,
         "total_min2": round(sum(per_query_min.values()), 3),
+        "jobs_stages": jobs_stages,
         "spin_calibration_sec": [spin_before, _spin_calibration()],
         "sf": sf,
     }
+    # attach the committed sf1.0 soak evidence (tools/soak_sf1.py: the same
+    # headline queries on a key-consistent 10x replica, with job/stage
+    # counts) so BENCH_r{N}.json carries the at-scale numbers
+    soak_path = os.path.join(REPO, "BENCH", "soak_sf1.json")
+    if os.path.exists(soak_path):
+        with open(soak_path) as f:
+            out["sf1_soak"] = json.load(f)
+    return out
 
 
 def run_er(n_pages: int, cpus: int | None = None, warmup: bool = True) -> dict:

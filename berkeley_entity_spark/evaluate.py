@@ -141,6 +141,14 @@ def coref_cluster_metrics(
     cells = j.groupBy("cluster_id", "entity_id").agg(
         F.count(F.lit(1)).alias("n_ce")
     )
+    return _b3_muc_from_cells(cells)
+
+
+def _b3_muc_from_cells(cells: DataFrame) -> DataFrame:
+    """B3 + MUC from a (cluster_id, entity_id, n_ce) intersection-cells
+    table — the shared tail of coref_cluster_metrics and conll_metrics
+    (which computes cells ONCE and feeds both this and the CEAFe
+    alignment)."""
     nc = cells.groupBy("cluster_id").agg(
         F.sum("n_ce").alias("n_c"), F.count(F.lit(1)).alias("p_c")
     )
@@ -214,18 +222,30 @@ def ceafe_metrics(
     corpus-level clusterings; per-doc coref should pass the doc column).
     Mentions present in only one side are ignored (caller aligns first —
     same convention as coref_cluster_metrics)."""
-    import pandas as pd
+    cells = _doc_cells(pred, gold, key, doc_col)
+    return _ceafe_from_cells(cells)
 
-    from berkeley_entity_spark.ml.assignment import hungarian_max
 
+def _doc_cells(
+    pred: DataFrame, gold: DataFrame, key: str, doc_col: str | None
+) -> DataFrame:
+    """(_doc, cluster_id, entity_id, n_ce) intersection cells — computed
+    ONCE per evaluation and shared by B3/MUC and CEAFe."""
     dc = doc_col
     pcols = [key, "cluster_id"] + ([dc] if dc else [])
     gcols = [key, "entity_id"] + ([dc] if dc else [])
     j = pred.select(*pcols).join(gold.select(*[c for c in gcols if c != dc]), key)
     doc = F.col(dc) if dc else F.lit("_all")
-    cells = j.groupBy(doc.alias("_doc"), "cluster_id", "entity_id").agg(
+    return j.groupBy(doc.alias("_doc"), "cluster_id", "entity_id").agg(
         F.count(F.lit(1)).alias("n_ce")
     )
+
+
+def _ceafe_from_cells(cells: DataFrame) -> DataFrame:
+    import pandas as pd
+
+    from berkeley_entity_spark.ml.assignment import hungarian_max
+
     nc = cells.groupBy("_doc", "cluster_id").agg(F.sum("n_ce").alias("n_c"))
     ne = cells.groupBy("_doc", "entity_id").agg(F.sum("n_ce").alias("n_e"))
     full = cells.join(nc, ["_doc", "cluster_id"]).join(ne, ["_doc", "entity_id"])
@@ -277,7 +297,11 @@ def conll_metrics(
     (CorefConllScorer.scala:72-88 semantics).  When doc_col is given,
     cluster/entity ids are doc-scoped before the global B3/MUC aggs —
     clusters never span documents in the scorer, so the global cell sums
-    equal the scorer's per-document accumulation exactly."""
+    equal the scorer's per-document accumulation exactly.
+
+    The pred-x-gold mention join and the intersection-cells aggregation
+    run ONCE (eager-checkpointed) and feed both the B3/MUC aggs and the
+    per-doc CEAFe alignment — the mention-scale shuffle is not repeated."""
     if doc_col:
         pred = pred.withColumn(
             "cluster_id", F.concat_ws("␟", doc_col, "cluster_id")
@@ -285,8 +309,13 @@ def conll_metrics(
         gold = gold.withColumn(
             "entity_id", F.concat_ws("␟", doc_col, "entity_id")
         )
-    base = coref_cluster_metrics(pred, gold, key)
-    ceafe = ceafe_metrics(pred, gold, key, doc_col=doc_col)
+    cells = _doc_cells(pred, gold, key, doc_col).localCheckpoint(eager=True)
+    # doc-scoped ids make (cluster_id, entity_id) globally unique, so the
+    # global cells are the per-doc cells re-keyed (n_ce passes through)
+    base = _b3_muc_from_cells(
+        cells.groupBy("cluster_id", "entity_id").agg(F.sum("n_ce").alias("n_ce"))
+    )
+    ceafe = _ceafe_from_cells(cells)
     return (
         base.crossJoin(ceafe)
         .withColumn(

@@ -198,10 +198,12 @@ def extracted_text(pages: DataFrame) -> DataFrame:
 # both (the oracle hash enforces it).
 _DETERMINERS = frozenset(("the", "a", "an", "this", "that", "these", "those"))
 # run stops: conjunctions/prepositions (the original list), relative
-# pronouns, auxiliaries/copulas, personal pronouns and the possessive
-# clitic — the function words a parser's NP boundary would exclude
-# (audited against the CorefDocAssembler.scala:506-556 error taxonomy in
-# tests/test_nominal_recall.py; head recall 0.47 -> 0.87 on that set)
+# pronouns, auxiliaries/copulas and personal pronouns — the function words
+# a parser's NP boundary would exclude (audited against the
+# CorefDocAssembler.scala:506-556 error taxonomy in
+# tests/test_nominal_recall.py; head recall 0.47 -> 0.87 on that set).
+# The possessive clitic 's needs no entry: _NP_TOKEN rejects the
+# apostrophe before the stop list is consulted.
 _NP_STOP = frozenset((
     "and", "or", "but", "of", "in", "on", "at", "to", "for",
     "who", "whom", "whose", "which", "where", "when", "while",
@@ -210,7 +212,6 @@ _NP_STOP = frozenset((
     "must", "do", "does", "did", "not", "as", "by", "with", "from",
     "into", "over", "under", "after", "before", "during", "than", "then",
     "so", "because", "if", "it", "he", "she", "they", "we", "you", "i",
-    "'s",
 ))
 _NP_TOKEN = re.compile(r"^[a-z][a-z\-]*$")
 MAX_NOMINAL_TOKENS = 5

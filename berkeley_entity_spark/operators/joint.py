@@ -204,6 +204,13 @@ def joint_entity_decode(
     spark = mentions.sparkSession
     lex = spark.sparkContext.broadcast(default_type_lexicons())
 
+    if link_candidates is not None and query_candidates is not None:
+        raise ValueError(
+            "pass link_candidates OR query_candidates, not both — the "
+            "latent query layer derives the link domain from its own "
+            "per-variant candidate lists, so a separate link_candidates "
+            "table would be silently ignored"
+        )
     cols = ["url", "sent_idx", "start", "end", "norm_name", "is_acr"]
     m = mentions.select(*cols)
     cand_t = "array<struct<_rn:int,title:string,votes:bigint,ttype:string>>"

@@ -63,6 +63,7 @@ def start_incremental_dedup_stream(
     bands: int = 4,
     rows: int = 2,
     shingle_n: int = 3,
+    max_bucket: int = 200,
     available_now: bool = True,
 ):
     """Incremental near-dup detection over a growing corpus (the Lee et al.
@@ -73,26 +74,50 @@ def start_incremental_dedup_stream(
     state table.  No full-corpus signature recompute ever happens — per
     batch the work is O(new docs) signatures + one equi-join against state.
 
-    Every bucket-sharing pair is emitted exactly once: (old, new) pairs
-    when the newer doc's batch runs (the older is already in state),
-    within-batch pairs from the batch self-join; a doc enters state only
-    AFTER its batch's joins, so no pair can repeat across batches.
-    Draining with availableNow yields exactly the batch
-    bucket-join pair set (tested against minhash_band_buckets self-join in
-    tests/test_streaming.py).  Output pairs are (id_a, id_b) with
-    id_a < id_b lexically (url ids)."""
+    Every bucket-sharing pair is emitted exactly once per successful batch:
+    (old, new) pairs when the newer doc's batch runs (the older is already
+    in state), within-batch pairs from the batch self-join; a doc enters
+    state only AFTER its batch's joins.  foreachBatch is at-least-once, so
+    BOTH sinks partition by batch_id with dynamic partition overwrite — a
+    replayed batch overwrites its own partition instead of duplicating
+    rows (the standard idempotent-foreachBatch pattern).
+
+    Hot buckets are capped like the batch operator (dedup.py): the state
+    table never holds more than max_bucket rows per bucket (first-arrival
+    order — the streaming analog of minhash_lsh_pairs' doc_id-rank cap;
+    identical below the cap, arrival-ordered above it, disclosed), and the
+    within-batch self-join ranks per bucket too, so a templated-
+    boilerplate class costs O(max_bucket) per new doc, never O(|class|).
+    Draining with availableNow yields exactly the batch bucket-join pair
+    set whenever no bucket exceeds the cap (tested).  Output pairs are
+    (id_a, id_b) with id_a < id_b lexically (url ids)."""
+    from pyspark.sql import Window
+
     from berkeley_entity_spark.operators.dedup import minhash_band_buckets
 
     def _process(batch_df, batch_id: int) -> None:
-        docs = batch_df.select(F.col("url").alias("doc_id"), "text")
-        b = minhash_band_buckets(
-            docs, bands=bands, rows=rows, shingle_n=shingle_n
-        ).localCheckpoint(eager=True)
         sess = batch_df.sparkSession
+        docs = batch_df.select(F.col("url").alias("doc_id"), "text")
+        raw = minhash_band_buckets(
+            docs, bands=bands, rows=rows, shingle_n=shingle_n
+        )
+        # within-batch hot-bucket cap (arrival side)
+        wb = Window.partitionBy("bucket").orderBy("doc_id")
+        b = (
+            raw.withColumn("_rn", F.row_number().over(wb))
+            .where(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
         try:
-            state = sess.read.parquet(state_dir)
+            state = sess.read.parquet(state_dir).select("doc_id", "bucket")
             has_state = True
-        except Exception:  # first batch: no state yet
+        except Exception as e:
+            # only a MISSING state dir means "first batch"; any other read
+            # failure must fail the batch (silently treating it as empty
+            # would permanently drop that batch's cross pairs)
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             has_state = False
         a = b.toDF("id_new", "bucket")
         within = (
@@ -103,7 +128,9 @@ def start_incremental_dedup_stream(
             )
         )
         pairs = within
+        new_state = b
         if has_state:
+            cnt = state.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
             cross = (
                 a.join(state.toDF("id_old", "bucket"), "bucket")
                 .select(
@@ -113,8 +140,28 @@ def start_incremental_dedup_stream(
                 .where(F.col("id_a") != F.col("id_b"))
             )
             pairs = pairs.unionByName(cross)
-        pairs.distinct().write.mode("append").parquet(pairs_dir)
-        b.select("doc_id", "bucket").write.mode("append").parquet(state_dir)
+            # state-side cap: only bucket rows that still fit under
+            # max_bucket are appended (first-arrival order)
+            new_state = (
+                b.join(cnt, "bucket", "left")
+                .withColumn("_rn", F.row_number().over(wb))
+                .where(F.coalesce(F.col("_n"), F.lit(0)) + F.col("_rn") <= max_bucket)
+                .select("doc_id", "bucket")
+            )
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            pairs.distinct()
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(pairs_dir)
+        )
+        (
+            new_state.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(state_dir)
+        )
 
     writer = (
         read_page_stream(spark, input_dir)

@@ -165,3 +165,63 @@ def test_incremental_dedup_equals_batch_bucket_join(spark, pages_dir, tmp_path):
         spark.read.parquet(pairs).distinct().collect()
     )
     assert spark.read.parquet(state).count() == b.count()
+
+
+def test_incremental_dedup_hot_bucket_cap_and_idempotent_sink(spark, tmp_path):
+    """The streaming path must keep the batch operator's hot-bucket bound
+    (VERDICT r3 item 2's sibling): a 300-doc identical-text class arriving
+    in two drops leaves <= max_bucket state rows per bucket and pair
+    volume O(max_bucket * class), not O(class^2); and the batch_id-
+    partitioned dynamic-overwrite sink means re-draining after a deleted
+    checkpoint (a forced full replay) leaves pair/state contents
+    IDENTICAL, not duplicated."""
+    import shutil
+
+    from berkeley_entity_spark.streaming.ingest import (
+        start_incremental_dedup_stream,
+    )
+
+    root = str(tmp_path / "hot_pages")
+    base = "terms of service boilerplate applies to every page here"
+    rows1 = [(f"u{i:04d}", base) for i in range(150)]
+    rows2 = [(f"v{i:04d}", base) for i in range(150)]
+    schema = "url string, text string"
+    full = "url string, warc_ts timestamp, html binary, text string, lang string"
+    for i, rows in enumerate((rows1, rows2)):
+        spark.createDataFrame(rows, schema).selectExpr(
+            "url", "CAST(NULL AS timestamp) AS warc_ts",
+            "CAST(NULL AS binary) AS html", "text", "'en' AS lang",
+        ).write.mode("append").parquet(root)
+    state = str(tmp_path / "hs")
+    pairs = str(tmp_path / "hp")
+    ckpt = str(tmp_path / "hc")
+    cap = 20
+    q = start_incremental_dedup_stream(
+        spark, root, state, pairs, ckpt, max_bucket=cap
+    )
+    q.awaitTermination(300)
+    st = spark.read.parquet(state)
+    per_bucket = st.groupBy("bucket").count().agg(F.max("count")).collect()[0][0]
+    assert per_bucket <= cap
+    n_pairs = spark.read.parquet(pairs).count()
+    # 300 identical docs, 4 bands: uncapped would be ~C(300,2)=44850 pairs
+    assert 0 < n_pairs < 4 * cap * 300
+    pair_set = {
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs).collect()
+    }
+    state_set = {
+        (r["doc_id"], r["bucket"]) for r in spark.read.parquet(state).collect()
+    }
+    # forced full replay: wipe ONLY the checkpoint; batch ids restart at 0
+    # and the dynamic partition overwrite must reproduce identical contents
+    shutil.rmtree(ckpt)
+    q2 = start_incremental_dedup_stream(
+        spark, root, state, pairs, ckpt, max_bucket=cap
+    )
+    q2.awaitTermination(300)
+    assert {
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs).collect()
+    } == pair_set
+    assert {
+        (r["doc_id"], r["bucket"]) for r in spark.read.parquet(state).collect()
+    } == state_set
