@@ -1120,6 +1120,55 @@ def q_winnow_overlap(spark, sf_dir):
     ).select("id_a", "id_b", F.col("shared").cast("long").alias("shared"))
 
 
+def q_copula_counts(spark, sf_dir):
+    """Google-ngrams raw-count ingestion semantics, end-to-end oracled
+    (sem/GoogleNgramUtils.scala field access + QueryCountCollector.scala:
+    94-131 copula patterns): raw count LINES are synthesized
+    deterministically from the documents table in BOTH engines (3-gram
+    'X is Y c' / noise 'X on Y c' / 4-gram 'X was the Y c'), re-parsed by
+    the whitespace-field parser (count = last field), filtered to the
+    head set (tokens of length >= 5, broadcast semijoin), pattern-matched,
+    and accumulated into SYMMETRIC pair counts.  File IO itself is covered
+    by tests/test_ngrams.py over a real 1gms/3gms/4gms directory layout."""
+    from berkeley_entity_spark.sources.ngrams import (
+        copula_pair_counts,
+        parse_ngram_lines,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        F.element_at(toks, 1).alias("t1"),
+        F.element_at(toks, 2).alias("t2"),
+    ).where(F.col("t2").isNotNull())
+    l3 = base.select(
+        F.concat_ws(
+            " ",
+            "t1",
+            F.when(F.col("doc_id") % 3 == 0, F.lit("on")).otherwise(F.lit("is")),
+            "t2",
+            F.col("n_chars").cast("string"),
+        ).alias("value")
+    )
+    l4 = base.select(
+        F.concat_ws(
+            " ", "t1", F.lit("was the"), "t2",
+            ((F.col("doc_id") % 97) + 1).cast("string"),
+        ).alias("value")
+    )
+    heads = (
+        d.select(F.explode(toks).alias("head"))
+        .where(F.length("head") >= 5)
+        .distinct()
+    )
+    pairs = copula_pair_counts(
+        parse_ngram_lines(l3, 3), parse_ngram_lines(l4, 4), heads
+    )
+    return pairs.select("head_a", "head_b", F.col("count").cast("double").alias("count"))
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling — the per-domain subsampling /
     train-split primitive of a training-data pipeline: k docs per
@@ -1203,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnowing": q_winnowing,
         "q_winnow_overlap": q_winnow_overlap,
         "q_stratified_sample": q_stratified_sample,
+        "q_copula_counts": q_copula_counts,
         "q_ner_tags": q_ner_tags,
         "q_er_pipeline": q_er_pipeline,
         "q_er_clusters": q_er_clusters,
@@ -2196,6 +2246,42 @@ FROM m JOIN lab USING (norm_name)
                               THEN 2 * mucp * mucr / (mucp + mucr) ELSE 0.0 END, 6) AS muc_f1
             FROM m
         """,
+        "q_copula_counts": f"""
+WITH tok AS (SELECT doc_id, n_chars, {TOKQ} AS toks FROM documents),
+base AS (SELECT doc_id, n_chars, toks[1] AS t1, toks[2] AS t2
+         FROM tok WHERE len(toks) >= 2),
+l3 AS (SELECT t1 || ' ' ||
+              (CASE WHEN doc_id % 3 = 0 THEN 'on' ELSE 'is' END) ||
+              ' ' || t2 || ' ' || CAST(n_chars AS VARCHAR) AS value
+       FROM base),
+l4 AS (SELECT t1 || ' was the ' || t2 || ' ' ||
+              CAST((doc_id % 97) + 1 AS VARCHAR) AS value
+       FROM base),
+g3 AS (SELECT f[1] AS w1, lower(f[2]) AS m2, f[3] AS wn,
+              CAST(f[4] AS DOUBLE) AS cnt
+       FROM (SELECT regexp_split_to_array(trim(value), '\\s+') AS f FROM l3)
+       WHERE len(f) = 4),
+g4 AS (SELECT f[1] AS w1, lower(f[2]) AS m2, lower(f[3]) AS m3,
+              f[4] AS wn, CAST(f[5] AS DOUBLE) AS cnt
+       FROM (SELECT regexp_split_to_array(trim(value), '\\s+') AS f FROM l4)
+       WHERE len(f) = 5),
+heads AS (SELECT DISTINCT h FROM
+          (SELECT unnest({TOKQ}) AS h FROM documents) WHERE length(h) >= 5),
+m3 AS (SELECT w1, wn, cnt FROM g3
+       WHERE m2 IN ('is', 'are', 'was', 'were')
+         AND w1 IN (SELECT h FROM heads) AND wn IN (SELECT h FROM heads)
+         AND w1 <> wn),
+m4 AS (SELECT w1, wn, cnt FROM g4
+       WHERE m2 IN ('is', 'are', 'was', 'were')
+         AND m3 IN ('a', 'an', 'the')
+         AND w1 IN (SELECT h FROM heads) AND wn IN (SELECT h FROM heads)
+         AND w1 <> wn),
+matched AS (SELECT * FROM m3 UNION ALL SELECT * FROM m4),
+sym AS (SELECT w1, wn, cnt FROM matched
+        UNION ALL SELECT wn AS w1, w1 AS wn, cnt FROM matched)
+SELECT w1 AS head_a, wn AS head_b, CAST(sum(cnt) AS DOUBLE) AS count
+FROM sym GROUP BY w1, wn
+""",
         "q_ceafe": """
             WITH it AS (SELECT doc_id,
                                doc_id % 40 AS g,
