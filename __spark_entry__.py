@@ -1120,6 +1120,34 @@ def q_winnow_overlap(spark, sf_dir):
     ).select("id_a", "id_b", F.col("shared").cast("long").alias("shared"))
 
 
+def q_xdistrib(spark, sf_dir):
+    """xdistrib component-embedding pair scores, end-to-end oracled
+    (ComponentFeaturizer.featurizeComponents + CorefComputerDistrib.sum /
+    computeScores): per-mention component tags (common-head gate with
+    length backoff + token-count shape), deterministic integer-lattice
+    embeddings from md5 hex bytes, per-dim mention sums, and the
+    antecedent-window dot products as exact BIGINTs (real score
+    contribution = dot_scaled / 1e8) — the whole path is codegen and the
+    DuckDB oracle re-derives every stage bitwise."""
+    from berkeley_entity_spark.operators.extract import extract_mentions
+    from berkeley_entity_spark.operators.xdistrib import (
+        component_features,
+        distrib_pair_scores,
+        mention_vectors,
+    )
+
+    m = extract_mentions(_cap_docs(spark, sf_dir), appositive_subspans=True)
+    w = Window.partitionBy("url").orderBy("sent_idx", "start", "end", "norm_name")
+    ranked = m.select(
+        "url", "norm_name",
+        (F.row_number().over(w) - 1).cast("int").alias("m_idx"),
+    )
+    vecs = mention_vectors(component_features(ranked))
+    return distrib_pair_scores(vecs, window=8).select(
+        "url", "m_idx", "j", "dot_scaled"
+    )
+
+
 def q_copula_counts(spark, sf_dir):
     """Google-ngrams raw-count ingestion semantics, end-to-end oracled
     (sem/GoogleNgramUtils.scala field access + QueryCountCollector.scala:
@@ -1253,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_overlap": q_winnow_overlap,
         "q_stratified_sample": q_stratified_sample,
         "q_copula_counts": q_copula_counts,
+        "q_xdistrib": q_xdistrib,
         "q_ner_tags": q_ner_tags,
         "q_er_pipeline": q_er_pipeline,
         "q_er_clusters": q_er_clusters,
@@ -2246,6 +2275,45 @@ FROM m JOIN lab USING (norm_name)
                               THEN 2 * mucp * mucr / (mucp + mucr) ELSE 0.0 END, 6) AS muc_f1
             FROM m
         """,
+        "q_xdistrib": f"""
+WITH m0 AS (SELECT * FROM ({_er_mentions_oracle()}) q),
+m AS (SELECT url, norm_name,
+             CAST(row_number() OVER (PARTITION BY url
+                  ORDER BY sent_idx, start, "end", norm_name) - 1 AS INTEGER)
+               AS m_idx
+      FROM m0),
+hd AS (SELECT url, m_idx, norm_name,
+              list_extract(string_split(norm_name, ' '),
+                           len(string_split(norm_name, ' '))) AS head
+       FROM m),
+hc AS (SELECT head, count(*) AS n FROM hd GROUP BY head),
+comps AS (SELECT url, m_idx, feat FROM (
+            SELECT hd.url, hd.m_idx,
+                   unnest([
+                     CASE WHEN hc.n >= 2 THEN 'CHead=' || hd.head
+                          ELSE 'CHead=LEN' || CAST(length(hd.head) AS VARCHAR)
+                     END,
+                     'CLen=' || CAST(least(len(string_split(hd.norm_name, ' ')), 5)
+                                     AS VARCHAR)
+                   ]) AS feat
+            FROM hd JOIN hc USING (head))),
+lat AS (SELECT url, m_idx,
+               {", ".join(
+                   f"(ascii(substr(md5(feat), {2 * d + 1}, 1)) * 31"
+                   f" + ascii(substr(md5(feat), {2 * d + 2}, 1))) % 201 - 100"
+                   f" AS e{d}"
+                   for d in range(8)
+               )}
+        FROM comps),
+vec AS (SELECT url, m_idx,
+               {", ".join(f"sum(e{d}) AS k{d}" for d in range(8))}
+        FROM lat GROUP BY url, m_idx)
+SELECT a.url, a.m_idx, b.m_idx AS j,
+       CAST({" + ".join(f"a.k{d} * b.k{d}" for d in range(8))} AS BIGINT)
+         AS dot_scaled
+FROM vec a JOIN vec b
+  ON a.url = b.url AND b.m_idx >= a.m_idx - 8 AND b.m_idx < a.m_idx
+""",
         "q_copula_counts": f"""
 WITH tok AS (SELECT doc_id, n_chars, {TOKQ} AS toks FROM documents),
 base AS (SELECT doc_id, n_chars, toks[1] AS t1, toks[2] AS t2
