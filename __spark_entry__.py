@@ -1120,6 +1120,21 @@ def q_winnow_overlap(spark, sf_dir):
     ).select("id_a", "id_b", F.col("shared").cast("long").alias("shared"))
 
 
+def q_substring_dup(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022 EXACTSUBSTR,
+    re-expressed as a distributed gaps-and-islands query instead of a
+    suffix array): maximal shared runs of >= 15 tokens across doc pairs,
+    found by joining hot-capped k-token-gram positions and grouping
+    matches along (pos_a - pos_b) diagonals.  The oracle replays gram
+    hashing (md5 of the joined gram — engine-portable), the hot-gram cap,
+    the join and the island grouping in SQL."""
+    from berkeley_entity_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(
+        _t(spark, sf_dir, "documents"), k=8, min_len=15, max_gram_rows=200
+    )
+
+
 def q_xdistrib(spark, sf_dir):
     """xdistrib component-embedding pair scores, end-to-end oracled
     (ComponentFeaturizer.featurizeComponents + CorefComputerDistrib.sum /
@@ -1279,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nominal_link": q_nominal_link,
         "q_winnowing": q_winnowing,
         "q_winnow_overlap": q_winnow_overlap,
+        "q_substring_dup": q_substring_dup,
         "q_stratified_sample": q_stratified_sample,
         "q_copula_counts": q_copula_counts,
         "q_xdistrib": q_xdistrib,
@@ -1974,6 +1990,38 @@ WHERE L <= {window} AND i = 1
 """
 
 
+def _substring_dup_oracle(k: int = 8, min_len: int = 15, cap: int = 200) -> str:
+    """Full SQL re-derivation of duplicated_spans: k-gram positions (same
+    md5-of-joined-tokens key), the row_number hot-gram cap, the positional
+    equi-join, and the gaps-and-islands grouping along pos_a - pos_b
+    diagonals."""
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKQ} AS toks FROM documents),
+g0 AS (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks) - {k} + 1)) AS i
+       FROM tok WHERE len(toks) >= {k}),
+g AS (SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:i+{k - 1}], ' ')) AS gram_h
+      FROM g0),
+capped AS (SELECT doc_id, pos, gram_h FROM (
+    SELECT *, row_number() OVER (PARTITION BY gram_h
+                                 ORDER BY doc_id, pos) AS rn FROM g)
+    WHERE rn <= {cap}),
+m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, b.pos AS pos_b
+      FROM capped a JOIN capped b
+        ON a.gram_h = b.gram_h AND a.doc_id < b.doc_id),
+isl AS (SELECT *, pos_a - row_number() OVER (
+            PARTITION BY doc_a, doc_b, pos_a - pos_b
+            ORDER BY pos_a) AS island FROM m)
+SELECT doc_a, doc_b, CAST(min(pos_a) AS INTEGER) AS a_start,
+       CAST(min(pos_b) AS INTEGER) AS b_start,
+       CAST(count(*) + {k} - 1 AS INTEGER) AS span_len
+FROM isl GROUP BY doc_a, doc_b, pos_a - pos_b, island
+HAVING count(*) + {k} - 1 >= {min_len}
+"""
+
+
 def _ann_lsh_oracle(k: int = 3, n_planes: int = 4, n_tables: int = 16, dim: int = 64) -> str:
     """Full SQL re-derivation of the hyperplane-LSH top-k: the seeded plane
     matrices are EMBEDDED as double literals (string-cast — DuckDB parses
@@ -2399,6 +2447,7 @@ FROM sym GROUP BY w1, wn
         """,
         "q_simhash_pairs": _simhash_oracle(),
         "q_ann_lsh": _ann_lsh_oracle(),
+        "q_substring_dup": _substring_dup_oracle(),
         "q_ann_ivf": _ann_ivf_oracle(),
         "q_er_mentions": _er_mentions_oracle(),
         "q_joint_degenerate": _joint_degenerate_oracle(),

@@ -384,3 +384,75 @@ def simhash_near_pairs(
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
     return intra.unionByName(cross)
+
+
+def kgram_positions(
+    documents: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, gram_h) — md5 of every k-token gram, with its 0-based
+    token position.  Whole-stage codegen (split/slice/concat_ws/md5), no
+    Python; md5 keeps the gram key engine-portable for the DuckDB oracle."""
+    d = documents.select("doc_id", tokens_col(text_col).alias("toks")).where(
+        F.size("toks") >= k
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - k),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + F.lit(1), k))),
+    )
+    return d.select("doc_id", F.posexplode(grams).alias("pos", "gram_h"))
+
+
+def duplicated_spans(
+    documents: DataFrame,
+    k: int = 8,
+    min_len: int = 15,
+    max_gram_rows: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring spans across document pairs — the
+    EXACTSUBSTR pass of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressed as a distributed gaps-and-islands
+    query instead of a suffix array:
+
+      1. every k-token gram with its position (kgram_positions),
+      2. hot-gram cap: row_number over gram_h <= max_gram_rows (the minhash
+         max_bucket pattern — boilerplate grams shared by thousands of docs
+         would otherwise produce quadratic candidate rows),
+      3. equi-join on gram_h (doc_a < doc_b) -> matched position pairs,
+      4. islands: along a (doc_a, doc_b, pos_a - pos_b) diagonal, consecutive
+         matched grams satisfy pos_a - row_number() = const, so one groupBy
+         recovers each MAXIMAL shared token run,
+      5. keep runs of >= min_len tokens (span_len = #grams + k - 1).
+
+    Output: (doc_a, doc_b, a_start, b_start, span_len), one row per maximal
+    shared run.  At 100 TB every stage is a key-equality shuffle with a
+    bounded hot key; nothing is quadratic in corpus size."""
+    g = kgram_positions(documents, k, text_col)
+    wcap = Window.partitionBy("gram_h").orderBy("doc_id", "pos")
+    capped = g.withColumn("rn", F.row_number().over(wcap)).where(
+        F.col("rn") <= max_gram_rows
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.gram_h") == F.col("b.gram_h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.pos").alias("pos_b"),
+    )
+    diag = F.col("pos_a") - F.col("pos_b")
+    wisl = Window.partitionBy("doc_a", "doc_b", diag).orderBy("pos_a")
+    isl = m.withColumn("island", F.col("pos_a") - F.row_number().over(wisl))
+    return (
+        isl.groupBy("doc_a", "doc_b", diag.alias("diag"), "island")
+        .agg(
+            F.min("pos_a").cast("int").alias("a_start"),
+            F.min("pos_b").cast("int").alias("b_start"),
+            (F.count("*") + F.lit(k - 1)).cast("int").alias("span_len"),
+        )
+        .where(F.col("span_len") >= min_len)
+        .select("doc_a", "doc_b", "a_start", "b_start", "span_len")
+    )
