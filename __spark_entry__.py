@@ -476,6 +476,32 @@ def q_fingerprint(spark, sf_dir):
     return doc_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII detection + redaction (emails / IPv4 / phone numbers) as pure
+    codegen regexp columns.  The synthetic corpus carries no PII, so the
+    query first appends a deterministic doc_id-derived contact line
+    (identical expression in the SQL oracle) — the per-class counts and
+    the md5 of the redacted text then verify detection AND replacement
+    byte-for-byte across engines.  Patterns are alternation-free greedy
+    ASCII, the subset where Java regex (Spark) and RE2 (DuckDB) agree."""
+    from berkeley_entity_spark.operators.textstats import pii_stats
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex-mail.org ip 10.2."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(".7 tel 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return pii_stats(aug)
+
+
 def q_event_hourly(spark, sf_dir):
     """Windowed aggregation over the events table (streaming-shape agg)."""
     e = _t(spark, sf_dir, "events")
@@ -1280,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
+        "q_pii_redact": q_pii_redact,
         "q_event_hourly": q_event_hourly,
         "q_sessionize": q_sessionize,
         "q_bcubed": q_bcubed,
@@ -1990,6 +2017,34 @@ WHERE L <= {window} AND i = 1
 """
 
 
+def _pii_redact_oracle() -> str:
+    """SQL replay of q_pii_redact: the same deterministic PII injection,
+    the same three patterns (RE2 'g' flag = Java regexp_replace
+    replace-all), counts via regexp_extract_all length."""
+    from berkeley_entity_spark.operators.textstats import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+    )
+
+    e, i, p = PII_EMAIL, PII_IPV4, PII_PHONE
+    return f"""
+WITH d2 AS (SELECT doc_id,
+    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex-mail.org ip 10.2.'
+         || CAST(doc_id % 250 AS VARCHAR) || '.7 tel 555-867-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+    FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{e}')) AS INTEGER) AS n_email,
+  CAST(len(regexp_extract_all(t, '{i}')) AS INTEGER) AS n_ip,
+  CAST(len(regexp_extract_all(t, '{p}')) AS INTEGER) AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(
+        t, '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g'), '{p}', '<PHONE>', 'g'))
+    AS redacted_hash
+FROM d2
+"""
+
+
 def _substring_dup_oracle(k: int = 8, min_len: int = 15, cap: int = 200) -> str:
     """Full SQL re-derivation of duplicated_spans: k-gram positions (same
     md5-of-joined-tokens key), the row_number hot-gram cap, the positional
@@ -2627,6 +2682,7 @@ FROM (SELECT bucket, doc_id,
 WHERE rn <= 25
         """,
         "q_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "q_pii_redact": _pii_redact_oracle(),
         "q_event_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
                    round(min(value), 2) AS min_value,

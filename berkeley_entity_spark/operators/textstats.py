@@ -175,3 +175,35 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+# PII patterns: alternation-free, greedy, ASCII word boundaries — the subset
+# of regex semantics where Java (Spark codegen) and RE2 (DuckDB oracle)
+# provably agree, so redaction is engine-reproducible.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_email, n_ip, n_phone, redacted_hash) — per-doc PII counts
+    and the md5 of the text after replacing each class with a typed token
+    (<EMAIL>/<IP>/<PHONE>), email first so user@host is consumed before the
+    host's digits could feed the IP pattern.  Pure codegen regexp columns
+    (no Python): at 100 TB this is a single scan with no shuffle, and the
+    hash keeps the output row narrow for the gate."""
+    t = F.col(text_col)
+
+    def cnt(p: str):
+        return F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0))).cast("int")
+
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        cnt(PII_EMAIL).alias("n_email"),
+        cnt(PII_IPV4).alias("n_ip"),
+        cnt(PII_PHONE).alias("n_phone"),
+        F.md5(red).alias("redacted_hash"),
+    )

@@ -91,3 +91,39 @@ def test_winnow_overlap_detects_injected_quote(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 3
     assert all(3 not in p for p in pairs)
+
+
+def test_pii_stats_counts_and_redaction(spark):
+    from berkeley_entity_spark.operators.textstats import pii_stats
+
+    rows = [
+        (1, "mail bob.smith+x@corp-site.co.uk and alice@a.io now"),
+        (2, "server at 192.168.0.1 and 10.0.0.255, call 555-123-4567"),
+        (3, "no pii here, just words and 12345 and a@b (not an email)"),
+        (4, "edge 1234-123-1234 is not a phone; 1.2.3.4.5 has an ip prefix"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in pii_stats(d).collect()}
+    assert (out[1].n_email, out[1].n_ip, out[1].n_phone) == (2, 0, 0)
+    assert (out[2].n_email, out[2].n_ip, out[2].n_phone) == (0, 2, 1)
+    assert (out[3].n_email, out[3].n_ip, out[3].n_phone) == (0, 0, 0)
+    # \b stops 1234-123-1234 from matching the phone pattern; the first
+    # four octets of 1.2.3.4.5 do match the IPv4 pattern (greedy-left)
+    assert (out[4].n_ip, out[4].n_phone) == (1, 0)
+    # no-PII doc hashes to the md5 of its unchanged text
+    import hashlib
+
+    assert out[3].redacted_hash == hashlib.md5(rows[2][1].encode()).hexdigest()
+
+
+def test_pii_redaction_replaces_all_occurrences(spark):
+    from berkeley_entity_spark.operators.textstats import pii_stats
+    import hashlib
+
+    d = spark.createDataFrame(
+        [(1, "a@b.com then c@d.org then 1.2.3.4 then 555-000-1111")],
+        "doc_id bigint, text string",
+    )
+    expected = "<EMAIL> then <EMAIL> then <IP> then <PHONE>"
+    got = pii_stats(d).collect()[0].redacted_hash
+    assert got == hashlib.md5(expected.encode()).hexdigest()
