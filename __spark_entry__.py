@@ -294,10 +294,13 @@ def q_ann_lsh(spark, sf_dir):
     """Similarity search (scale path): hyperplane-LSH bucketed top-k.
     Fully oracled: the seeded plane matrices are embedded into the DuckDB
     SQL as exact double literals, so the oracle re-derives signatures,
-    buckets, candidates and the re-rank end-to-end."""
+    buckets, candidates and the re-rank end-to-end — including the
+    max_bucket degenerate-bucket guard (row_number window, mirrored in
+    the SQL; 512 does not bind at gate scale, so it documents the bound
+    without changing recall)."""
     from berkeley_entity_spark.operators.similarity import lsh_bucket_topk
 
-    t = lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), k=3)
+    t = lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), k=3, max_bucket=512)
     return t.select("query_id", "neighbor_id", "rank")
 
 
@@ -2077,7 +2080,10 @@ HAVING count(*) + {k} - 1 >= {min_len}
 """
 
 
-def _ann_lsh_oracle(k: int = 3, n_planes: int = 4, n_tables: int = 16, dim: int = 64) -> str:
+def _ann_lsh_oracle(
+    k: int = 3, n_planes: int = 4, n_tables: int = 16, dim: int = 64,
+    max_bucket: int = 512,
+) -> str:
     """Full SQL re-derivation of the hyperplane-LSH top-k: the seeded plane
     matrices are EMBEDDED as double literals (string-cast — DuckDB parses
     bare decimal literals as DECIMAL and loses bits), signatures are sign
@@ -2108,7 +2114,11 @@ def _ann_lsh_oracle(k: int = 3, n_planes: int = 4, n_tables: int = 16, dim: int 
 WITH e AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
-b AS ({buckets}),
+b0 AS ({buckets}),
+b AS (SELECT vec_id, bucket FROM (
+        SELECT *, row_number() OVER (PARTITION BY bucket
+                                     ORDER BY vec_id) AS rn FROM b0)
+      WHERE rn <= {max_bucket}),
 cand AS (SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
 r AS (SELECT query_id, neighbor_id,

@@ -276,23 +276,48 @@ def hyperplane_signatures_multi(
     )
 
 
+def auto_n_planes(n_rows: int, target_bucket: int = 32) -> int:
+    """Plane count so that expected bucket size n / 2^planes ≈ target:
+    ceil(log2(n / target_bucket)), clamped to [1, 24] (2^24 buckets per
+    table is plenty at any corpus size; beyond it recall loss dominates)."""
+    import math
+
+    if n_rows <= target_bucket:
+        return 1
+    return max(1, min(24, math.ceil(math.log2(n_rows / target_bucket))))
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     k: int = 5,
-    n_planes: int = 4,
+    n_planes: int | str = 4,
     n_tables: int = 16,
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket: int | None = None,
+    target_bucket: int = 32,
 ) -> DataFrame:
     """Approximate top-k: union of n_tables independent hyperplane tables,
     candidates = bucket-mates, exact cosine re-rank.  Recall grows with
     n_tables; cost stays near-linear (no cross join).
 
     Sizing: expected bucket size = n / 2^n_planes, so pick
-    n_planes ≈ log2(n / target_bucket).  The defaults target the test corpus
-    (n≈500, weak neighbors at cosine≈0.37 → shallow planes, many tables);
-    at 10^9 rows use n_planes≈20+ and the same n_tables."""
+    n_planes ≈ log2(n / target_bucket) — or pass n_planes="auto" to have
+    the operator size itself from a corpus count (one extra cheap job;
+    parquet count is metadata-only).  The int defaults target the test
+    corpus (n≈500, weak neighbors at cosine≈0.37 → shallow planes, many
+    tables); at 10^9 rows auto picks ~25→24 planes and the same n_tables.
+
+    max_bucket guards the DEGENERATE case sizing can't fix: a mass of
+    identical/near-identical vectors (zero rows, templated embeddings)
+    lands in one bucket in EVERY table regardless of plane count, turning
+    the self-join quadratic — the same failure minhash_lsh_pairs and
+    simhash_near_pairs cap with a row_number window, mirrored here
+    (deterministic by vec_id; capped-out vectors still get candidates
+    from tables where their bucket is cold)."""
+    if n_planes == "auto":
+        n_planes = auto_n_planes(embeddings.count(), target_bucket)
     base = with_unit_norm(embeddings.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("vec_id"), F.col("unit")
     )
@@ -300,6 +325,13 @@ def lsh_bucket_topk(
         embeddings, n_planes=n_planes, n_tables=n_tables, dim=dim,
         vec_col=vec_col, id_col=id_col,
     )
+    if max_bucket is not None:
+        wb = Window.partitionBy("bucket").orderBy("vec_id")
+        buckets = (
+            buckets.withColumn("rn", F.row_number().over(wb))
+            .where(F.col("rn") <= max_bucket)
+            .drop("rn")
+        )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

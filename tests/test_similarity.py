@@ -188,3 +188,48 @@ def test_ivf_trained_centroids_deterministic_and_usable(emb, numpy_topk):
         1 for q, neigh in numpy_topk.items() if q in got and neigh[0] in got[q]
     )
     assert hits / len(numpy_topk) >= 0.5, hits / len(numpy_topk)
+
+
+def test_auto_n_planes_sizing():
+    from berkeley_entity_spark.operators.similarity import auto_n_planes
+
+    assert auto_n_planes(10) == 1          # tiny corpus: one split
+    assert auto_n_planes(500) == 4         # the gate corpus -> the default
+    assert auto_n_planes(10**9) == 25 or auto_n_planes(10**9) == 24
+    assert auto_n_planes(2**60) == 24      # clamp
+
+
+def test_lsh_auto_matches_explicit(spark):
+    from berkeley_entity_spark.operators.similarity import auto_n_planes
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.standard_normal(64).tolist()) for i in range(100)]
+    d = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    p = auto_n_planes(100)  # log2(100/32) -> 2
+    assert p == 2
+    a = sorted(map(tuple, lsh_bucket_topk(d, k=3, n_planes="auto").collect()))
+    b = sorted(map(tuple, lsh_bucket_topk(d, k=3, n_planes=2).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_lsh_max_bucket_caps_degenerate_class(spark):
+    """200 identical vectors collapse into ONE bucket in every table at any
+    plane count — the sizing rule can't help.  max_bucket keeps the
+    self-join linear: only the first cap ids (by vec_id) participate."""
+    v = [float(x) / 8.0 for x in range(64)]
+    rows = [(i, v) for i in range(200)]
+    d = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = lsh_bucket_topk(d, k=5, max_bucket=8).collect()
+    ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
+    assert ids == set(range(8))  # vecs 8..199 capped out of every table
+    # deterministic under repartitioning
+    out2 = lsh_bucket_topk(d.repartition(13), k=5, max_bucket=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_lsh_max_bucket_nonbinding_is_identity(emb):
+    """A cap larger than the corpus changes nothing — the gate query's
+    max_bucket=512 documents the bound without altering recall."""
+    a = sorted(map(tuple, lsh_bucket_topk(emb, k=K, max_bucket=512).collect()))
+    b = sorted(map(tuple, lsh_bucket_topk(emb, k=K).collect()))
+    assert a == b
