@@ -148,7 +148,8 @@ def run_soak(spark) -> dict:
     before = set(sc.statusTracker().getJobIdsForGroup(name) or [])
     emb = spark.read.parquet(f"{DST}/embeddings.parquet")
     t0 = time.monotonic()
-    lsh_bucket_topk(emb, k=3, n_planes=10, n_tables=16).write.format(
+    # n_planes="auto" resolves to 10 here (20k vectors / target 32)
+    lsh_bucket_topk(emb, k=3, n_planes="auto", n_tables=16).write.format(
         "noop"
     ).mode("overwrite").save()
     dt = round(time.monotonic() - t0, 3)
