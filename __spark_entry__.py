@@ -1280,6 +1280,33 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_dedup_keep_one(spark, sf_dir):
+    """Near-dup cluster resolution (Lee et al. 2022 NEARDUP keep-one): LSH
+    candidate pairs -> connected components -> canonical = min doc_id, every
+    doc assigned (doc_id, canonical_id, kept).  Run over the dup-injected
+    corpus so every base doc pairs with its +100000 shadow; the DuckDB
+    oracle replays the signature, the band join AND the closure (recursive
+    CTE) end-to-end."""
+    from berkeley_entity_spark.operators.dedup import near_dup_keep_one
+
+    return near_dup_keep_one(_docs_with_dups(spark, sf_dir))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C shape): training docs
+    sharing any 13-token gram with the benchmark slice (base docs with
+    doc_id % 97 = 0).  The dup-injected corpus guarantees deterministic
+    hits: every benchmark doc's +100000 shadow (and the doc itself) is
+    contaminated by construction."""
+    from berkeley_entity_spark.operators.dedup import contaminated_docs
+
+    train = _docs_with_dups(spark, sf_dir)
+    bench = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 97 == 0
+    ).select("doc_id", "text")
+    return contaminated_docs(train, bench, k=13)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_lineitem_agg": q_lineitem_agg,
@@ -1325,6 +1352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnowing": q_winnowing,
         "q_winnow_overlap": q_winnow_overlap,
         "q_substring_dup": q_substring_dup,
+        "q_dedup_keep_one": q_dedup_keep_one,
+        "q_decontaminate": q_decontaminate,
         "q_stratified_sample": q_stratified_sample,
         "q_copula_counts": q_copula_counts,
         "q_xdistrib": q_xdistrib,
@@ -2209,6 +2238,76 @@ GROUP BY 1, 2
 """
 
 
+def _keep_one_oracle(bands: int = 4, rows: int = 2) -> str:
+    """SQL replay of q_dedup_keep_one: the exact minhash-LSH pair derivation
+    (same CTEs as the q_minhash_lsh oracle) plus the transitive closure as a
+    recursive CTE (component = min member, the OrderedClustering policy) and
+    the keep-one assignment for every doc."""
+    n = bands * rows
+    mh = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS mh{i}"
+        for i in range(n)
+    )
+    buckets = ", ".join(
+        "'" + str(b) + "#' || " + " || '#' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        for b in range(bands)
+    )
+    return f"""
+WITH RECURSIVE
+docs AS ({_DOCS_DUP_SQL}),
+tok AS (SELECT doc_id, {TOKQ} AS toks FROM docs),
+sh AS (SELECT doc_id,
+       CASE WHEN len(toks) >= 3
+            THEN list_transform(generate_series(1, len(toks) - 2),
+                                i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+            ELSE [array_to_string(toks, ' ')] END AS shingles
+       FROM tok),
+sig AS (SELECT doc_id, {mh} FROM sh),
+b AS (SELECT doc_id, unnest([{buckets}]) AS bucket FROM sig),
+pairs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+          FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+          GROUP BY 1, 2),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+walk(node, src) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT s.b, walk.src FROM walk JOIN sym s ON s.a = walk.node),
+comp AS (SELECT node, min(src) AS canonical FROM walk GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.canonical, d.doc_id) AS canonical_id,
+       COALESCE(c.canonical, d.doc_id) = d.doc_id AS kept
+FROM docs d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+def _decontaminate_oracle(k: int = 13) -> str:
+    """SQL replay of q_decontaminate: k-token gram md5 keys on both sides
+    (positions 0-based, mirroring kgram_positions), benchmark slice
+    doc_id % 97 = 0 over the BASE documents, equi-join, per-train-doc
+    distinct-position / distinct-bench-doc counts."""
+    gram = (
+        f"md5(array_to_string(list_slice(toks, i, i + {k - 1}), ' '))"
+    )
+    return f"""
+WITH docs AS ({_DOCS_DUP_SQL}),
+ttok AS (SELECT doc_id, {TOKQ} AS toks FROM docs),
+tg AS (SELECT doc_id, i - 1 AS pos, {gram} AS gram_h
+       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {k - 1})) AS i
+             FROM ttok WHERE len(toks) >= {k})),
+btok AS (SELECT doc_id, {TOKQ} AS toks FROM documents WHERE doc_id % 97 = 0),
+bg AS (SELECT DISTINCT {gram} AS g, doc_id AS bench_id
+       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {k - 1})) AS i
+             FROM btok WHERE len(toks) >= {k}))
+SELECT doc_id,
+       CAST(count(DISTINCT pos) AS BIGINT) AS n_hit_grams,
+       CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+FROM tg JOIN bg ON gram_h = g
+GROUP BY doc_id
+"""
+
+
 def _ngram_jaccard_oracle(n: int = 3, threshold: float = 0.9, max_df: int = 500) -> str:
     return f"""
 WITH docs AS ({_DOCS_DUP_SQL}),
@@ -2513,6 +2612,8 @@ FROM sym GROUP BY w1, wn
         "q_simhash_pairs": _simhash_oracle(),
         "q_ann_lsh": _ann_lsh_oracle(),
         "q_substring_dup": _substring_dup_oracle(),
+        "q_dedup_keep_one": _keep_one_oracle(),
+        "q_decontaminate": _decontaminate_oracle(),
         "q_ann_ivf": _ann_ivf_oracle(),
         "q_er_mentions": _er_mentions_oracle(),
         "q_joint_degenerate": _joint_degenerate_oracle(),

@@ -386,6 +386,85 @@ def simhash_near_pairs(
     return intra.unionByName(cross)
 
 
+def near_dup_keep_one(
+    documents: DataFrame,
+    bands: int = 4,
+    rows: int = 2,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup cluster RESOLUTION — the keep-one policy of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better" §4.1 NEARDUP:
+    keep one document per duplicate cluster, drop the rest):
+
+      minhash_lsh_pairs -> connected_components -> canonical = min doc_id.
+
+    Output: (doc_id, canonical_id, kept) for EVERY input doc — docs outside
+    any dup cluster are their own canonical.  Deterministic under any
+    partitioning (min-id policy, same as exact_dedup), so the whole
+    resolution is replayable by a recursive-CTE SQL oracle.  Scale shape:
+    the pair join is the capped LSH join; the closure is the
+    large-star/small-star loop (clustering.py) — both linear-ish in corpus
+    size, nothing driver-side."""
+    from berkeley_entity_spark.operators.clustering import connected_components
+
+    pairs = minhash_lsh_pairs(
+        documents, bands, rows, shingle_n, max_bucket, text_col
+    )
+    comp = connected_components(pairs.toDF("u", "v")).toDF(
+        "doc_id", "canonical_id"
+    )
+    return (
+        documents.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
+            (F.coalesce("canonical_id", F.col("doc_id")) == F.col("doc_id")).alias(
+                "kept"
+            ),
+        )
+    )
+
+
+def contaminated_docs(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-corpus decontamination (the GPT-3 appendix-C / C4-audit
+    shape: Brown et al. 2020, Dodge et al. 2021): flag every training doc
+    that shares any k-token gram with an evaluation benchmark.
+
+    Grams come from kgram_positions (md5 of the token window — codegen,
+    engine-portable); the benchmark side is deduped to distinct
+    (gram, bench_doc) and BROADCAST — eval benchmarks are MBs even when the
+    training corpus is 100 TB, so the probe never shuffles the corpus.  Join
+    fan-out per training gram row is bounded by the benchmark's multiplicity
+    for that gram (≤ benchmark size), never by corpus df — no hot-gram cap
+    needed, unlike the doc×doc join in duplicated_spans.
+
+    Output: one row per CONTAMINATED training doc —
+    (doc_id, n_hit_grams = distinct contaminated gram positions,
+    n_bench_docs = distinct benchmark docs hit)."""
+    tg = kgram_positions(documents, k, text_col)
+    bg = (
+        kgram_positions(benchmark, k, text_col)
+        .select(F.col("gram_h").alias("g"), F.col("doc_id").alias("bench_id"))
+        .distinct()
+    )
+    return (
+        tg.join(F.broadcast(bg), tg.gram_h == bg.g)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("pos").alias("n_hit_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
 def kgram_positions(
     documents: DataFrame, k: int = 8, text_col: str = "text"
 ) -> DataFrame:

@@ -4,8 +4,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from berkeley_entity_spark.operators.dedup import (
+    contaminated_docs,
     exact_dedup,
     minhash_lsh_pairs,
+    near_dup_keep_one,
     ngram_jaccard_pairs,
     simhash64,
     simhash_near_pairs,
@@ -152,3 +154,36 @@ def test_simhash_band_bucket_cap(spark):
     capped = simhash_near_pairs(d, max_hamming=64, max_bucket=1).count()
     assert uncapped >= 32
     assert capped == 0
+
+
+def test_near_dup_keep_one(docs_dup):
+    out = near_dup_keep_one(docs_dup).cache()
+    assert out.count() == 1000  # one row per input doc
+    # every injected shadow (+100000) clusters with its base -> never kept
+    assert out.where("doc_id >= 100000 AND kept").count() == 0
+    # canonical ids are cluster minima, so always base-range ids
+    assert out.where("canonical_id >= 100000").count() == 0
+    # kept <=> doc is its own canonical, and every canonical IS kept
+    assert out.where("kept <> (doc_id = canonical_id)").count() == 0
+    canon = out.select(F.col("canonical_id").alias("doc_id")).distinct()
+    not_kept = out.where("NOT kept").select("doc_id")
+    assert canon.join(not_kept, "doc_id").count() == 0
+
+
+def test_contaminated_docs_flags_benchmark_shadows(spark, docs_dup):
+    base = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    bench = base.where("doc_id % 97 = 0")
+    out = contaminated_docs(docs_dup, bench, k=13).cache()
+    eligible = [
+        r.doc_id
+        for r in bench.select(
+            "doc_id", F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n")
+        ).collect()
+        if r.n >= 13
+    ]
+    flagged = {r.doc_id for r in out.collect()}
+    for b in eligible:
+        assert b in flagged, f"benchmark doc {b} not flagged"
+        assert b + 100000 in flagged, f"shadow of {b} not flagged"
+    # a contaminated doc hits at least one benchmark doc
+    assert out.where("n_bench_docs < 1 OR n_hit_grams < 1").count() == 0
