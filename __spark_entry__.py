@@ -1280,6 +1280,18 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/MassiveText repetition filters (Rae et al. 2021 §A1.1):
+    duplicate-token fraction, most-frequent-bigram coverage, non-unique
+    trigram coverage, and the pass flag — all in-row codegen (array_sort +
+    aggregate folds), no explode, no shuffle.  The DuckDB oracle recomputes
+    every signal relationally (unnest + group by), so the fold kernels are
+    checked value-for-value."""
+    from berkeley_entity_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_keep_one(spark, sf_dir):
     """Near-dup cluster resolution (Lee et al. 2022 NEARDUP keep-one): LSH
     candidate pairs -> connected components -> canonical = min doc_id, every
@@ -1354,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_substring_dup": q_substring_dup,
         "q_dedup_keep_one": q_dedup_keep_one,
         "q_decontaminate": q_decontaminate,
+        "q_repetition_stats": q_repetition_stats,
         "q_stratified_sample": q_stratified_sample,
         "q_copula_counts": q_copula_counts,
         "q_xdistrib": q_xdistrib,
@@ -2238,6 +2251,43 @@ GROUP BY 1, 2
 """
 
 
+_REPETITION_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKQ} AS toks FROM documents),
+base AS (SELECT doc_id, len(toks) AS n_tokens,
+                len(list_distinct(toks)) AS n_distinct FROM t),
+bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+       FROM (SELECT doc_id, toks,
+                    unnest(generate_series(1, len(toks) - 1)) AS i
+             FROM t WHERE len(toks) >= 2)),
+topbg AS (SELECT doc_id, max(c) AS top_bg
+          FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+          GROUP BY 1),
+tg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+       FROM (SELECT doc_id, toks,
+                    unnest(generate_series(1, len(toks) - 2)) AS i
+             FROM t WHERE len(toks) >= 3)),
+reptg AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS rep_tg
+          FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2)
+          GROUP BY 1),
+m AS (SELECT b.doc_id,
+             b.n_tokens,
+             round(1.0 - b.n_distinct * 1.0 / greatest(b.n_tokens, 1), 6)
+                 AS frac_dup_tokens,
+             round(COALESCE(t2.top_bg, 0) * 2.0 / greatest(b.n_tokens, 1), 6)
+                 AS top_bigram_frac,
+             round(COALESCE(t3.rep_tg, 0) * 3.0 / greatest(b.n_tokens, 1), 6)
+                 AS rep_trigram_frac
+      FROM base b
+      LEFT JOIN topbg t2 USING (doc_id)
+      LEFT JOIN reptg t3 USING (doc_id))
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, frac_dup_tokens,
+       top_bigram_frac, rep_trigram_frac,
+       (top_bigram_frac <= 0.08 AND rep_trigram_frac <= 0.30) AS gopher_pass
+FROM m
+"""
+
+
 def _keep_one_oracle(bands: int = 4, rows: int = 2) -> str:
     """SQL replay of q_dedup_keep_one: the exact minhash-LSH pair derivation
     (same CTEs as the q_minhash_lsh oracle) plus the transitive closure as a
@@ -2614,6 +2664,7 @@ FROM sym GROUP BY w1, wn
         "q_substring_dup": _substring_dup_oracle(),
         "q_dedup_keep_one": _keep_one_oracle(),
         "q_decontaminate": _decontaminate_oracle(),
+        "q_repetition_stats": _REPETITION_ORACLE,
         "q_ann_ivf": _ann_ivf_oracle(),
         "q_er_mentions": _er_mentions_oracle(),
         "q_joint_degenerate": _joint_degenerate_oracle(),

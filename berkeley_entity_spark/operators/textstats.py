@@ -85,6 +85,99 @@ def lang_id_en(documents: DataFrame, text_col: str = "text", threshold: float = 
     )
 
 
+def _ngram_arr(toks, n: int):
+    """Token n-grams as an array column (empty when the doc is shorter)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _max_run(sorted_arr):
+    """Longest run of equal adjacent elements in a SORTED array = the max
+    multiplicity of any element — computed with one F.aggregate fold, pure
+    codegen, zero shuffle."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    return F.aggregate(
+        sorted_arr,
+        init,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a.prev, a.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a.best, F.when(x == a.prev, a.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda a: a.best,
+    )
+
+
+def _repeated_total(sorted_arr):
+    """Sum of multiplicities over elements with multiplicity >= 2 in a
+    SORTED array (tokens covered by non-unique n-grams) — same fold shape
+    as _max_run."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("acc")
+    )
+    return F.aggregate(
+        sorted_arr,
+        init,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a.prev, a.run + 1).otherwise(F.lit(1)).alias("run"),
+            (
+                a.acc
+                + F.when(x != a.prev, F.when(a.run >= 2, a.run).otherwise(F.lit(0))).otherwise(
+                    F.lit(0)
+                )
+            ).alias("acc"),
+        ),
+        lambda a: a.acc + F.when(a.run >= 2, a.run).otherwise(F.lit(0)),
+    )
+
+
+def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1, the
+    MassiveText repetition filters), per doc:
+
+      frac_dup_tokens   — 1 - distinct/total tokens
+      top_bigram_frac   — tokens inside the most frequent bigram / total
+      rep_trigram_frac  — tokens inside non-unique trigrams / total
+      gopher_pass       — both ngram fractions under the filter thresholds
+
+    Scale shape: ALL in-row column expressions (array_sort + one aggregate
+    fold per signal) — no explode, no shuffle, the whole operator is one
+    codegen scan of the corpus.  The relational form (explode + per-doc
+    groupBy) would shuffle every n-gram occurrence of a 100 TB corpus; this
+    shuffles nothing."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    bg = F.array_sort(_ngram_arr(toks, 2))
+    tg = F.array_sort(_ngram_arr(toks, 3))
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    frac_dup = F.round(1.0 - F.size(F.array_distinct(toks)) / nd, 6)
+    top_bg = F.round(_max_run(bg) * 2.0 / nd, 6)
+    rep_tg = F.round(_repeated_total(tg) * 3.0 / nd, 6)
+    out = documents.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        frac_dup.alias("frac_dup_tokens"),
+        top_bg.alias("top_bigram_frac"),
+        rep_tg.alias("rep_trigram_frac"),
+    )
+    # thresholds applied to the ROUNDED columns so the pass flag is exactly
+    # reproducible by the SQL oracle (no float-boundary drift)
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("top_bigram_frac") <= 0.08) & (F.col("rep_trigram_frac") <= 0.30),
+    )
+
+
 def doc_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint) — md5 of the text, the exact-dup key."""
     return documents.select("doc_id", F.md5(F.col(text_col)).alias("fingerprint"))

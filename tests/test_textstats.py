@@ -127,3 +127,38 @@ def test_pii_redaction_replaces_all_occurrences(spark):
     expected = "<EMAIL> then <EMAIL> then <IP> then <PHONE>"
     got = pii_stats(d).collect()[0].redacted_hash
     assert got == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_repetition_stats_hand_cases(spark):
+    """The in-row fold kernels (max bigram multiplicity, non-unique trigram
+    coverage) against hand-computed values."""
+    from berkeley_entity_spark.operators.textstats import repetition_stats
+
+    d = spark.createDataFrame(
+        [
+            # "a b a b a b": bigrams a-b x3, b-a x2 -> top 3; trigrams
+            # "a b a" x2, "b a b" x2 -> all 4 repeated
+            (1, "a b a b a b"),
+            # all-distinct tokens: no repetition anywhere
+            (2, "one two three four five six"),
+            # one doubled trigram at the edges, distinct bigram max 2
+            (3, "x y z q x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in repetition_stats(d).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 6
+    assert r1["frac_dup_tokens"] == round(1 - 2 / 6, 6)
+    assert r1["top_bigram_frac"] == round(3 * 2 / 6, 6)
+    assert r1["rep_trigram_frac"] == round(4 * 3 / 6, 6)
+    assert not r1["gopher_pass"]
+    r2 = rows[2]
+    assert r2["frac_dup_tokens"] == 0.0
+    assert r2["top_bigram_frac"] == round(2 / 6, 6)  # every bigram count 1
+    assert r2["rep_trigram_frac"] == 0.0
+    r3 = rows[3]
+    assert r3["n_tokens"] == 7
+    # trigram "x y z" occurs twice -> 2 trigrams * 3 tokens / 7
+    assert r3["rep_trigram_frac"] == round(6 / 7, 6)
+    assert r3["top_bigram_frac"] == round(2 * 2 / 7, 6)
