@@ -1280,6 +1280,49 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def _messy_urls(spark, sf_dir):
+    """Deterministic messy-URL synthesis over documents: four variants per
+    doc_id residue (upper/lower case, www./m. prefixes, default and explicit
+    ports, trailing slashes, tracking params, unsorted params) — the input
+    shapes url canonicalization exists for.  Path uses doc_id % 50 so
+    distinct canonical urls per host differ from doc counts."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    pid = (F.col("doc_id") % 50).cast("string")
+    src = F.col("source")
+    u0 = F.concat(
+        F.lit("HTTPS://WWW."), F.upper(src), F.lit(".Example.COM:443/a/"),
+        pid, F.lit("/?utm_source=feed&b=2&a=1"),
+    )
+    u1 = F.concat(F.lit("http://"), src, F.lit(".example.com/a/"), pid)
+    u2 = F.concat(
+        F.lit("https://m."), src, F.lit(".example.com:8080/p/"),
+        pid, F.lit("?z=1&fbclid=xyz&a=1"),
+    )
+    u3 = F.concat(F.lit("https://"), src, F.lit(".EXAMPLE.com/p/"), pid, F.lit("/"))
+    sid = F.col("doc_id") % 4
+    return d.select(
+        "doc_id",
+        F.when(sid == 0, u0).when(sid == 1, u1).when(sid == 2, u2).otherwise(u3).alias("url"),
+    )
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization (weburl.normalize_urls): scheme/host/port/
+    www-prefix/trailing-slash/tracking-param/param-order normalization as
+    pure codegen expressions, checked rule-for-rule by the DuckDB oracle."""
+    from berkeley_entity_spark.operators.weburl import normalize_urls
+
+    return normalize_urls(_messy_urls(spark, sf_dir))
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-host rollup after canonicalization: page count + distinct
+    canonical urls (the four messy variants of a path collapse to one)."""
+    from berkeley_entity_spark.operators.weburl import domain_stats, normalize_urls
+
+    return domain_stats(normalize_urls(_messy_urls(spark, sf_dir)))
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher/MassiveText repetition filters (Rae et al. 2021 §A1.1):
     duplicate-token fraction, most-frequent-bigram coverage, non-unique
@@ -1367,6 +1410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_keep_one": q_dedup_keep_one,
         "q_decontaminate": q_decontaminate,
         "q_repetition_stats": q_repetition_stats,
+        "q_url_normalize": q_url_normalize,
+        "q_domain_stats": q_domain_stats,
         "q_stratified_sample": q_stratified_sample,
         "q_copula_counts": q_copula_counts,
         "q_xdistrib": q_xdistrib,
@@ -2251,6 +2296,62 @@ GROUP BY 1, 2
 """
 
 
+_MESSY_URL_SQL = """
+SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT)
+   WHEN 0 THEN 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/a/'
+               || CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed&b=2&a=1'
+   WHEN 1 THEN 'http://' || source || '.example.com/a/'
+               || CAST(doc_id % 50 AS VARCHAR)
+   WHEN 2 THEN 'https://m.' || source || '.example.com:8080/p/'
+               || CAST(doc_id % 50 AS VARCHAR) || '?z=1&fbclid=xyz&a=1'
+   ELSE 'https://' || source || '.EXAMPLE.com/p/'
+               || CAST(doc_id % 50 AS VARCHAR) || '/'
+  END AS url
+FROM documents
+"""
+
+# rule-for-rule SQL replay of weburl.normalize_urls
+_URL_NORM_CTES = rf"""
+u AS ({_MESSY_URL_SQL}),
+x AS (SELECT doc_id, url,
+   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+   regexp_replace(
+     lower(regexp_replace(
+       regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+       ':[0-9]+$', '')),
+     '^(www|m)\.', '') AS host,
+   regexp_replace(
+     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+     '/+$', '') AS p1,
+   COALESCE(regexp_extract(url, '\?([^#]*)', 1), '') AS q
+ FROM u),
+n AS (SELECT doc_id, url, scheme, host,
+   CASE WHEN len(string_split(host, '.')) >= 2
+        THEN string_split(host, '.')[len(string_split(host, '.')) - 1]
+             || '.' || string_split(host, '.')[len(string_split(host, '.'))]
+        ELSE host END AS registered_domain,
+   CASE WHEN p1 = '' THEN '/' ELSE p1 END AS path,
+   COALESCE(array_to_string(list_sort(list_filter(string_split(q, '&'),
+       p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))),
+       '&'), '') AS query_canon
+ FROM x),
+canon AS (SELECT doc_id, url, scheme, host, registered_domain, path, query_canon,
+   scheme || '://' || host || path
+     || CASE WHEN query_canon <> '' THEN '?' || query_canon ELSE '' END AS canon_url
+ FROM n)
+"""
+
+_URL_NORMALIZE_ORACLE = f"WITH {_URL_NORM_CTES} SELECT * FROM canon"
+
+_DOMAIN_STATS_ORACLE = f"""
+WITH {_URL_NORM_CTES}
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT canon_url) AS BIGINT) AS n_canon_urls
+FROM canon GROUP BY host
+"""
+
 _REPETITION_ORACLE = f"""
 WITH t AS (SELECT doc_id, {TOKQ} AS toks FROM documents),
 base AS (SELECT doc_id, len(toks) AS n_tokens,
@@ -2665,6 +2766,8 @@ FROM sym GROUP BY w1, wn
         "q_dedup_keep_one": _keep_one_oracle(),
         "q_decontaminate": _decontaminate_oracle(),
         "q_repetition_stats": _REPETITION_ORACLE,
+        "q_url_normalize": _URL_NORMALIZE_ORACLE,
+        "q_domain_stats": _DOMAIN_STATS_ORACLE,
         "q_ann_ivf": _ann_ivf_oracle(),
         "q_er_mentions": _er_mentions_oracle(),
         "q_joint_degenerate": _joint_degenerate_oracle(),
