@@ -888,6 +888,84 @@ def q_conll_roundtrip(spark, sf_dir):
     return parse_conll(render_conll(pages, chunks))
 
 
+def _wiki_annot_chunks(m):
+    """Deterministic title-set chunks over the er-mentions set — shared by
+    q_wiki_annot_roundtrip (render/parse fidelity) and q_link_accuracy
+    (gold side), and mirrored literal-for-literal by both DuckDB oracles.
+    The selector walks every branch of the reference's label alphabet:
+    parenthesized titles (-LRB-/-RRB- escaping), multi-title sets (pipe
+    join), the empty set (-EXCLUDE-), a starred title (-STAR- escaping),
+    and -NIL- (wiki/WikiAnnotReaderWriter.scala:64-78,
+    wiki/package.scala:20-21)."""
+    base = F.replace(F.col("norm_name"), F.lit(" "), F.lit("_"))
+    sel = F.length("norm_name") % 5
+    titles = (
+        F.when(sel == 0, F.array(F.concat(base, F.lit("_(disambiguation)"))))
+        .when(sel == 1, F.array(base, F.concat(base, F.lit("_(novel)"))))
+        .when(sel == 2, F.array().cast("array<string>"))
+        .when(sel == 3, F.array(F.concat(base, F.lit("*alt"))))
+        .otherwise(F.array(F.lit("-NIL-")))
+    )
+    return m.select(
+        "url", "sent_idx", "start", "end", "span", "norm_name",
+        titles.alias("titles"),
+    )
+
+
+def q_wiki_annot_roundtrip(spark, sf_dir):
+    """S-side interop closure: the wiki standoff-annotation writer/reader
+    (wiki/WikiAnnotReaderWriter.scala:53-66 write, :98-130 stack parse)
+    checked end-to-end — derive title-set chunks over the extract kernel's
+    mention spans (nested appositive sub-spans INCLUDED, so the stack
+    parser's LIFO pairing is exercised), RENDER every page to the
+    reference's bit format (escaping + -EXCLUDE- included), then PARSE the
+    rendered text back.  Returns the re-parsed chunks with pipe-joined
+    titles; the DuckDB oracle re-derives the chunk set directly, so any
+    render/parse infidelity breaks the match."""
+    from berkeley_entity_spark.operators.extract import extract_mentions
+    from berkeley_entity_spark.sinks.wiki_annot import (
+        parse_wiki_annots,
+        render_wiki_annots,
+    )
+
+    pages = _cap_docs(spark, sf_dir)
+    chunks = _wiki_annot_chunks(
+        extract_mentions(pages, appositive_subspans=True)
+    )
+    parsed = parse_wiki_annots(render_wiki_annots(pages, chunks))
+    return parsed.select(
+        "url", "sent_idx", "start", "end",
+        F.array_join("titles", "|").alias("titles_str"),
+    )
+
+
+def q_link_accuracy(spark, sf_dir):
+    """Entity-linking chunk P/R/F1 (WikificationEvaluator.scala:19-57):
+    gold = the _wiki_annot_chunks title sets, pred = a deterministic guess
+    per mention that walks every scoring branch — a space+case variant
+    (correct only through isCorrect's lower/underscore normalization,
+    wiki/package.scala:36-39), -NIL- (correct only against NIL gold),
+    -EXCLUDE- (dropped), and a wrong title.  One equi-join on span
+    position + two tiny grouped counts; the oracle re-derives the full
+    counter arithmetic in SQL."""
+    from berkeley_entity_spark.evaluate import wikification_prf1
+    from berkeley_entity_spark.operators.extract import extract_mentions
+
+    m = extract_mentions(_cap_docs(spark, sf_dir), appositive_subspans=True)
+    gold = _wiki_annot_chunks(m)
+    base = F.replace(F.col("norm_name"), F.lit(" "), F.lit("_"))
+    psel = F.length("span") % 4
+    pred = m.select(
+        "url", "sent_idx", "start", "end",
+        F.when(psel == 0, F.initcap(F.replace(base, F.lit("_"), F.lit(" "))))
+        .when(psel == 1, F.lit("-NIL-"))
+        .when(psel == 2, F.lit("-EXCLUDE-"))
+        .otherwise(F.concat(base, F.lit("_wrong")))
+        .alias("title"),
+    )
+    return wikification_prf1(pred, gold)
+
+
 def _joint_vote_db(m):
     """Corpus-derived candidate-title vote DB shared by BOTH joint queries
     AND mirrored literal-for-literal by the q_joint_degenerate oracle's
@@ -1399,6 +1477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mention_props": q_mention_props,
         "q_entity_consensus": q_entity_consensus,
         "q_conll_roundtrip": q_conll_roundtrip,
+        "q_wiki_annot_roundtrip": q_wiki_annot_roundtrip,
+        "q_link_accuracy": q_link_accuracy,
         "q_joint_entity": q_joint_entity,
         "q_joint_degenerate": q_joint_degenerate,
         "q_joint_pair": q_joint_pair,
@@ -2614,6 +2694,75 @@ lab AS (SELECT norm_name,
 SELECT m.url, m.sent_idx, m.start, m."end",
        CAST(lab.cluster_id AS BIGINT) AS cluster_id
 FROM m JOIN lab USING (norm_name)
+""",
+        "q_wiki_annot_roundtrip": f"""
+WITH m AS (SELECT * FROM ({_er_mentions_oracle()}) q),
+tit AS (SELECT url, sent_idx, start, "end",
+               CASE CAST(length(norm_name) % 5 AS INTEGER)
+                 WHEN 0 THEN [replace(norm_name, ' ', '_') || '_(disambiguation)']
+                 WHEN 1 THEN [replace(norm_name, ' ', '_'),
+                              replace(norm_name, ' ', '_') || '_(novel)']
+                 WHEN 2 THEN CAST([] AS VARCHAR[])
+                 WHEN 3 THEN [replace(norm_name, ' ', '_') || '*alt']
+                 ELSE ['-NIL-'] END AS titles
+        FROM m)
+SELECT url, sent_idx, start, "end",
+       coalesce(array_to_string(titles, '|'), '') AS titles_str
+FROM tit
+""",
+        "q_link_accuracy": f"""
+WITH m AS (SELECT * FROM ({_er_mentions_oracle()}) q),
+g0 AS (SELECT url, sent_idx, start, "end",
+              CASE CAST(length(norm_name) % 5 AS INTEGER)
+                WHEN 0 THEN [replace(norm_name, ' ', '_') || '_(disambiguation)']
+                WHEN 1 THEN [replace(norm_name, ' ', '_'),
+                             replace(norm_name, ' ', '_') || '_(novel)']
+                WHEN 2 THEN CAST([] AS VARCHAR[])
+                WHEN 3 THEN [replace(norm_name, ' ', '_') || '*alt']
+                ELSE ['-NIL-'] END AS titles
+       FROM m),
+g AS (SELECT *, titles[1] = '-NIL-' AS gnil FROM g0 WHERE len(titles) >= 1),
+p0 AS (SELECT url, sent_idx, start, "end",
+              CASE CAST(length(span) % 4 AS INTEGER)
+                WHEN 0 THEN array_to_string(list_transform(
+                       string_split(replace(replace(norm_name, ' ', '_'),
+                                            '_', ' '), ' '),
+                       w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ')
+                WHEN 1 THEN '-NIL-'
+                WHEN 2 THEN '-EXCLUDE-'
+                ELSE replace(norm_name, ' ', '_') || '_wrong' END AS title
+       FROM m),
+p AS (SELECT *, title = '-NIL-' AS pnil FROM p0 WHERE title <> '-EXCLUDE-'),
+j AS (SELECT p.pnil,
+             CASE WHEN g.url IS NOT NULL AND p.pnil = g.gnil THEN
+               CASE WHEN p.pnil THEN TRUE
+                    ELSE list_contains(list_transform(g.titles, t -> lower(t)),
+                                       replace(lower(p.title), ' ', '_')) END
+             ELSE FALSE END AS ok
+      FROM p LEFT JOIN g USING (url, sent_idx, start, "end")),
+pa AS (SELECT CAST(sum(CASE WHEN NOT pnil THEN 1 ELSE 0 END) AS BIGINT) AS total_pred,
+              CAST(sum(CASE WHEN ok AND NOT pnil THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+              CAST(sum(CASE WHEN pnil THEN 1 ELSE 0 END) AS BIGINT) AS total_pred_nil,
+              CAST(sum(CASE WHEN ok AND pnil THEN 1 ELSE 0 END) AS BIGINT) AS correct_nil
+       FROM j),
+ga AS (SELECT CAST(sum(CASE WHEN NOT gnil THEN 1 ELSE 0 END) AS BIGINT) AS total_gold,
+              CAST(sum(CASE WHEN gnil THEN 1 ELSE 0 END) AS BIGINT) AS total_gold_nil
+       FROM g),
+r AS (SELECT *,
+             CASE WHEN total_pred > 0 THEN correct * 1.0 / total_pred ELSE 0.0 END AS pk,
+             CASE WHEN total_gold > 0 THEN correct * 1.0 / total_gold ELSE 0.0 END AS rk,
+             CASE WHEN total_pred_nil > 0 THEN correct_nil * 1.0 / total_pred_nil ELSE 0.0 END AS pn,
+             CASE WHEN total_gold_nil > 0 THEN correct_nil * 1.0 / total_gold_nil ELSE 0.0 END AS rn
+      FROM pa, ga)
+SELECT correct, total_pred, total_gold,
+       round(CAST(pk AS DOUBLE), 6) AS "precision",
+       round(CAST(rk AS DOUBLE), 6) AS recall,
+       round(CAST(CASE WHEN pk + rk > 0 THEN 2 * pk * rk / (pk + rk) ELSE 0.0 END AS DOUBLE), 6) AS f1,
+       correct_nil, total_pred_nil, total_gold_nil,
+       round(CAST(pn AS DOUBLE), 6) AS precision_nil,
+       round(CAST(rn AS DOUBLE), 6) AS recall_nil,
+       round(CAST(CASE WHEN pn + rn > 0 THEN 2 * pn * rn / (pn + rn) ELSE 0.0 END AS DOUBLE), 6) AS f1_nil
+FROM r
 """,
         "q_bcubed": """
             WITH j AS (SELECT doc_id, lang AS c, source AS e FROM documents),

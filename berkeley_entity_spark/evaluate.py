@@ -468,3 +468,84 @@ def grouped_accuracy(
         .agg(F.count(F.lit(1)).alias("n"), F.sum("_ok").alias("correct"))
         .withColumn("accuracy", F.round(F.col("correct") / F.col("n"), 6))
     )
+
+
+def wikification_prf1(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Entity-linking chunk evaluation — evaluateWikiChunksBySent
+    (wiki/WikificationEvaluator.scala:19-57) as one DataFrame aggregation.
+
+    pred(url, sent_idx, start, end, title STRING): the system's chosen
+    title per mention chunk; gold(url, sent_idx, start, end,
+    titles ARRAY<STRING>): the acceptable-title sets.  Semantics ported
+    exactly: -EXCLUDE- preds dropped (removeExcludes), empty-label golds
+    dropped, then two buckets — non-NIL chunks scored with
+    isCorrect(gold, guess) = lower(gold) contains
+    lower(guess).replace(' ','_') (wiki/package.scala:36-39), NIL chunks
+    scored by position match alone.  Gold spans are assumed unique per
+    (url, sent_idx, start, end) — the format writes one annotation per
+    span — and deduped defensively so a malformed double-annotation can't
+    double-count a pred.
+
+    Returns ONE row: correct/total_pred/total_gold (+ _nil variants) and
+    the derived precision/recall/f1 per bucket — the counters the
+    reference logs via renderPRF1.  Shape: two tiny grouped counts and one
+    equi-join on span position; no per-doc loop, so it runs at any corpus
+    size."""
+    p = pred.where(F.col("title") != F.lit("-EXCLUDE-")).withColumn(
+        "_pnil", F.col("title") == F.lit("-NIL-")
+    )
+    g = (
+        gold.where(F.size("titles") >= 1)
+        .dropDuplicates(["url", "sent_idx", "start", "end"])
+        .withColumn("_gnil", F.element_at("titles", 1) == F.lit("-NIL-"))
+    )
+    keys = ["url", "sent_idx", "start", "end"]
+    j = p.join(g, keys, "left").withColumn(
+        "_ok",
+        F.when(
+            F.col("_gnil").isNotNull() & (F.col("_pnil") == F.col("_gnil")),
+            F.when(F.col("_pnil"), F.lit(True)).otherwise(
+                F.array_contains(
+                    F.transform("titles", F.lower),
+                    F.replace(F.lower("title"), F.lit(" "), F.lit("_")),
+                )
+            ),
+        ).otherwise(F.lit(False)),
+    )
+    zsum = lambda c: F.coalesce(F.sum(c.cast("long")), F.lit(0))  # noqa: E731
+    pa = j.agg(
+        zsum(~F.col("_pnil")).alias("total_pred"),
+        zsum(F.col("_ok") & ~F.col("_pnil")).alias("correct"),
+        zsum(F.col("_pnil")).alias("total_pred_nil"),
+        zsum(F.col("_ok") & F.col("_pnil")).alias("correct_nil"),
+    )
+    ga = g.agg(
+        zsum(~F.col("_gnil")).alias("total_gold"),
+        zsum(F.col("_gnil")).alias("total_gold_nil"),
+    )
+    prf = lambda tp, pr, gl: [  # noqa: E731
+        F.round(F.when(pr > 0, tp / pr).otherwise(0.0), 6),
+        F.round(F.when(gl > 0, tp / gl).otherwise(0.0), 6),
+        F.round(
+            F.when(
+                (F.when(pr > 0, tp / pr).otherwise(0.0)
+                 + F.when(gl > 0, tp / gl).otherwise(0.0)) > 0,
+                2 * F.when(pr > 0, tp / pr).otherwise(0.0)
+                * F.when(gl > 0, tp / gl).otherwise(0.0)
+                / (F.when(pr > 0, tp / pr).otherwise(0.0)
+                   + F.when(gl > 0, tp / gl).otherwise(0.0)),
+            ).otherwise(0.0),
+            6,
+        ),
+    ]
+    kb = prf(F.col("correct"), F.col("total_pred"), F.col("total_gold"))
+    nil = prf(
+        F.col("correct_nil"), F.col("total_pred_nil"), F.col("total_gold_nil")
+    )
+    return pa.crossJoin(ga).select(
+        "correct", "total_pred", "total_gold",
+        kb[0].alias("precision"), kb[1].alias("recall"), kb[2].alias("f1"),
+        "correct_nil", "total_pred_nil", "total_gold_nil",
+        nil[0].alias("precision_nil"), nil[1].alias("recall_nil"),
+        nil[2].alias("f1_nil"),
+    )
