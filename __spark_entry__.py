@@ -1413,6 +1413,34 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_segment_dedup(spark, sf_dir):
+    """CCNet-style duplicated-segment removal (Wenzek et al. 2020 §3.1 —
+    the line-level boilerplate strip every Common-Crawl pipeline runs
+    before doc-level dedup): segments whose md5 appears in >= 2 distinct
+    docs are dropped from every doc, survivors reassembled in order.
+    Token-window segmentation (the synthetic corpus has no newlines); the
+    operator takes delim='\\n' for real corpora.  One partially-aggregated
+    hash count + a fan-out-1 join + a per-doc reassembly — no caps needed
+    because occurrence lists never join occurrence lists."""
+    from berkeley_entity_spark.operators.dedup import segment_dedup
+
+    return segment_dedup(
+        _t(spark, sf_dir, "documents"), min_dup_docs=2, seg_tokens=10
+    )
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020 §3.2 analog): a
+    corpus-trained add-alpha unigram LM with a bounded top-k lexicon
+    (vocab_size=20 so the OOV path is exercised — the corpus vocabulary is
+    larger), broadcast-joined so the corpus never shuffles on (hot) token;
+    per-doc cross-entropy and perplexity.  The DuckDB oracle retrains the
+    same LM and replays the arithmetic."""
+    from berkeley_entity_spark.operators.textstats import lm_perplexity
+
+    return lm_perplexity(_t(spark, sf_dir, "documents"), vocab_size=20)
+
+
 def q_dedup_keep_one(spark, sf_dir):
     """Near-dup cluster resolution (Lee et al. 2022 NEARDUP keep-one): LSH
     candidate pairs -> connected components -> canonical = min doc_id, every
@@ -1487,6 +1515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnowing": q_winnowing,
         "q_winnow_overlap": q_winnow_overlap,
         "q_substring_dup": q_substring_dup,
+        "q_segment_dedup": q_segment_dedup,
+        "q_lm_perplexity": q_lm_perplexity,
         "q_dedup_keep_one": q_dedup_keep_one,
         "q_decontaminate": q_decontaminate,
         "q_repetition_stats": q_repetition_stats,
@@ -2694,6 +2724,41 @@ lab AS (SELECT norm_name,
 SELECT m.url, m.sent_idx, m.start, m."end",
        CAST(lab.cluster_id AS BIGINT) AS cluster_id
 FROM m JOIN lab USING (norm_name)
+""",
+        "q_segment_dedup": f"""
+WITH tok AS (SELECT doc_id, {TOKQ} AS toks FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS tkn, generate_subscripts(toks, 1) AS i
+      FROM tok WHERE len(toks) > 0),
+seg AS (SELECT doc_id,
+               CAST(floor((i - 1) / 10) AS INTEGER) AS seg_idx,
+               string_agg(tkn, ' ' ORDER BY i) AS seg
+        FROM t GROUP BY doc_id, floor((i - 1) / 10)),
+h AS (SELECT doc_id, seg_idx, seg, md5(seg) AS hh FROM seg),
+dup AS (SELECT hh FROM h GROUP BY hh HAVING count(DISTINCT doc_id) >= 2)
+SELECT h.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(CASE WHEN dup.hh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       coalesce(string_agg(CASE WHEN dup.hh IS NULL THEN h.seg END,
+                           ' ' ORDER BY h.seg_idx), '') AS text_clean
+FROM h LEFT JOIN dup ON h.hh = dup.hh
+GROUP BY h.doc_id
+""",
+        "q_lm_perplexity": f"""
+WITH tok AS (SELECT doc_id, {TOKQ} AS toks FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS tkn FROM tok),
+c AS (SELECT tkn, count(*) AS c FROM t GROUP BY tkn),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+lex AS (SELECT tkn, c FROM c ORDER BY c DESC, tkn ASC LIMIT 20),
+vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM lex),
+lp AS (SELECT tkn, ln((c + 1.0) / (n + (v + 1.0))) AS logp
+       FROM lex, tot, vv),
+oov AS (SELECT ln(1.0 / (n + (v + 1.0))) AS o FROM tot, vv)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(-avg(coalesce(lp.logp, oov.o)), 6) AS cross_entropy,
+       round(exp(-avg(coalesce(lp.logp, oov.o))), 6) AS perplexity
+FROM t LEFT JOIN lp ON t.tkn = lp.tkn, oov
+GROUP BY doc_id
 """,
         "q_wiki_annot_roundtrip": f"""
 WITH m AS (SELECT * FROM ({_er_mentions_oracle()}) q),

@@ -535,3 +535,82 @@ def duplicated_spans(
         .where(F.col("span_len") >= min_len)
         .select("doc_a", "doc_b", "a_start", "b_start", "span_len")
     )
+
+
+def doc_segments(
+    documents: DataFrame,
+    seg_tokens: int = 10,
+    delim: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, seg_idx, seg) — one row per document segment.
+
+    Two modes: `delim` (real web corpora: '\\n' gives CCNet's line unit)
+    or fixed `seg_tokens`-token windows for corpora without line structure
+    (the synthetic tables).  Both are pure codegen (split/slice/transform
+    + posexplode) — no Python, no shuffle."""
+    if delim is not None:
+        return documents.select(
+            "doc_id",
+            F.posexplode(F.split(F.col(text_col), delim)).alias("seg_idx", "seg"),
+        )
+    toks = tokens_col(text_col)
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+        ),
+    )
+    return documents.where(F.size(toks) > 0).select(
+        "doc_id", F.posexplode(segs).alias("seg_idx", "seg")
+    )
+
+
+def segment_dedup(
+    documents: DataFrame,
+    min_dup_docs: int = 2,
+    seg_tokens: int = 10,
+    delim: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style duplicated-segment removal (Wenzek et al. 2020 §3.1:
+    drop every line whose hash is shared across documents — the step that
+    strips boilerplate headers/menus/cookie banners from Common Crawl).
+
+    A segment is removed from EVERY doc when its md5 appears in >=
+    `min_dup_docs` DISTINCT documents; survivors are reassembled in
+    segment order.  Output: (doc_id, n_segs, n_removed, text_clean) for
+    every non-empty doc.
+
+    100 TB shape: one groupBy(hash) count (map-side partial agg absorbs
+    boilerplate hot keys — a segment in 10^8 docs is still ONE reduced
+    row), one equi-join back at fan-out exactly 1 (counts are distinct by
+    hash), one groupBy(doc_id) reassembly bounded by document size.  No
+    caps needed anywhere because nothing joins occurrence-lists against
+    occurrence-lists.  Deterministic under any partitioning (hash-set
+    membership + in-doc order), so a DuckDB oracle replays it exactly."""
+    segs = doc_segments(documents, seg_tokens, delim, text_col).withColumn(
+        "h", F.md5("seg")
+    )
+    dup = (
+        segs.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_dup_docs)
+        .select("h", F.lit(True).alias("_dup"))
+    )
+    flagged = segs.join(dup, "h", "left").withColumn(
+        "_rm", F.coalesce("_dup", F.lit(False))
+    )
+    kept_sorted = F.array_sort(
+        F.collect_list(  # collect_list drops the nulls the when() emits
+            F.when(~F.col("_rm"), F.struct("seg_idx", "seg"))
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.col("_rm").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(kept_sorted, lambda x: x["seg"]), " "
+        ).alias("text_clean"),
+    )

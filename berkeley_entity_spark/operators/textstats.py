@@ -300,3 +300,71 @@ def pii_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
         cnt(PII_PHONE).alias("n_phone"),
         F.md5(red).alias("redacted_hash"),
     )
+
+
+def unigram_lm_logprobs(
+    documents: DataFrame,
+    vocab_size: int = 4096,
+    alpha: float = 1.0,
+    text_col: str = "text",
+) -> tuple[DataFrame, F.Column]:
+    """Corpus-trained add-alpha unigram LM: (lexicon(token, logp), oov_logp
+    literal).  The lexicon is the top-`vocab_size` tokens by (count DESC,
+    token ASC); every out-of-vocabulary token scores as a single OOV type.
+
+    p(t) = (c_t + alpha) / (N + alpha * (V + 1)) with N = total corpus
+    tokens and V = lexicon size; the +1 is the OOV type, which gets
+    p(OOV) = alpha / (N + alpha * (V + 1)).  The top-k is
+    orderBy().limit() — Spark's TakeOrderedAndProject, i.e. map-side
+    partial top-k then one bounded reduce; no global window task."""
+    toks = documents.select(F.explode(_tokens(text_col)).alias("t"))
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n_total = counts.agg(F.sum("c")).collect()[0][0] or 0
+    lex = (
+        counts.orderBy(F.desc("c"), F.asc("t"))
+        .limit(vocab_size)
+        .persist()
+    )
+    v = lex.count()
+    denom = float(n_total) + alpha * (v + 1)
+    lexicon = lex.select(
+        F.col("t").alias("token"),
+        F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp"),
+    )
+    import math
+
+    return lexicon, F.lit(math.log(alpha / denom))
+
+
+def lm_perplexity(
+    documents: DataFrame,
+    vocab_size: int = 4096,
+    alpha: float = 1.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020 §3.2 — there a
+    KenLM 5-gram; here the corpus-trained unigram analog, same pipeline
+    seat: score every doc, filter/stratify on perplexity downstream).
+
+    (doc_id, n_tokens, cross_entropy, perplexity): ce = -mean logp under
+    the add-alpha unigram LM, ppl = exp(ce), both rounded to 6dp.
+
+    100 TB shape: the lexicon is BROADCAST (bounded at `vocab_size` rows by
+    construction) so the corpus never shuffles on token — hot tokens like
+    'the' cost nothing; the only exchange is the groupBy(doc_id)
+    re-assembly of exploded tokens, partial-aggregated map-side.  Training
+    pass is one partially-aggregated count shuffle + a bounded top-k."""
+    lexicon, oov_logp = unigram_lm_logprobs(
+        documents, vocab_size, alpha, text_col
+    )
+    tok = documents.select(
+        "doc_id", F.explode(_tokens(text_col)).alias("token")
+    )
+    scored = tok.join(F.broadcast(lexicon), "token", "left").withColumn(
+        "_lp", F.coalesce("logp", oov_logp)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(-F.avg("_lp"), 6).alias("cross_entropy"),
+        F.round(F.exp(-F.avg("_lp")), 6).alias("perplexity"),
+    )

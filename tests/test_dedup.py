@@ -187,3 +187,58 @@ def test_contaminated_docs_flags_benchmark_shadows(spark, docs_dup):
         assert b + 100000 in flagged, f"shadow of {b} not flagged"
     # a contaminated doc hits at least one benchmark doc
     assert out.where("n_bench_docs < 1 OR n_hit_grams < 1").count() == 0
+
+
+def test_segment_dedup_token_windows(spark):
+    """Boilerplate windows shared across docs are removed from EVERY doc;
+    survivors reassemble in order; window size honors seg_tokens."""
+    from berkeley_entity_spark.operators.dedup import segment_dedup
+
+    boiler = "cookie banner text here"  # 4 tokens = one full segment
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique alpha one x"),
+            (2, boiler + " unique beta two yy"),
+            (3, "totally different content z"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in segment_dedup(docs, min_dup_docs=2, seg_tokens=4).collect()
+    }
+    assert out[1].n_segs == 2 and out[1].n_removed == 1
+    assert out[1].text_clean == "unique alpha one x"
+    assert out[2].text_clean == "unique beta two yy"
+    assert out[3].n_removed == 0
+    assert out[3].text_clean == "totally different content z"
+
+
+def test_segment_dedup_delim_mode_and_all_removed(spark):
+    from berkeley_entity_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "menu\nbody one"), (2, "menu\nbody two"), (3, "menu")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in segment_dedup(docs, min_dup_docs=2, delim="\n").collect()
+    }
+    assert out[1].text_clean == "body one"
+    assert out[3].n_segs == 1 and out[3].n_removed == 1
+    assert out[3].text_clean == ""  # fully-boilerplate doc -> empty, kept
+
+
+def test_segment_dedup_partitioning_invariant(spark):
+    from berkeley_entity_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"shared head tokens run {'u' * (i % 3 + 1)} tail {i}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, segment_dedup(docs, seg_tokens=4).collect()))
+    b = sorted(
+        map(tuple, segment_dedup(docs.repartition(13), seg_tokens=4).collect())
+    )
+    assert a == b

@@ -162,3 +162,30 @@ def test_repetition_stats_hand_cases(spark):
     # trigram "x y z" occurs twice -> 2 trigrams * 3 tokens / 7
     assert r3["rep_trigram_frac"] == round(6 / 7, 6)
     assert r3["top_bigram_frac"] == round(2 * 2 / 7, 6)
+
+
+def test_lm_perplexity_hand_computed(spark):
+    """Tiny corpus vs a numpy re-derivation: lexicon top-k tie order
+    (count DESC, token ASC), add-alpha smoothing, OOV fallback."""
+    import math
+
+    from berkeley_entity_spark.operators.textstats import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b b rare")], ["doc_id", "text"]
+    )
+    # counts: a=3, b=3, c=1, rare=1; vocab_size=3 keeps a, b, c (tie c<rare)
+    out = {r.doc_id: r for r in lm_perplexity(docs, vocab_size=3).collect()}
+    n, v = 8.0, 3.0
+    lp = {
+        "a": math.log((3 + 1) / (n + v + 1)),
+        "b": math.log((3 + 1) / (n + v + 1)),
+        "c": math.log((1 + 1) / (n + v + 1)),
+    }
+    oov = math.log(1 / (n + v + 1))
+    ce1 = -(2 * lp["a"] + lp["b"] + lp["c"]) / 4
+    ce2 = -(lp["a"] + 2 * lp["b"] + oov) / 4
+    assert abs(out[1].cross_entropy - round(ce1, 6)) < 1e-9
+    assert abs(out[2].cross_entropy - round(ce2, 6)) < 1e-9
+    assert abs(out[2].perplexity - round(math.exp(ce2), 6)) < 1e-6
+    assert out[1].n_tokens == 4 and out[2].n_tokens == 4
