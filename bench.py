@@ -46,6 +46,7 @@ HEADLINE = [
     "q_er_clusters",
     # new in round 4 (subtract it when comparing headline totals to r3)
     "q_substring_dup",
+    "q_segment_dedup",
 ]
 
 
