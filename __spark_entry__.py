@@ -541,6 +541,41 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward-inclusive as-of join (point-in-time lookup — the operator
+    Spark lacks and DuckDB/kdb/Pandas ship natively): for every 'click'
+    event, the most recent 'view' by the same user at or before the click.
+    Union + ordered-window formulation — one shuffle on the key, linear
+    scan per key, no range-join blow-up; asof_join(bucket_ms=...) is the
+    hot-key scale path (per-(key, time-bucket) windows + a bounded
+    carry-forward table), equivalence-tested in tests/test_temporal.py.
+    The DuckDB oracle is the REAL native ASOF LEFT JOIN, so the semantics
+    (inclusive backward, left-outer, per-key) are checked against an
+    independent first-class implementation."""
+    from berkeley_entity_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    probes = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    quotes = e.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    r = asof_join(probes, quotes, on="user_id", ts_col="ts")
+    return r.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "value",
+        F.unix_millis("q_ts").alias("q_ts_ms"),
+        "q_event_id",
+        "q_value",
+        (F.unix_millis("ts") - F.unix_millis("q_ts")).alias("gap_ms"),
+    )
+
+
 def q_er_pipeline(spark, sf_dir):
     """The FULL ER pipeline (trained 12-feature model, all blocking passes)
     on a deterministic synthetic web corpus: extract -> block -> score ->
@@ -1500,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_redact": q_pii_redact,
         "q_event_hourly": q_event_hourly,
         "q_sessionize": q_sessionize,
+        "q_asof_join": q_asof_join,
         "q_bcubed": q_bcubed,
         "q_ceafe": q_ceafe,
         "q_mention_props": q_mention_props,
@@ -3182,6 +3218,23 @@ WHERE rn <= 25
                   FROM g)
             SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, session_id
+        """,
+        # The oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent
+        # first-class implementation of the operator, not a SQL replay of
+        # our plan.  (user_id, ts) is unique on the quote side in every sf
+        # dir, so the operator's tie-collapse step is the identity here;
+        # tie semantics are unit-tested in tests/test_temporal.py.
+        "q_asof_join": """
+            SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, p.value,
+                   epoch_ms(q.ts) AS q_ts_ms, q.event_id AS q_event_id,
+                   q.value AS q_value,
+                   epoch_ms(p.ts) - epoch_ms(q.ts) AS gap_ms
+            FROM (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'click') p
+            ASOF LEFT JOIN
+                 (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'view') q
+              ON p.user_id = q.user_id AND p.ts >= q.ts
         """,
     }
     out["q_er_clusters"] = _er_clusters_oracle()
