@@ -576,6 +576,23 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): hashed n-gram (unigram +
+    bigram, md5 -> 1024 buckets) bag models over a target slice
+    (doc_id % 13 = 0) and the raw corpus; every doc scored with
+    log w = sum c_b * (ln p_target[b] - ln p_raw[b]) (add-1 smoothing);
+    deterministic top-100 by (rounded logw DESC, doc_id) via
+    TakeOrderedAndProject.  The log-ratio table is bounded at 1024 rows
+    and BROADCAST, so the corpus-sized pass never shuffles on gram; the
+    DuckDB oracle replays hashing, both model fits, the weight sum, and
+    the selection end-to-end."""
+    from berkeley_entity_spark.operators.selection import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 13 == 0)
+    return dsir_select(docs, target, k=100, n_buckets=1024, alpha=1.0)
+
+
 def q_er_pipeline(spark, sf_dir):
     """The FULL ER pipeline (trained 12-feature model, all blocking passes)
     on a deterministic synthetic web corpus: extract -> block -> score ->
@@ -1536,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_hourly": q_event_hourly,
         "q_sessionize": q_sessionize,
         "q_asof_join": q_asof_join,
+        "q_dsir_select": q_dsir_select,
         "q_bcubed": q_bcubed,
         "q_ceafe": q_ceafe,
         "q_mention_props": q_mention_props,
@@ -3236,6 +3254,34 @@ WHERE rn <= 25
                   WHERE event_type = 'view') q
               ON p.user_id = q.user_id AND p.ts >= q.ts
         """,
+        # Full replay of q_dsir_select: gram hashing (identical md5-hex ->
+        # BIGINT buckets), both add-1 smoothed model fits, per-doc weight
+        # sum, and the (rounded logw DESC, doc_id) top-100.  target ⊆ raw,
+        # so rc LEFT JOIN tg covers the operator's full-outer exactly.
+        "q_dsir_select": f"""
+WITH tok AS (SELECT doc_id, {TOKQ} AS toks FROM documents),
+g AS (SELECT doc_id,
+             ('0x' || substr(md5(gr), 1, 15))::BIGINT % 1024 AS bucket
+      FROM (SELECT doc_id, unnest(list_concat(toks,
+              CASE WHEN len(toks) >= 2
+                   THEN list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i + 1])
+                   ELSE [] END)) AS gr
+            FROM tok)),
+tg AS (SELECT bucket, count(*) AS c FROM g WHERE doc_id % 13 = 0
+       GROUP BY bucket),
+rc AS (SELECT bucket, count(*) AS c FROM g GROUP BY bucket),
+nr AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM rc),
+nt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS n FROM tg),
+lr AS (SELECT rc.bucket,
+              ln((coalesce(tg.c, 0) + 1.0) / (nt.n + 1024.0))
+                - ln((rc.c + 1.0) / (nr.n + 1024.0)) AS logratio
+       FROM rc LEFT JOIN tg USING (bucket), nr, nt),
+w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             round(sum(logratio), 6) AS logw
+      FROM g JOIN lr USING (bucket) GROUP BY doc_id)
+SELECT doc_id, n_grams, logw FROM w ORDER BY logw DESC, doc_id LIMIT 100
+""",
     }
     out["q_er_clusters"] = _er_clusters_oracle()
     g = _golden_oracle(

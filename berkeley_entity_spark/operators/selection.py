@@ -1,0 +1,134 @@
+"""DSIR-style data selection: hashed n-gram importance resampling.
+
+Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling": fit bag-of-hashed-ngram unigram models over a TARGET corpus
+(the distribution you want more of) and the RAW corpus (what you have),
+score every raw document with log w = sum_k c_k * (ln p_target[k] -
+ln p_raw[k]) over its hashed-gram counts, and keep the top slice.  The
+paper adds Gumbel noise for sampling-without-replacement; this
+implementation is the deterministic variant (top-k by weight, doc_id
+tie-break) so the result is engine-reproducible and SQL-oracle-able —
+callers wanting the sampled variant can add the noise column upstream.
+
+100 TB shape:
+
+* Gram -> bucket hashing is whole-stage codegen (md5/conv arithmetic, no
+  Python) and engine-portable (the DuckDB oracle computes the identical
+  bucket ids via ('0x' || hex)::BIGINT).
+* Both bucket-count model fits are single partially-aggregated groupBys
+  bounded at `n_buckets` rows; the log-ratio table (<= n_buckets rows) is
+  BROADCAST, so the scoring pass never shuffles on gram/bucket — hot
+  n-grams ("the", boilerplate bigrams) cost nothing.
+* The only corpus-sized exchange is the groupBy(doc_id) weight sum
+  (map-side partial agg).  Top-k selection is orderBy().limit() —
+  Spark's TakeOrderedAndProject: per-partition top-k then ONE bounded
+  reduce; no global sort, no single-task window.
+* Selection orders by the ROUNDED (6dp) weight with a doc_id tie-break:
+  float sums are ulp-order-dependent across engines, so ordering on the
+  rounded value is what makes the top-k deterministic and oracle-exact.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from berkeley_entity_spark.operators.dedup import tokens_col
+
+
+def hashed_gram_buckets(
+    documents: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, bucket) — one row per unigram AND word-bigram occurrence,
+    hashed into `n_buckets` via the first 15 hex chars of md5 (60 bits —
+    exact in a signed BIGINT in both Spark and DuckDB)."""
+    toks = tokens_col(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.slice(toks, 1, F.size(toks) - 1),
+            lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + F.lit(2))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, bigrams)
+    return documents.select(
+        "doc_id", F.explode(grams).alias("g")
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+
+
+def dsir_logratio_table(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """(bucket, logratio) with logratio = ln p_target[b] - ln p_raw[b],
+    both add-alpha smoothed over the full bucket space:
+    p[b] = (c_b + alpha) / (N + alpha * n_buckets).  Covers every bucket
+    seen in EITHER corpus (full outer join + zero-coalesce); buckets seen
+    in neither never appear in a scored doc drawn from `raw`."""
+    def counts(df):
+        return hashed_gram_buckets(df, n_buckets, text_col).groupBy(
+            "bucket"
+        ).agg(F.count(F.lit(1)).alias("c"))
+
+    rc = counts(raw).withColumnRenamed("c", "c_raw")
+    tc = counts(target).withColumnRenamed("c", "c_tgt")
+    n_raw, n_tgt = (
+        rc.agg(F.sum("c_raw")).collect()[0][0] or 0,
+        tc.agg(F.sum("c_tgt")).collect()[0][0] or 0,
+    )
+    denom_raw = float(n_raw) + alpha * n_buckets
+    denom_tgt = float(n_tgt) + alpha * n_buckets
+    j = rc.join(tc, "bucket", "full_outer").select(
+        "bucket",
+        (
+            F.log((F.coalesce("c_tgt", F.lit(0)) + F.lit(alpha)) / F.lit(denom_tgt))
+            - F.log((F.coalesce("c_raw", F.lit(0)) + F.lit(alpha)) / F.lit(denom_raw))
+        ).alias("logratio"),
+    )
+    return j
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, logw) for every raw doc with >= 1 gram; logw
+    rounded to 6dp (see module docstring for why selection uses the
+    rounded value)."""
+    lr = dsir_logratio_table(raw, target, n_buckets, alpha, text_col)
+    g = hashed_gram_buckets(raw, n_buckets, text_col)
+    return (
+        g.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("logratio"), 6).alias("logw"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k raw docs by importance weight (logw DESC, doc_id ASC) —
+    TakeOrderedAndProject, so no global sort or single-task window."""
+    w = dsir_weights(raw, target, n_buckets, alpha, text_col)
+    return w.orderBy(F.desc("logw"), F.asc("doc_id")).limit(k)
