@@ -576,6 +576,26 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter benchmark decontamination (the BFF / Dolma-deduper
+    shape) — the ZERO-SHUFFLE scale path beside q_decontaminate's exact
+    join: the benchmark's 13-gram Bloom filter (2^18 bits, 3 hashes) is
+    broadcast as a 32 KiB bitset and the dup-injected training corpus is
+    scanned in one Arrow kernel, no corpus-side join or shuffle at all.
+    Deterministic false positives included by construction; the DuckDB
+    oracle replays the identical md5 double-hash bit arithmetic and the
+    all-k-bits membership test."""
+    from berkeley_entity_spark.operators.dedup import bloom_contaminated_docs
+
+    train = _docs_with_dups(spark, sf_dir)
+    bench = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 97 == 0
+    ).select("doc_id", "text")
+    return bloom_contaminated_docs(
+        train, bench, k=13, m_bits=1 << 18, k_hashes=3
+    )
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR data selection (Xie et al. 2023): hashed n-gram (unigram +
     bigram, md5 -> 1024 buckets) bag models over a target slice
@@ -1554,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_asof_join": q_asof_join,
         "q_dsir_select": q_dsir_select,
+        "q_bloom_decontaminate": q_bloom_decontaminate,
         "q_bcubed": q_bcubed,
         "q_ceafe": q_ceafe,
         "q_mention_props": q_mention_props,
@@ -2623,6 +2644,40 @@ GROUP BY doc_id
 """
 
 
+def _bloom_decontaminate_oracle(
+    k: int = 13, m_bits: int = 1 << 18, k_hashes: int = 3
+) -> str:
+    """SQL replay of q_bloom_decontaminate: the benchmark's Bloom bitset
+    as a DISTINCT bit-position set (bit_j = ('0x' || md5(gh || '#' || j)
+    hex)::BIGINT % m — identical arithmetic to the Spark build AND the
+    Arrow test kernel), then per training gram position require ALL
+    k_hashes bits present (false positives included, deterministically)."""
+    gram = f"md5(array_to_string(list_slice(toks, i, i + {k - 1}), ' '))"
+    bit = f"('0x' || substr(md5(gh || '#' || j), 1, 15))::BIGINT % {m_bits}"
+    return f"""
+WITH docs AS ({_DOCS_DUP_SQL}),
+js AS (SELECT unnest(generate_series(0, {k_hashes - 1})) AS j),
+btok AS (SELECT {TOKQ} AS toks FROM documents WHERE doc_id % 97 = 0),
+bg AS (SELECT DISTINCT {gram} AS gh
+       FROM (SELECT toks, unnest(generate_series(1, len(toks) - {k - 1})) AS i
+             FROM btok WHERE len(toks) >= {k})),
+bits AS (SELECT DISTINCT {bit} AS bit FROM bg, js),
+ttok AS (SELECT doc_id, {TOKQ} AS toks FROM docs),
+tg AS (SELECT doc_id, i, {gram} AS gh
+       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {k - 1})) AS i
+             FROM ttok WHERE len(toks) >= {k})),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tg
+        GROUP BY doc_id),
+tp AS (SELECT doc_id, i, {bit} AS bit FROM tg, js),
+hits AS (SELECT tp.doc_id, tp.i FROM tp LEFT JOIN bits b ON tp.bit = b.bit
+         GROUP BY tp.doc_id, tp.i
+         HAVING count(*) FILTER (WHERE b.bit IS NOT NULL) = {k_hashes})
+SELECT h.doc_id, t.n_grams, CAST(count(*) AS BIGINT) AS n_maybe_grams
+FROM hits h JOIN tot t ON t.doc_id = h.doc_id
+GROUP BY h.doc_id, t.n_grams
+"""
+
+
 def _ngram_jaccard_oracle(n: int = 3, threshold: float = 0.9, max_df: int = 500) -> str:
     return f"""
 WITH docs AS ({_DOCS_DUP_SQL}),
@@ -3033,6 +3088,7 @@ FROM sym GROUP BY w1, wn
         "q_substring_dup": _substring_dup_oracle(),
         "q_dedup_keep_one": _keep_one_oracle(),
         "q_decontaminate": _decontaminate_oracle(),
+        "q_bloom_decontaminate": _bloom_decontaminate_oracle(),
         "q_repetition_stats": _REPETITION_ORACLE,
         "q_url_normalize": _URL_NORMALIZE_ORACLE,
         "q_domain_stats": _DOMAIN_STATS_ORACLE,

@@ -614,3 +614,116 @@ def segment_dedup(
             F.transform(kept_sorted, lambda x: x["seg"]), " "
         ).alias("text_clean"),
     )
+
+
+def bloom_benchmark_bits(
+    benchmark: DataFrame,
+    k: int = 13,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """The set bits of a Bloom filter over the benchmark's k-token grams:
+    bit_j(gram) = conv(md5(md5_hex(gram) || '#' || j)[:15], 16) % m_bits.
+    Double-hashing the gram's md5 HEX keeps build (codegen), test kernel
+    (hashlib), and the DuckDB oracle on one identical expression.  Output
+    is DISTINCT bit positions — bounded at m_bits rows no matter how big
+    the benchmark is."""
+    g = kgram_positions(benchmark, k, text_col).select("gram_h").distinct()
+    bit_cols = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", "gram_h", F.lit(str(j)))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        ).alias("bit")
+        for j in range(k_hashes)
+    ]
+    return g.select(F.explode(F.array(*bit_cols)).alias("bit")).distinct()
+
+
+def bloom_contaminated_docs(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the BFF / Dolma-deduper
+    shape (Soldaini et al. 2024; Groeneveld's bff): the benchmark's k-gram
+    Bloom filter is a fixed m-bit array BROADCAST to every executor, and
+    the training corpus is scanned with ZERO shuffle and ZERO join — each
+    doc tests its grams against the bitset in an Arrow kernel.  This is
+    the scale path next to the exact join in `contaminated_docs`: at
+    100 TB the corpus-side cost is one embarrassingly-parallel scan, and
+    the only aggregated state is m_bits/8 bytes (32 KiB at the default),
+    independent of benchmark size.
+
+    False positives are inherent to the structure (rate ~ fill_ratio **
+    k_hashes) but DETERMINISTIC given (m_bits, k_hashes) — both engines
+    compute the identical bit arithmetic, so the DuckDB oracle replays
+    membership bit-for-bit.
+
+    The filter is built distributed (codegen md5 arithmetic, DISTINCT bit
+    positions <= m_bits rows) and collected once — a bounded, disclosed
+    driver materialization like the IVF trainer sample.
+
+    Output: (doc_id, n_grams, n_maybe_grams) for every training doc with
+    >= 1 Bloom-positive gram."""
+    import hashlib
+
+    bits_rows = bloom_benchmark_bits(
+        benchmark, k, m_bits, k_hashes, text_col
+    ).collect()
+    bitset = np.zeros(m_bits // 8, dtype=np.uint8)
+    for r in bits_rows:
+        b = int(r.bit)
+        bitset[b >> 3] |= np.uint8(1 << (b & 7))
+    spark = documents.sparkSession
+    bc = spark.sparkContext.broadcast(bitset.tobytes())
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bs = np.frombuffer(bc.value, dtype=np.uint8)
+
+        def test(pos: int) -> bool:
+            return bool(bs[pos >> 3] & (1 << (pos & 7)))
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_grams": [], "n_maybe_grams": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = [t for t in (text or "").split(" ") if t]
+                n_grams = max(0, len(toks) - k + 1)
+                if n_grams == 0:
+                    continue
+                n_maybe = 0
+                for i in range(n_grams):
+                    gh = hashlib.md5(
+                        " ".join(toks[i : i + k]).encode()
+                    ).hexdigest()
+                    if all(
+                        test(
+                            int(
+                                hashlib.md5(f"{gh}#{j}".encode()).hexdigest()[
+                                    :15
+                                ],
+                                16,
+                            )
+                            % m_bits
+                        )
+                        for j in range(k_hashes)
+                    ):
+                        n_maybe += 1
+                if n_maybe:
+                    out["doc_id"].append(doc_id)
+                    out["n_grams"].append(n_grams)
+                    out["n_maybe_grams"].append(n_maybe)
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", text_col).mapInPandas(
+        gen, "doc_id long, n_grams long, n_maybe_grams long"
+    )
