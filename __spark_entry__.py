@@ -576,6 +576,22 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup in embedding space —
+    rank-1 coarse-cluster assignment (shared with the IVF quantizer),
+    pairwise cosine confined WITHIN clusters (bounded numpy cells, the
+    paper's own scale shape), eps-components, and per-group keep-one of
+    the LEAST prototypical member (min cosine-to-centroid, vec_id
+    tie-break).  eps=0.35 so the driver corpus produces real duplicate
+    groups; the DuckDB oracle replays assignment, pair graph,
+    recursive-CTE components, and the representative rule end-to-end."""
+    from berkeley_entity_spark.operators.similarity import semdedup
+
+    return semdedup(
+        _t(spark, sf_dir, "embeddings"), eps=0.35, n_centroids=8
+    )
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-filter benchmark decontamination (the BFF / Dolma-deduper
     shape) — the ZERO-SHUFFLE scale path beside q_decontaminate's exact
@@ -1575,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_dsir_select": q_dsir_select,
         "q_bloom_decontaminate": q_bloom_decontaminate,
+        "q_semdedup": q_semdedup,
         "q_bcubed": q_bcubed,
         "q_ceafe": q_ceafe,
         "q_mention_props": q_mention_props,
@@ -2415,17 +2432,7 @@ def _ann_ivf_oracle(
     assignment/probing = row_number over (dot desc, cid asc) — exactly the
     kernel's stable argsort tie rule; candidates are an equi-join of probes
     against rank-1 assignments; re-rank is exact cosine."""
-    import numpy as np
-
-    C = np.random.RandomState(seed).standard_normal((n_centroids, dim))
-    rows = ",\n  ".join(
-        "("
-        + str(c)
-        + ", ["
-        + ", ".join(f"CAST('{float(C[c, d])!r}' AS DOUBLE)" for d in range(dim))
-        + "])"
-        for c in range(n_centroids)
-    )
+    rows = _centroid_values_sql(n_centroids, dim, seed)
     return f"""
 WITH e AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2451,6 +2458,69 @@ r AS (SELECT query_id, neighbor_id,
       JOIN e eb ON eb.vec_id = cand.neighbor_id)
 SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
 FROM r WHERE rank <= {k}
+"""
+
+
+def _centroid_values_sql(n_centroids: int, dim: int, seed: int) -> str:
+    """The seeded anchor matrix as exact double literals (shared by the
+    IVF and SemDeDup oracles)."""
+    import numpy as np
+
+    C = np.random.RandomState(seed).standard_normal((n_centroids, dim))
+    return ",\n  ".join(
+        "("
+        + str(c)
+        + ", ["
+        + ", ".join(f"CAST('{float(C[c, d])!r}' AS DOUBLE)" for d in range(dim))
+        + "])"
+        for c in range(n_centroids)
+    )
+
+
+def _semdedup_oracle(
+    eps: float = 0.35, n_centroids: int = 8, dim: int = 64, seed: int = 11
+) -> str:
+    """SQL replay of q_semdedup: rank-1 cluster assignment (IVF oracle's
+    window rule), intra-cluster cosine pairs >= eps, recursive-CTE
+    components (min-id root), representative = min (exact cos_c, vec_id)
+    per component — the kernel's lexsort rule verbatim."""
+    return f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+c(cid, cv) AS (VALUES {_centroid_values_sql(n_centroids, dim, seed)}),
+dots AS (SELECT e.vec_id, c.cid, list_inner_product(e.v, c.cv) AS ip
+         FROM e CROSS JOIN c),
+pr AS (SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ip DESC, cid ASC) AS rn
+       FROM dots),
+asg AS (SELECT p.vec_id, p.cid, list_cosine_similarity(e.v, c.cv) AS cos_c
+        FROM pr p JOIN e ON e.vec_id = p.vec_id JOIN c ON c.cid = p.cid
+        WHERE p.rn = 1),
+pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+          FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN e ea ON ea.vec_id = a.vec_id
+          JOIN e eb ON eb.vec_id = b.vec_id
+          WHERE list_cosine_similarity(ea.v, eb.v) >= {eps}),
+sym AS (SELECT ia AS a, ib AS b FROM pairs
+        UNION ALL SELECT ib, ia FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+walk(node, src) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT s.b, walk.src FROM walk JOIN sym s ON s.a = walk.node),
+comp AS (SELECT node, min(src) AS root FROM walk GROUP BY node),
+lab AS (SELECT asg.vec_id, asg.cid, asg.cos_c,
+               COALESCE(comp.root, asg.vec_id) AS root
+        FROM asg LEFT JOIN comp ON comp.node = asg.vec_id),
+rep AS (SELECT root, vec_id AS keep_id,
+               row_number() OVER (PARTITION BY root
+                                  ORDER BY cos_c ASC, vec_id ASC) AS rn
+        FROM lab)
+SELECT l.vec_id, CAST(l.cid AS INTEGER) AS cid, round(l.cos_c, 4) AS cos_c,
+       r.keep_id, r.keep_id = l.vec_id AS kept
+FROM lab l JOIN rep r ON r.root = l.root AND r.rn = 1
 """
 
 
@@ -3093,6 +3163,7 @@ FROM sym GROUP BY w1, wn
         "q_url_normalize": _URL_NORMALIZE_ORACLE,
         "q_domain_stats": _DOMAIN_STATS_ORACLE,
         "q_ann_ivf": _ann_ivf_oracle(),
+        "q_semdedup": _semdedup_oracle(),
         "q_er_mentions": _er_mentions_oracle(),
         "q_joint_degenerate": _joint_degenerate_oracle(),
         "q_joint_pair": _joint_pair_oracle(),

@@ -562,3 +562,92 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    eps: float = 0.95,
+    n_centroids: int = 8,
+    dim: int = 64,
+    seed: int = 11,
+    centroids: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): semantic near-dup removal
+    in embedding space — coarse-cluster the corpus, compute pairwise
+    cosine WITHIN each cluster only, connect pairs >= eps into duplicate
+    groups, and keep one representative per group.  The paper keeps the
+    member with the LOWEST cosine to its cluster centroid (the least
+    prototypical example preserves diversity); ties break on vec_id.
+
+    100 TB shape (the paper's own): the quadratic pairwise work is
+    confined to one cluster at a time — with n_centroids ~ n / 10^4 every
+    cluster cell is a bounded numpy matmul, and clusters are
+    embarrassingly parallel Arrow groups.  One corpus scan assigns
+    clusters (ivf_probe_assignments rank-1, shared with IVF); one shuffle
+    groups members by cluster; nothing global is quadratic.
+
+    Same disclosed oracle risk class as q_ann_ivf: assignment, the eps
+    threshold, and the min-cos representative compare raw float dots, so
+    a near-tie below the engines' summation-order gap could diverge; no
+    such near-tie exists in the gate corpora.
+
+    Output: (vec_id, cid, cos_c, keep_id, kept) for EVERY vector —
+    singletons keep themselves; cos_c is the cosine to the assigned
+    centroid, rounded 4dp for display (decisions use the exact value)."""
+    C = (
+        centroids
+        if centroids is not None
+        else ivf_anchor_matrix(n_centroids, dim, seed)
+    ).astype(np.float64)
+    Cu = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    asg = ivf_probe_assignments(embeddings, C, 1, vec_col=vec_col, id_col=id_col)
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec")
+    )
+    members = asg.join(base, "vec_id").select("vec_id", "cid", "_vec")
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        cid = int(pdf["cid"].iloc[0])
+        X = np.stack(pdf["_vec"].map(np.asarray).to_list()).astype(np.float64)
+        U = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        cos_c = U @ Cu[cid]
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        S = U @ U.T
+        ii, jj = np.where(np.triu(S >= eps, k=1))
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(n)])
+        ids = pdf["vec_id"].to_numpy()
+        keep = np.empty(n, dtype=np.int64)
+        for r in np.unique(roots):
+            m = np.where(roots == r)[0]
+            # least-prototypical representative: min (cos_c, vec_id)
+            best = m[np.lexsort((ids[m], cos_c[m]))[0]]
+            keep[m] = ids[best]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cid": np.full(n, cid, dtype=np.int32),
+                "cos_c": np.round(cos_c, 4),
+                "keep_id": keep,
+                "kept": keep == ids,
+            }
+        )
+
+    return members.groupBy("cid").applyInPandas(
+        cell, schema="vec_id long, cid int, cos_c double, keep_id long, kept boolean"
+    )
