@@ -576,6 +576,87 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_domain_mix(spark, sf_dir):
+    """Temperature-scaled domain mixing weights (Conneau & Lample 2019
+    eq. 2 — the alpha-multinomial used for Pile/LLaMA-style data mixes):
+    per `source` token share p_d, w_d = p_d^0.3 / sum p^0.3, and the
+    epochs-per-domain boost w_d / p_d.  One bounded groupBy + a single-row
+    cross join; the DuckDB oracle replays the arithmetic."""
+    from berkeley_entity_spark.operators.selection import domain_mixture
+
+    return domain_mixture(_t(spark, sf_dir, "documents"), alpha=0.3)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: concatenate all docs in doc_id order
+    and cut into 64-token training chunks, docs crossing boundaries.  The
+    global prefix sum runs as the two-phase decomposition (per-id-block
+    cumsum + a one-row-per-block carry table) so no task ever windows the
+    corpus; the DuckDB oracle IS the naive single-window formulation —
+    prefix sums are associative, so the two must agree exactly."""
+    from berkeley_entity_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=64, bucket_size=100
+    )
+
+
+def q_c4_clean(spark, sf_dir):
+    """The C4 cleaning ruleset (Raffel et al. 2020 §2.2) over a
+    deterministically WEBIFIED corpus (the synthetic docs have no lines or
+    punctuation, so the query derives them — the q_pii_redact injection
+    precedent): 6-token lines, md5-derived decorations (1-in-7 truncated
+    short, 1-in-11 'javascript'-prefixed, 1-in-4 missing terminal
+    punctuation, else ./!/?), plus doc_id-derived page-level poison
+    ('lorem ipsum', '{', a badword line).  Both engines build the same
+    page text and replay the same line- and page-level rules; the filter
+    itself is zero-shuffle codegen."""
+    from berkeley_entity_spark.operators.dedup import doc_segments
+    from berkeley_entity_spark.operators.textstats import c4_clean
+
+    docs = _t(spark, sf_dir, "documents")
+    segs = doc_segments(docs, seg_tokens=6)
+    h = F.conv(F.substring(F.md5("seg"), 1, 15), 16, 10).cast("long")
+    toks = F.filter(F.split(F.col("seg"), " "), lambda t: t != "")
+    seg2 = F.when(
+        h % 7 == 0, F.array_join(F.slice(toks, 1, 3), " ")
+    ).otherwise(F.col("seg"))
+    seg3 = F.when(h % 11 == 0, F.concat(F.lit("javascript "), seg2)).otherwise(
+        seg2
+    )
+    term = F.element_at(
+        F.array(F.lit("."), F.lit("!"), F.lit("?")), (h % 3 + 1).cast("int")
+    )
+    line = F.when(h % 4 == 0, seg3).otherwise(F.concat(seg3, term))
+    body = (
+        segs.select("doc_id", "seg_idx", line.alias("line"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "line"))),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("body")
+        )
+    )
+    e1 = F.when(
+        F.col("doc_id") % 23 == 0, F.lit("\nlorem ipsum dolor sit amet.")
+    ).otherwise(F.lit(""))
+    e2 = F.when(
+        F.col("doc_id") % 29 == 0, F.lit("\nvar config = { x: 1 };")
+    ).otherwise(F.lit(""))
+    e3 = F.when(
+        F.col("doc_id") % 31 == 0,
+        F.lit("\nthis page contains badword1 sadly today."),
+    ).otherwise(F.lit(""))
+    pages = body.select(
+        "doc_id", F.concat("body", e1, e2, e3).alias("text")
+    )
+    return c4_clean(pages, min_words=5, min_lines=3)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic dedup in embedding space —
     rank-1 coarse-cluster assignment (shared with the IVF quantizer),
@@ -1592,6 +1673,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_select": q_dsir_select,
         "q_bloom_decontaminate": q_bloom_decontaminate,
         "q_semdedup": q_semdedup,
+        "q_domain_mix": q_domain_mix,
+        "q_pack_sequences": q_pack_sequences,
+        "q_c4_clean": q_c4_clean,
         "q_bcubed": q_bcubed,
         "q_ceafe": q_ceafe,
         "q_mention_props": q_mention_props,
@@ -3408,6 +3492,102 @@ w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
              round(sum(logratio), 6) AS logw
       FROM g JOIN lr USING (bucket) GROUP BY doc_id)
 SELECT doc_id, n_grams, logw FROM w ORDER BY logw DESC, doc_id LIMIT 100
+""",
+        "q_domain_mix": f"""
+WITH per AS (SELECT source AS domain,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(len({TOKQ})) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t,
+               sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS z
+        FROM per)
+SELECT domain, n_docs, n_tokens,
+       round(n_tokens / t, 6) AS p_raw,
+       round(pow(CAST(n_tokens AS DOUBLE), 0.3) / z, 6) AS weight,
+       round(pow(CAST(n_tokens AS DOUBLE), 0.3) / z / (n_tokens / t), 6)
+         AS boost
+FROM per, tot
+""",
+        # the oracle is the NAIVE single-window prefix sum — the two-phase
+        # distributed decomposition must agree exactly (associativity)
+        "q_pack_sequences": f"""
+WITH tok AS (SELECT doc_id, CAST(len({TOKQ}) AS BIGINT) AS n FROM documents),
+nz AS (SELECT doc_id, n FROM tok WHERE n > 0),
+o AS (SELECT doc_id, n,
+             CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS BIGINT)
+               AS off
+      FROM nz),
+x AS (SELECT doc_id, n, off,
+             unnest(generate_series(off // 64, (off + n - 1) // 64))
+               AS chunk_id
+      FROM o)
+SELECT chunk_id, doc_id,
+       CAST(greatest(0, chunk_id * 64 - off) AS INTEGER) AS tok_start,
+       CAST(least(n, (chunk_id + 1) * 64 - off) AS INTEGER) AS tok_end,
+       CAST(off + greatest(0, chunk_id * 64 - off) - chunk_id * 64
+            AS INTEGER) AS chunk_off
+FROM x
+""",
+        "q_c4_clean": f"""
+WITH tok AS (SELECT doc_id, {TOKQ} AS toks FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS tkn, generate_subscripts(toks, 1) AS i
+      FROM tok WHERE len(toks) > 0),
+seg AS (SELECT doc_id, CAST(floor((i - 1) / 6) AS INTEGER) AS seg_idx,
+               string_agg(tkn, ' ' ORDER BY i) AS seg
+        FROM t GROUP BY doc_id, floor((i - 1) / 6)),
+d AS (SELECT doc_id, seg_idx, seg,
+             ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h
+      FROM seg),
+l3 AS (SELECT doc_id, seg_idx,
+              CASE WHEN h % 4 = 0 THEN s3
+                   ELSE s3 || (['.', '!', '?'])[(h % 3) + 1] END AS line
+       FROM (SELECT doc_id, seg_idx, h,
+                    CASE WHEN h % 11 = 0 THEN 'javascript ' || s2
+                         ELSE s2 END AS s3
+             FROM (SELECT doc_id, seg_idx, h,
+                          CASE WHEN h % 7 = 0
+                               THEN array_to_string(
+                                      list_slice(string_split(seg, ' '), 1, 3),
+                                      ' ')
+                               ELSE seg END AS s2
+                   FROM d))),
+body AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY seg_idx) AS body
+         FROM l3 GROUP BY doc_id),
+page AS (SELECT doc_id, body
+    || CASE WHEN doc_id % 23 = 0
+            THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+    || CASE WHEN doc_id % 29 = 0
+            THEN chr(10) || 'var config = {{ x: 1 }};' ELSE '' END
+    || CASE WHEN doc_id % 31 = 0
+            THEN chr(10) || 'this page contains badword1 sadly today.'
+            ELSE '' END AS text
+  FROM body),
+k AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+             list_filter(string_split(text, chr(10)),
+                         l -> regexp_matches(l, '[.!?"]$')
+                              AND len(list_filter(string_split(l, ' '),
+                                                  x -> x <> '')) >= 5
+                              AND NOT contains(lower(l), 'javascript'))
+               AS kept
+      FROM page),
+f AS (SELECT doc_id,
+             CAST(len(ls) AS INTEGER) AS n_lines,
+             CAST(len(kept) AS INTEGER) AS n_kept_lines,
+             (len(list_intersect(
+                    list_filter(regexp_split_to_array(lower(text), '[ \\n]'),
+                                x -> x <> ''),
+                    ['badword1', 'badword2'])) = 0
+              AND NOT contains(lower(text), 'lorem ipsum')
+              AND NOT contains(text, '{{')
+              AND len(kept) >= 3) AS page_kept,
+             kept
+      FROM k)
+SELECT doc_id, n_lines, n_kept_lines, page_kept,
+       CASE WHEN page_kept THEN array_to_string(kept, chr(10)) END
+         AS text_clean
+FROM f
 """,
     }
     out["q_er_clusters"] = _er_clusters_oracle()

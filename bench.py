@@ -47,6 +47,15 @@ HEADLINE = [
     # new in round 4 (subtract it when comparing headline totals to r3)
     "q_substring_dup",
     "q_segment_dedup",
+    # new in round 4, fourth session (subtract when comparing to earlier
+    # r4 runs).  q_bloom_decontaminate and q_domain_mix stay out: the
+    # former is hashlib-bound BY DESIGN (md5 keeps it oracle-exact; a
+    # production run swaps xxhash), the latter is a trivial bounded agg —
+    # both are gate-verified at sf0.01 instead.
+    "q_asof_join",
+    "q_dsir_select",
+    "q_semdedup",
+    "q_pack_sequences",
 ]
 
 

@@ -132,3 +132,52 @@ def dsir_select(
     TakeOrderedAndProject, so no global sort or single-task window."""
     w = dsir_weights(raw, target, n_buckets, alpha, text_col)
     return w.orderBy(F.desc("logw"), F.asc("doc_id")).limit(k)
+
+
+def domain_mixture(
+    documents: DataFrame,
+    alpha: float = 0.3,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled domain sampling weights — the multilingual /
+    multi-corpus mixing rule (Conneau & Lample 2019 eq. 2; the same
+    alpha-scaled multinomial used for The Pile / LLaMA data mixes):
+    p_d = tokens_d / total, w_d = p_d^alpha / sum_e p_e^alpha.  alpha < 1
+    up-weights small domains; `boost` = w_d / p_d is the effective
+    epochs-per-domain a sampler would apply.
+
+    One partially-aggregated groupBy(domain) — domain cardinality is tiny
+    next to the corpus, so the per-domain table stays driver-broadcast
+    size; the normalizing sums ride a single-row cross join, never a
+    second corpus pass.  Output rounded 6dp: (domain, n_docs, n_tokens,
+    p_raw, weight, boost)."""
+    per = documents.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col(text_col))).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_tot"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias(
+            "_zsum_raw"
+        ),
+    )
+    # p_d^alpha = (tokens_d / total)^alpha; the total^alpha factor cancels
+    # in the normalization, so sum over tokens_d^alpha is enough.
+    return per.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("p_raw"),
+        F.round(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+            / F.col("_zsum_raw"),
+            6,
+        ).alias("weight"),
+        F.round(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+            / F.col("_zsum_raw")
+            / (F.col("n_tokens") / F.col("_tot")),
+            6,
+        ).alias("boost"),
+    )

@@ -368,3 +368,53 @@ def lm_perplexity(
         F.round(-F.avg("_lp"), 6).alias("cross_entropy"),
         F.round(F.exp(-F.avg("_lp")), 6).alias("perplexity"),
     )
+
+
+def c4_clean(
+    pages: DataFrame,
+    min_words: int = 5,
+    min_lines: int = 3,
+    badwords: tuple[str, ...] = ("badword1", "badword2"),
+    text_col: str = "text",
+) -> DataFrame:
+    """The C4 cleaning ruleset (Raffel et al. 2020 §2.2 — the filters that
+    produced C4 from Common Crawl), as pure whole-stage-codegen column
+    expressions over newline-separated page text:
+
+    line level (only lines passing ALL are retained):
+      * ends in a terminal punctuation mark (. ! ? or closing quote),
+      * has at least `min_words` words,
+      * does not contain the word "javascript" (case-insensitive).
+    page level (page dropped entirely when ANY fires):
+      * fewer than `min_lines` retained lines,
+      * any bad word among the page's lowercase tokens,
+      * the phrase "lorem ipsum",
+      * a curly brace '{'.
+
+    Zero shuffle and zero Python — one narrow projection per page; at
+    100 TB this rides the parquet scan.  Output: (doc_id, n_lines,
+    n_kept_lines, page_kept, text_clean) with text_clean NULL for dropped
+    pages."""
+    lines = F.split(F.col(text_col), "\n")
+    line_ok = lambda l: (
+        l.rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(l, " "), lambda t: t != "")) >= min_words)
+        & ~F.lower(l).contains("javascript")
+    )
+    kept = F.filter(lines, line_ok)
+    low = F.lower(F.col(text_col))
+    bad_tok = F.arrays_overlap(
+        F.filter(F.split(low, "[ \n]"), lambda t: t != ""),
+        F.array(*[F.lit(b) for b in badwords]),
+    )
+    page_bad = (
+        bad_tok | low.contains("lorem ipsum") | F.col(text_col).contains("{")
+    )
+    page_kept = ~page_bad & (F.size(kept) >= min_lines)
+    return pages.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        page_kept.alias("page_kept"),
+        F.when(page_kept, F.array_join(kept, "\n")).alias("text_clean"),
+    )
