@@ -68,46 +68,20 @@ def _ng_joined(spans: DataFrame, ng: DataFrame, key: str, prefix: str) -> DataFr
     return out
 
 
-def with_number_gender(
-    mentions: DataFrame,
-    numgender: DataFrame,
-    person_expr: Column | None = None,
-    n_numgender: int | None = None,
-    span_col: str = "span",
-) -> DataFrame:
-    """Replace the number/gender columns of `mentions` with values computed
-    from the Bergsma-Lin-style count table `numgender(phrase, masc, fem,
-    neut, plur)` (phrase pre-sanitized).
-
-    person_expr: boolean Column over the mention row selecting PERSON
-    mentions (the reference gates on nerString == "PERSON",
-    Mention.scala:336); default uses the `ner` column when present, else no
-    mention takes the person path.
-    """
-    if person_expr is None:
-        person_expr = (
-            F.col("ner") == "PERSON" if "ner" in mentions.columns else F.lit(False)
-        )
+def _props_for(spans: DataFrame, numgender: DataFrame, span_col: str) -> DataFrame:
+    """Add `number`, `gender`, `_mtype` to a frame that carries `span_col` +
+    `_person` (either the full mention table — inline mode — or the distinct
+    (span, person) key table).  Drops its own temp columns; replaces any
+    pre-existing number/gender.  The property cascade is a pure function of
+    (span, _person), which is what makes the dedupe-first mode exact."""
     toks = F.split(F.col(span_col), " ")
-    # Keys computed directly on mention rows and resolved with three
-    # BROADCAST joins — zero shuffles.  (A distinct-spans pass + join-back
-    # would add two shuffles to save per-row work that is trivial for a
-    # JVM-side hash lookup; dedupe-first only pays off in front of Python
-    # kernels.  Measured: 18.8s -> ~2s on 469k mentions at local[16].)
     spans = (
-        mentions.withColumn("_person", person_expr)
-        .withColumn("_head_tok", F.element_at(toks, -1))
+        spans.withColumn("_head_tok", F.element_at(toks, -1))
         .withColumn("_prev_tok", F.when(F.size(toks) >= 2, F.element_at(toks, -2)))
         .withColumn("_phrase_key", sanitize(F.col(span_col)))
         .withColumn("_head_key", sanitize(F.col("_head_tok")))
         .withColumn("_first_key", sanitize(F.col("_prev_tok")))
     )
-    # no row-count hint -> count once (one cheap job) rather than force a
-    # broadcast: an unconditional F.broadcast would bypass the byte gate the
-    # module advertises and OOM on a large caller-supplied count table
-    if n_numgender is None:
-        n_numgender = numgender.count()
-    numgender = maybe_broadcast(numgender, n_numgender)
     spans = _ng_joined(spans, numgender, "_phrase_key", "p")
     spans = _ng_joined(spans, numgender, "_head_key", "h")
     spans = _ng_joined(spans, numgender, "_first_key", "f")
@@ -155,16 +129,85 @@ def with_number_gender(
     number = F.when(pronominal, pron_number_col(low_span)).otherwise(number_counts)
     gender = F.when(pronominal, pron_gender_col(low_span)).otherwise(gender_counts)
 
-    drop = [c for c in ("number", "gender") if c in mentions.columns]
-    temp = ["_person", "_head_tok", "_prev_tok", "_phrase_key", "_head_key",
+    drop = [c for c in ("number", "gender") if c in spans.columns]
+    temp = ["_head_tok", "_prev_tok", "_phrase_key", "_head_key",
             "_first_key"] + [f"{p}{c}" for p in "phf" for c in "mfnp"]
-    out = (
+    return (
         spans.drop(*drop)
         .withColumn("number", number)
         .withColumn("gender", gender)
+        # Mention.scala:304-314 type cascade (DEMONSTRATIVE/PRONOMINAL/PROPER)
+        .withColumn("_mtype", mention_type_col(F.col(span_col)))
         .drop(*temp)
     )
-    if "mtype" in out.columns:
-        # Mention.scala:304-314 type cascade (DEMONSTRATIVE/PRONOMINAL/PROPER)
-        out = out.withColumn("mtype", mention_type_col(F.col(span_col)))
-    return out
+
+
+def with_number_gender(
+    mentions: DataFrame,
+    numgender: DataFrame,
+    person_expr: Column | None = None,
+    n_numgender: int | None = None,
+    span_col: str = "span",
+    distinct_keys: bool = True,
+) -> DataFrame:
+    """Replace the number/gender columns of `mentions` with values computed
+    from the Bergsma-Lin-style count table `numgender(phrase, masc, fem,
+    neut, plur)` (phrase pre-sanitized).
+
+    person_expr: boolean Column over the mention row selecting PERSON
+    mentions (the reference gates on nerString == "PERSON",
+    Mention.scala:336); default uses the `ner` column when present, else no
+    mention takes the person path.
+
+    distinct_keys=True (default) evaluates the cascade once per DISTINCT
+    (span, person) key and joins the small property table back (broadcast
+    under the byte gate, shuffle join past it — AQE skew handling covers
+    hot surfaces).  The cascade is a ~30-regexp expression tree whose
+    shared subexpressions sit inside CASE branches, where codegen cannot
+    eliminate them — evaluating it per mention INSTANCE was measured at
+    ~95us/row and capped pipeline scaling (18.8M mentions / 7.5k surfaces
+    at 2.4M pages).  Web corpora repeat surfaces heavily, so dedupe-first
+    is the same decision as blocking.  distinct_keys=False keeps the
+    zero-shuffle inline form for near-unique-span callers."""
+    if person_expr is None:
+        person_expr = (
+            F.col("ner") == "PERSON" if "ner" in mentions.columns else F.lit(False)
+        )
+    # no row-count hint -> count once (one cheap job) rather than force a
+    # broadcast: an unconditional F.broadcast would bypass the byte gate the
+    # module advertises and OOM on a large caller-supplied count table
+    if n_numgender is None:
+        n_numgender = numgender.count()
+    numgender = maybe_broadcast(numgender, n_numgender)
+    base = mentions.withColumn("_person", person_expr)
+    ordered = [c for c in mentions.columns if c not in ("number", "gender")] + [
+        "number",
+        "gender",
+    ]
+    if not distinct_keys:
+        out = _props_for(base, numgender, span_col)
+        if "mtype" in mentions.columns:
+            out = out.drop("mtype").withColumnRenamed("_mtype", "mtype")
+        return out.drop("_mtype", "_person").select(*ordered)
+
+    keys = base.select(span_col, "_person").distinct()
+    props = _props_for(keys, numgender, span_col)
+    # the key table is bounded by the distinct-surface count, not the
+    # corpus; byte-gate its broadcast like any other dimension
+    props = maybe_broadcast(props, props.count())
+    names = (span_col, "_person", "number", "gender", "_mtype")
+    props = props.select([F.col(c).alias(f"_pr_{c}") for c in names])
+    cond = base[span_col].eqNullSafe(props[f"_pr_{span_col}"]) & base[
+        "_person"
+    ].eqNullSafe(props["_pr__person"])
+    out = (
+        base.drop("number", "gender")
+        .join(props, cond, "left")
+        .withColumnRenamed("_pr_number", "number")
+        .withColumnRenamed("_pr_gender", "gender")
+    )
+    if "mtype" in mentions.columns:
+        out = out.drop("mtype").withColumnRenamed("_pr__mtype", "mtype")
+    return out.drop(
+        f"_pr_{span_col}", "_pr__person", "_pr__mtype", "_person"
+    ).select(*ordered)

@@ -41,6 +41,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce/replan under persist(): without this a cached
+        # plan keeps the static shuffle-partition fan-out, so caching a
+        # tiny table (e.g. the 7.5k-row surfaces dim) pays a full-width
+        # exchange; all operators are partitioning-invariant (tested), so
+        # cached-plan output partitioning is free to change
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # At 100 TB the session would add the Iceberg catalog:
