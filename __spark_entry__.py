@@ -1637,6 +1637,21 @@ def q_decontaminate(spark, sf_dir):
     return contaminated_docs(train, bench, k=13)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Tokenizer training: first 6 BPE merges over the documents corpus
+    (top-2000 word-frequency table; greedy leftmost non-overlapping merge,
+    ties by (count desc, left asc, right asc)).  One corpus scan; each
+    merge iteration runs on the checkpointed word table and ships exactly
+    one row to the driver.  The oracle replays all 6 iterations as an
+    unrolled CTE chain — pair counts, argmax, and the double-space-
+    delimited `replace` merge are engine-identical."""
+    from berkeley_entity_spark.operators.bpe import bpe_merges_df
+
+    return bpe_merges_df(
+        spark, _t(spark, sf_dir, "documents"), n_merges=6, top_words=2000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_lineitem_agg": q_lineitem_agg,
@@ -1700,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_stats": q_domain_stats,
         "q_stratified_sample": q_stratified_sample,
         "q_copula_counts": q_copula_counts,
+        "q_bpe_merges": q_bpe_merges,
         "q_xdistrib": q_xdistrib,
         "q_ner_tags": q_ner_tags,
         "q_er_pipeline": q_er_pipeline,
@@ -2875,6 +2891,46 @@ FROM (SELECT doc_id, text, {TOKQ} AS toks FROM documents)
 """
 
 
+def _bpe_oracle(n_merges: int = 6, top_words: int = 2000) -> str:
+    """Unrolled-CTE replay of q_bpe_merges: word counts -> char-symbol
+    sequences (double-space-delimited) -> n_merges rounds of
+    (pair count, argmax, replace-merge).  Data-independent SQL: each
+    round's winning pair enters the next round's replace via a CROSS JOIN
+    with the 1-row bestK CTE, so DuckDB re-derives the whole merge
+    trajectory without any pinned value."""
+    arr = "list_filter(string_split(trim(seq), ' '), x -> x <> '')"
+    ctes = [
+        f"""tok AS (SELECT unnest({TOKQ}) AS word FROM documents),
+wc AS (
+  SELECT word, count(*)::BIGINT AS cnt FROM tok
+  WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word ORDER BY cnt DESC, word LIMIT {top_words}
+),
+s0 AS (SELECT cnt, '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS seq FROM wc)"""
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""pc{i} AS (
+  SELECT p[1] AS l, p[2] AS r, sum(cnt)::BIGINT AS c
+  FROM (SELECT cnt, {arr} AS arr FROM s{i - 1}),
+       UNNEST(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS t(p)
+  GROUP BY 1, 2
+),
+best{i} AS (SELECT l, r, c FROM pc{i} ORDER BY c DESC, l, r LIMIT 1),
+s{i} AS (
+  SELECT w.cnt,
+         replace(w.seq, ' ' || b.l || '  ' || b.r || ' ',
+                        ' ' || b.l || b.r || ' ') AS seq
+  FROM s{i - 1} w CROSS JOIN best{i} b
+)"""
+        )
+    finals = "\nUNION ALL ".join(
+        f"SELECT {i} AS step, l AS left_sym, r AS right_sym, c AS pair_cnt FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
 def oracle_sql() -> dict[str, str]:
     out = {
         "q_lineitem_agg": """
@@ -3590,6 +3646,7 @@ SELECT doc_id, n_lines, n_kept_lines, page_kept,
 FROM f
 """,
     }
+    out["q_bpe_merges"] = _bpe_oracle(n_merges=6, top_words=2000)
     out["q_er_clusters"] = _er_clusters_oracle()
     g = _golden_oracle(
         "q_er_pipeline",
