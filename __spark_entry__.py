@@ -1652,6 +1652,24 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (the DCLM / FineWeb-Edu fastText
+    shape): score every document with the shipped hashed-gram logistic
+    artifact (trained distributed by tools/train_quality_classifier.py,
+    held-out-accuracy-gated at 0.95).  Scoring is ONE whole-stage-codegen
+    projection — the 256-weight vector rides as an array literal into an
+    in-row F.aggregate fold, so there is no shuffle, no Python, and no
+    join.  The oracle re-derives gram hashing, the weight lookup, and the
+    rounded logit/sigmoid from the same artifact literals."""
+    from berkeley_entity_spark.operators.selection import (
+        classifier_score,
+        load_default_quality_weights,
+    )
+
+    w, b, _ = load_default_quality_weights()
+    return classifier_score(_t(spark, sf_dir, "documents"), w, b)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_lineitem_agg": q_lineitem_agg,
@@ -1716,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_copula_counts": q_copula_counts,
         "q_bpe_merges": q_bpe_merges,
+        "q_quality_classifier": q_quality_classifier,
         "q_xdistrib": q_xdistrib,
         "q_ner_tags": q_ner_tags,
         "q_er_pipeline": q_er_pipeline,
@@ -2931,6 +2950,45 @@ s{i} AS (
     return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 
+def _quality_clf_oracle() -> str | None:
+    """Replay of q_quality_classifier from the shipped artifact: the 256
+    trained weights enter as a VALUES literal table, gram hashing uses the
+    identical md5-60-bit convention, and logit/prob reproduce the scorer's
+    round-before-sigmoid determinism contract."""
+    import os
+
+    from berkeley_entity_spark.operators.selection import (
+        load_default_quality_weights,
+    )
+
+    loaded = load_default_quality_weights()
+    if loaded is None:
+        return None
+    w, b, n_buckets = loaded
+    vals = ", ".join(f"({i}, {float(w[i])!r})" for i in range(n_buckets))
+    return f"""
+WITH wt(bucket, wt) AS (VALUES {vals}),
+tok AS (SELECT doc_id, {TOKQ} AS toks FROM documents),
+g AS (SELECT doc_id,
+             ('0x' || substr(md5(gr), 1, 15))::BIGINT % {n_buckets} AS bucket
+      FROM (SELECT doc_id, unnest(list_concat(toks,
+              CASE WHEN len(toks) >= 2
+                   THEN list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i + 1])
+                   ELSE [] END)) AS gr
+            FROM tok)),
+s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, sum(wt) AS sw
+      FROM g JOIN wt USING (bucket) GROUP BY doc_id),
+f AS (SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams,
+             round({float(b)!r} + coalesce(s.sw / s.n_grams, 0.0), 6) AS logit
+      FROM documents d LEFT JOIN s USING (doc_id))
+SELECT doc_id, n_grams, logit,
+       round(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+       (round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5) AS kept
+FROM f
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = {
         "q_lineitem_agg": """
@@ -3647,6 +3705,9 @@ FROM f
 """,
     }
     out["q_bpe_merges"] = _bpe_oracle(n_merges=6, top_words=2000)
+    qc = _quality_clf_oracle()
+    if qc:
+        out["q_quality_classifier"] = qc
     out["q_er_clusters"] = _er_clusters_oracle()
     g = _golden_oracle(
         "q_er_pipeline",

@@ -181,3 +181,204 @@ def domain_mixture(
             6,
         ).alias("boost"),
     )
+
+
+# --------------------------------------------------------- quality classifier
+def _gram_arr(text_col: str):
+    """In-row unigram+bigram array (same gram set as hashed_gram_buckets,
+    but as a single array column so scoring can fold over it without an
+    explode/shuffle)."""
+    toks = tokens_col(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.slice(toks, 1, F.size(toks) - 1),
+            lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + F.lit(2))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def _bucket_of(g, n_buckets: int):
+    """Engine-portable gram -> bucket (md5 60-bit prefix, see
+    hashed_gram_buckets)."""
+    return (
+        F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long") % n_buckets
+    )
+
+
+def classifier_features(
+    documents: DataFrame, n_buckets: int = 256, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, bucket, x) — L1-normalized hashed-gram counts
+    x = count(bucket in doc) / n_grams(doc).  Sparse: only buckets the doc
+    actually hits.  Docs with zero grams produce no rows (disclosed — the
+    trainer skips them; the scorer gives them sigmoid(bias))."""
+    g = hashed_gram_buckets(documents, n_buckets, text_col)
+    per = g.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    tot = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return per.join(tot, "doc_id").select(
+        "doc_id", "bucket", (F.col("c") / F.col("n")).alias("x")
+    )
+
+
+def train_text_classifier(
+    pos: DataFrame,
+    neg: DataFrame,
+    n_buckets: int = 256,
+    epochs: int = 60,
+    lr: float = 4.0,
+    text_col: str = "text",
+):
+    """fastText-style quality classifier (the DCLM / FineWeb-Edu filtering
+    shape): full-batch logistic regression over L1-normalized hashed-gram
+    bags, trained DISTRIBUTED — the corpus never reaches the driver.
+
+    Per epoch: (1) broadcast the (n_buckets)-row weight table, join it to
+    the persisted sparse feature table, groupBy(doc) partial-agg the dot
+    products -> per-doc sigmoid; (2) join the per-doc error back to the
+    features, groupBy(bucket) partial-agg the gradient.  Driver traffic is
+    exactly n_buckets + 1 rows per epoch; both shuffles are bounded by the
+    sparse feature table, which is persisted once.  Full-batch GD (not
+    SGD) so the result is partitioning-independent up to float ulps.
+
+    Returns (weights: np.ndarray[n_buckets], bias: float).
+    """
+    import numpy as np
+
+    spark = pos.sparkSession
+    lab = (
+        pos.select(
+            (F.col("doc_id") * 2).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            F.lit(1.0).alias("y"),
+        )
+        .unionByName(
+            neg.select(
+                (F.col("doc_id") * 2 + 1).alias("doc_id"),
+                F.col(text_col).alias("text"),
+                F.lit(0.0).alias("y"),
+            )
+        )
+    )
+    feats = (
+        classifier_features(lab, n_buckets, "text")
+        .join(lab.select("doc_id", "y"), "doc_id")
+        .persist()
+    )
+    n_docs = feats.select("doc_id").distinct().count()
+    if n_docs == 0:
+        return np.zeros(n_buckets), 0.0
+    # NBSVM-style init (Wang & Manning 2012): start GD from the closed-form
+    # per-bucket Naive-Bayes log-odds (one bounded groupBy pass) instead of
+    # zero — full-batch GD from zero needs hundreds of epochs to grow logits
+    # through L1-normalized features, while the NB ratio already separates
+    # the classes; GD then fine-tunes the discriminative boundary.
+    cnt = (
+        feats.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("y") == 1.0, F.col("x")).otherwise(0.0)).alias("cp"),
+            F.sum(F.when(F.col("y") == 0.0, F.col("x")).otherwise(0.0)).alias("cn"),
+        )
+        .collect()
+    )
+    cp = np.zeros(n_buckets)
+    cn = np.zeros(n_buckets)
+    for r in cnt:
+        cp[int(r["bucket"])] = r["cp"]
+        cn[int(r["bucket"])] = r["cn"]
+    alpha = 0.01
+    w = np.log((cp + alpha) / (cp.sum() + alpha * n_buckets)) - np.log(
+        (cn + alpha) / (cn.sum() + alpha * n_buckets)
+    )
+    b = 0.0
+    for _ in range(epochs):
+        wdf = spark.createDataFrame(
+            [(i, float(w[i])) for i in range(n_buckets)], "bucket long, wt double"
+        )
+        err = (
+            feats.join(F.broadcast(wdf), "bucket")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.col("x") * F.col("wt")).alias("dot"))
+            .select(
+                "doc_id",
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("dot") + F.lit(b))))
+                    - F.col("y")
+                ).alias("e"),
+            )
+        )
+        gb = (
+            feats.join(err, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("x") * F.col("e")).alias("g"))
+            .collect()
+        )
+        ge = err.agg(F.sum("e").alias("g")).collect()[0]["g"]
+        grad = np.zeros(n_buckets)
+        for r in gb:
+            grad[int(r["bucket"])] = r["g"]
+        w -= lr * grad / n_docs
+        b -= lr * float(ge) / n_docs
+    feats.unpersist()
+    return w, b
+
+
+def classifier_score(
+    documents: DataFrame,
+    weights,
+    bias: float,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, logit, prob, kept) — score every doc with the
+    trained hashed-gram logistic model, entirely in-row: the weight vector
+    rides as an array LITERAL into an F.aggregate fold over the gram array
+    (element_at lookup per gram), so the scoring pass is one
+    whole-stage-codegen projection — zero shuffles, zero Python, and hot
+    grams cost nothing beyond the fold step.
+
+    Determinism contract (same rule as dsir_weights): logit is rounded to
+    6dp BEFORE the sigmoid and prob is rounded after, so the oracle's
+    different summation order cannot leak past the rounding.
+    """
+    n_buckets = len(weights)
+    warr = F.lit([float(x) for x in weights])
+    grams = _gram_arr(text_col)
+    sumw = F.aggregate(
+        grams,
+        F.lit(0.0),
+        lambda acc, g: acc + F.element_at(warr, _bucket_of(g, n_buckets).cast("int") + 1),
+    )
+    n = F.size(grams)
+    logit = F.round(
+        F.lit(float(bias))
+        + F.when(n > 0, sumw / n).otherwise(F.lit(0.0)),
+        6,
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return documents.select(
+        "doc_id",
+        n.cast("bigint").alias("n_grams"),
+        logit.alias("logit"),
+        prob.alias("prob"),
+        (prob >= F.lit(threshold)).alias("kept"),
+    )
+
+
+def load_default_quality_weights():
+    """(weights, bias, n_buckets) trained by tools/train_quality_classifier.py,
+    or None if the artifact is absent."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "ml",
+        "quality_clf.json",
+    )
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    return d["weights"], d["bias"], d["n_buckets"]
