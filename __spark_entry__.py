@@ -1670,6 +1670,20 @@ def q_quality_classifier(spark, sf_dir):
     return classifier_score(_t(spark, sf_dir, "documents"), w, b)
 
 
+def q_meta_blocking(spark, sf_dir):
+    """Meta-blocking (Papadakis et al. 2014): block-graph CBS edge
+    weights over three blocking passes (first-token / last-token /
+    length-bucket, the last deliberately hot) with the standard
+    row_number block cap, then Weighted Node Pruning — an edge survives
+    if its weight >= the mean incident weight of either endpoint,
+    compared in INTEGER arithmetic (w * degree >= weight_sum) so the
+    decision is engine-exact.  Runs on the dup-injected corpus so the
+    pruned graph retains the cbs=3 duplicate edges."""
+    from berkeley_entity_spark.operators.metablocking import meta_blocking_pairs
+
+    return meta_blocking_pairs(_docs_with_dups(spark, sf_dir), max_block=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_lineitem_agg": q_lineitem_agg,
@@ -1735,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_copula_counts": q_copula_counts,
         "q_bpe_merges": q_bpe_merges,
         "q_quality_classifier": q_quality_classifier,
+        "q_meta_blocking": q_meta_blocking,
         "q_xdistrib": q_xdistrib,
         "q_ner_tags": q_ner_tags,
         "q_er_pipeline": q_er_pipeline,
@@ -3704,6 +3719,31 @@ SELECT doc_id, n_lines, n_kept_lines, page_kept,
 FROM f
 """,
     }
+    out["q_meta_blocking"] = f"""
+WITH docs AS ({_DOCS_DUP_SQL}),
+tok AS (SELECT doc_id, {TOKQ} AS toks FROM docs),
+keys AS (SELECT doc_id, unnest([
+           'F:' || toks[1],
+           'L:' || toks[-1],
+           'B:' || CAST((len(toks) // 10) AS VARCHAR)]) AS k
+         FROM tok WHERE len(toks) >= 1),
+capped AS (SELECT doc_id AS id, k FROM (
+             SELECT doc_id, k,
+                    row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+             FROM keys) WHERE rn <= 64),
+edges AS (SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS cbs
+          FROM capped a JOIN capped b ON a.k = b.k AND a.id < b.id
+          GROUP BY 1, 2),
+nodes AS (SELECT node, CAST(sum(w) AS BIGINT) AS sw, count(*)::BIGINT AS cw
+          FROM (SELECT id_a AS node, cbs AS w FROM edges
+                UNION ALL SELECT id_b, cbs FROM edges)
+          GROUP BY node)
+SELECT e.id_a, e.id_b, e.cbs
+FROM edges e
+JOIN nodes nu ON nu.node = e.id_a
+JOIN nodes nv ON nv.node = e.id_b
+WHERE e.cbs * nu.cw >= nu.sw OR e.cbs * nv.cw >= nv.sw
+"""
     out["q_bpe_merges"] = _bpe_oracle(n_merges=6, top_words=2000)
     qc = _quality_clf_oracle()
     if qc:

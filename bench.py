@@ -47,6 +47,10 @@ HEADLINE = [
     # new in round 4 (subtract it when comparing headline totals to r3)
     "q_substring_dup",
     "q_segment_dedup",
+    # new in round 4, fifth session (subtract when comparing to earlier r4)
+    "q_quality_classifier",
+    "q_bpe_merges",
+    "q_meta_blocking",
     # new in round 4, fourth session (subtract when comparing to earlier
     # r4 runs).  q_bloom_decontaminate and q_domain_mix stay out: the
     # former is hashlib-bound BY DESIGN (md5 keeps it oracle-exact; a
