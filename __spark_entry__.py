@@ -1652,6 +1652,21 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer application: train 6 BPE merges on the corpus, then encode
+    EVERY document with them and report its token budget under the learned
+    vocabulary — (doc_id, n_words, n_chars, n_symbols).  The encode is one
+    whole-stage-codegen projection (ordered replace chain folded per word
+    in-row; merges ride as string literals).  The oracle re-derives the
+    merge trajectory with the q_bpe_merges CTE chain and applies the same
+    ordered nested replaces."""
+    from berkeley_entity_spark.operators.bpe import bpe_encode_stats, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=6, top_words=2000)
+    return bpe_encode_stats(docs, merges)
+
+
 def q_quality_classifier(spark, sf_dir):
     """Model-based quality filtering (the DCLM / FineWeb-Edu fastText
     shape): score every document with the shipped hashed-gram logistic
@@ -1748,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_copula_counts": q_copula_counts,
         "q_bpe_merges": q_bpe_merges,
+        "q_bpe_encode": q_bpe_encode,
         "q_quality_classifier": q_quality_classifier,
         "q_meta_blocking": q_meta_blocking,
         "q_xdistrib": q_xdistrib,
@@ -2965,6 +2981,41 @@ s{i} AS (
     return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 
+def _bpe_encode_oracle(n_merges: int = 6, top_words: int = 2000) -> str:
+    """q_bpe_encode replay: the q_bpe_merges CTE chain derives best1..bestK,
+    then every [a-z]+ word is encoded with the same ordered nested replaces
+    and per-doc symbol counts aggregate; out-of-charset tokens count 1."""
+    base = _bpe_oracle(n_merges, top_words)
+    chain = base[: base.rindex("\nSELECT 1 AS step")]  # keep the WITH chain
+    rep = "seq"
+    for i in range(1, n_merges + 1):
+        rep = (
+            f"replace({rep}, ' ' || b{i}.l || '  ' || b{i}.r || ' ',"
+            f" ' ' || b{i}.l || b{i}.r || ' ')"
+        )
+    crosses = " ".join(f"CROSS JOIN best{i} b{i}" for i in range(1, n_merges + 1))
+    return f"""{chain},
+encw AS (SELECT doc_id,
+                '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS seq
+         FROM (SELECT doc_id, unnest({TOKQ}) AS w FROM documents)
+         WHERE regexp_matches(w, '^[a-z]+$')),
+encm AS (SELECT doc_id, {rep} AS seq FROM encw {crosses}),
+sy AS (SELECT doc_id,
+              CAST(sum(len(list_filter(string_split(trim(seq), ' '),
+                                       x -> x <> ''))) AS BIGINT) AS s
+       FROM encm GROUP BY doc_id),
+base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+                CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0)
+                     AS BIGINT) AS n_chars,
+                CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+                     AS BIGINT) AS n_az
+         FROM (SELECT doc_id, {TOKQ} AS toks FROM documents))
+SELECT b.doc_id, b.n_words, b.n_chars,
+       CAST(coalesce(sy.s, 0) + (b.n_words - b.n_az) AS BIGINT) AS n_symbols
+FROM base b LEFT JOIN sy USING (doc_id)
+"""
+
+
 def _quality_clf_oracle() -> str | None:
     """Replay of q_quality_classifier from the shipped artifact: the 256
     trained weights enter as a VALUES literal table, gram hashing uses the
@@ -3745,6 +3796,7 @@ JOIN nodes nv ON nv.node = e.id_b
 WHERE e.cbs * nu.cw >= nu.sw OR e.cbs * nv.cw >= nv.sw
 """
     out["q_bpe_merges"] = _bpe_oracle(n_merges=6, top_words=2000)
+    out["q_bpe_encode"] = _bpe_encode_oracle(n_merges=6, top_words=2000)
     qc = _quality_clf_oracle()
     if qc:
         out["q_quality_classifier"] = qc

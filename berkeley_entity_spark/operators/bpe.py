@@ -127,6 +127,49 @@ def bpe_train(
     return merges
 
 
+def bpe_encode_stats(
+    documents: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned merges to every document (tokenizer application):
+    (doc_id, n_words, n_chars, n_symbols) where n_symbols is the document's
+    token count under the BPE vocabulary — the number a training-data
+    pipeline actually budgets by.  Encoding is the standard ordered greedy
+    apply: each merge is one non-regex `replace` over the double-space
+    symbol sequence, folded per WORD inside an in-row transform — the whole
+    encode is ONE whole-stage-codegen projection over the corpus (no
+    shuffle, no Python, merges ride as string literals).
+
+    Only [a-z]+ words are encoded (matching bpe_train's charset);
+    out-of-charset tokens count as 1 symbol each, like an <unk>."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    az = F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
+    other = F.size(toks) - F.size(az)
+
+    def encode_word(wcol):
+        seq = F.concat(F.lit("  "), F.regexp_replace(wcol, "(.)", "$1  "))
+        for m in merges:
+            seq = F.replace(
+                seq,
+                F.lit(f" {m['left_sym']}  {m['right_sym']} "),
+                F.lit(f" {m['left_sym']}{m['right_sym']} "),
+            )
+        return F.size(F.filter(F.split(F.trim(seq), " +"), lambda x: x != ""))
+
+    sym = F.aggregate(
+        F.transform(az, encode_word), F.lit(0), lambda acc, n: acc + n
+    )
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).cast("bigint").alias("n_chars"),
+        (sym + other).cast("bigint").alias("n_symbols"),
+    )
+
+
 def bpe_merges_df(
     spark: SparkSession,
     documents: DataFrame,

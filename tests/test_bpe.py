@@ -72,3 +72,29 @@ def test_exhausted_pairs_stop_early(spark):
     merges = bpe_train(docs, n_merges=10)
     assert len(merges) == 1
     assert (merges[0]["left_sym"], merges[0]["right_sym"]) == ("a", "b")
+
+
+def test_encode_stats_hand_checked(spark):
+    # corpus: "low low lower" -> merges learned then applied
+    docs = _docs(spark, ["low low lower", "Zz9 low"])
+    from berkeley_entity_spark.operators.bpe import bpe_encode_stats
+
+    merges = bpe_train(docs, n_merges=2)
+    # round 1 pairs: l-o 4, o-w 4, w-e 1, e-r 1 -> (l,o) by tie-break; then (lo,w)
+    assert [(m["left_sym"], m["right_sym"]) for m in merges] == [("l", "o"), ("lo", "w")]
+    out = {r["doc_id"]: r for r in bpe_encode_stats(docs, merges).collect()}
+    # doc 0: low->1 symbol ("low"), low->1, lower->"low e r"=3 -> 5 symbols
+    assert out[0]["n_words"] == 3 and out[0]["n_chars"] == 11
+    assert out[0]["n_symbols"] == 5
+    # doc 1: "Zz9" out-of-charset counts 1; "low" -> 1 symbol
+    assert out[1]["n_words"] == 2 and out[1]["n_symbols"] == 2
+
+
+def test_encode_empty_and_no_merges(spark):
+    from berkeley_entity_spark.operators.bpe import bpe_encode_stats
+
+    docs = _docs(spark, ["", "ab"])
+    out = {r["doc_id"]: r for r in bpe_encode_stats(docs, []).collect()}
+    assert out[0]["n_words"] == 0 and out[0]["n_symbols"] == 0
+    # no merges: "ab" stays 2 char symbols
+    assert out[1]["n_symbols"] == 2
