@@ -816,6 +816,27 @@ def q_ceafe(spark, sf_dir):
     return m.select(*[F.round(c, 6).alias(c) for c in m.columns])
 
 
+def q_ceafm(spark, sf_dir):
+    """CEAF-m (Luo 2005 phi3, the scorer-v7 'ceafm' matcher): mention-based
+    optimal cluster alignment over the same 40-pseudo-doc binary
+    clusterings as q_ceafe, so every per-doc Hungarian is at most 2x2 and
+    the DuckDB oracle computes it EXACTLY as
+    greatest(n00 + n11, n01 + n10) over the intersection cell counts."""
+    from berkeley_entity_spark.evaluate import ceafm_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    it = d.select(
+        F.col("doc_id").alias("mention_id"),
+        (F.col("doc_id") % 40).cast("string").alias("g"),
+        (F.length("text") % 2).cast("string").alias("cluster_id"),
+        ((F.col("doc_id") / 40).cast("long") % 2).cast("string").alias("entity_id"),
+    )
+    pred = it.select("mention_id", "g", "cluster_id")
+    gold = it.select("mention_id", "g", "entity_id")
+    m = ceafm_metrics(pred, gold, doc_col="g")
+    return m.select(*[F.round(c, 6).alias(c) for c in m.columns])
+
+
 def q_mention_props(spark, sf_dir):
     """P11/S4: number+gender mention properties via the Bergsma-Lin count
     lookup (phrase -> head backoff, confidence-gated gender, person
@@ -1637,6 +1658,20 @@ def q_decontaminate(spark, sf_dir):
     return contaminated_docs(train, bench, k=13)
 
 
+def q_fuzzy_decontaminate(spark, sf_dir):
+    """Fuzzy benchmark decontamination: training docs whose MinHash-LSH
+    band bucket collides with the benchmark slice (doc_id % 97 = 0) —
+    the near-dup sibling of q_decontaminate's exact 13-gram probe, same
+    broadcast-the-benchmark scan shape."""
+    from berkeley_entity_spark.operators.dedup import fuzzy_contaminated_docs
+
+    train = _docs_with_dups(spark, sf_dir)
+    bench = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 97 == 0
+    ).select("doc_id", "text")
+    return fuzzy_contaminated_docs(train, bench, bands=4, rows=2)
+
+
 def q_bpe_merges(spark, sf_dir):
     """Tokenizer training: first 6 BPE merges over the documents corpus
     (top-2000 word-frequency table; greedy leftmost non-overlapping merge,
@@ -1699,6 +1734,148 @@ def q_meta_blocking(spark, sf_dir):
     return meta_blocking_pairs(_docs_with_dups(spark, sf_dir), max_block=64)
 
 
+def q_fs_em(spark, sf_dir):
+    """Fellegi-Sunter unsupervised match weights (Splink/fastLink shape):
+    first-token-blocked candidate pairs with an INTEGER-exact discretized
+    comparison vector (levenshtein band + token-Jaccard band), EM fit on
+    the bounded pattern-count sufficient statistics (<= 6 rows collected),
+    and a codegen CASE posterior per pair.  The oracle replays records,
+    blocking, gammas, AND the 5 EM iterations as an unrolled CTE chain
+    with the same 12-digit per-iteration re-synchronization rounds."""
+    from berkeley_entity_spark.operators.linkage import fs_link
+
+    return fs_link(_t(spark, sf_dir, "documents"), max_block=48)
+
+
+def q_blocking_metrics(spark, sf_dir):
+    """Blocking quality audit: pair completeness (recall of the known
+    injected duplicate pairs) and reduction ratio (candidate volume vs
+    all C(N,2) pairs) of the capped first-token blocker — the standard
+    ER blocking scorecard (Christen 2012)."""
+    from berkeley_entity_spark.operators.linkage import (
+        fs_comparison_vectors,
+        fs_gate_records,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    elig = docs.where(F.size(toks) >= 5).select("doc_id")
+    gold = (
+        elig.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 100000).alias("id_b"),
+        )
+        .unionByName(
+            elig.select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 200000).alias("id_b"),
+            )
+        )
+        .unionByName(
+            elig.select(
+                (F.col("doc_id") + 100000).alias("id_a"),
+                (F.col("doc_id") + 200000).alias("id_b"),
+            )
+        )
+    )
+    recs = fs_gate_records(docs)
+    cand = fs_comparison_vectors(recs, max_block=48).select("id_a", "id_b")
+    n_rec = recs.agg(F.count(F.lit(1)).alias("n_records"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_gold = gold.agg(F.count(F.lit(1)).alias("n_gold"))
+    tp = cand.join(gold, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("tp"))
+    return (
+        n_rec.crossJoin(n_cand)
+        .crossJoin(n_gold)
+        .crossJoin(tp)
+        .select(
+            "n_records",
+            "n_cand",
+            "n_gold",
+            "tp",
+            F.round(F.col("tp") / F.col("n_gold"), 6).alias("pair_completeness"),
+            F.round(
+                1 - F.col("n_cand")
+                / (F.col("n_records") * (F.col("n_records") - 1) / 2.0),
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )
+
+
+def q_fs_tf(spark, sf_dir):
+    """Fellegi-Sunter with Winkler/Splink term-frequency adjustment:
+    exact-name agreements are re-weighted by the shared value's own
+    relative frequency (a hot name is weak evidence; a rare name strong),
+    replacing u_name[2] per pair post-EM.  Non-exact pairs score exactly
+    as q_fs_em (asserted by the shared p_match column)."""
+    from berkeley_entity_spark.operators.linkage import fs_link_tf
+
+    return fs_link_tf(_t(spark, sf_dir, "documents"), max_block=48)
+
+
+def q_pr_curve(spark, sf_dir):
+    """Precision-recall threshold sweep over the Fellegi-Sunter-scored
+    candidate pairs vs the injected gold duplicate pairs: one curve point
+    per distinct posterior (tp/fp cumulative from the highest threshold
+    down; recall denominated in ALL gold pairs, so the curve exposes the
+    blocking recall ceiling, not just scorer quality).  The distributed
+    work is the pair labeling + per-score aggregation; the cumulative
+    window runs over <= |distinct posteriors| = |gamma patterns| rows."""
+    from berkeley_entity_spark.operators.linkage import fs_link
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    elig = docs.where(F.size(toks) >= 5).select("doc_id")
+    gold = (
+        elig.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 100000).alias("id_b"),
+        )
+        .unionByName(
+            elig.select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 200000).alias("id_b"),
+            )
+        )
+        .unionByName(
+            elig.select(
+                (F.col("doc_id") + 100000).alias("id_a"),
+                (F.col("doc_id") + 200000).alias("id_b"),
+            )
+        )
+    )
+    scored = fs_link(docs, max_block=48)
+    labeled = scored.join(
+        gold.withColumn("is_dup", F.lit(1)), ["id_a", "id_b"], "left"
+    ).select("p_match", F.coalesce("is_dup", F.lit(0)).alias("is_dup"))
+    by_score = labeled.groupBy("p_match").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("is_dup").alias("pos"),
+    )
+    n_gold = gold.agg(F.count(F.lit(1)).alias("n_gold"))
+    w = Window.orderBy(F.col("p_match").desc())
+    return (
+        by_score.crossJoin(n_gold)
+        .select(
+            F.col("p_match").alias("threshold"),
+            "n_pairs",
+            F.sum("pos").over(w).alias("tp"),
+            (F.sum("n_pairs").over(w) - F.sum("pos").over(w)).alias("fp"),
+            "n_gold",
+        )
+        .select(
+            "threshold",
+            "n_pairs",
+            "tp",
+            "fp",
+            (F.col("n_gold") - F.col("tp")).alias("fn"),
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+            F.round(F.col("tp") / F.col("n_gold"), 6).alias("recall"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_lineitem_agg": q_lineitem_agg,
@@ -1740,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_clean": q_c4_clean,
         "q_bcubed": q_bcubed,
         "q_ceafe": q_ceafe,
+        "q_ceafm": q_ceafm,
         "q_mention_props": q_mention_props,
         "q_entity_consensus": q_entity_consensus,
         "q_conll_roundtrip": q_conll_roundtrip,
@@ -1757,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_perplexity": q_lm_perplexity,
         "q_dedup_keep_one": q_dedup_keep_one,
         "q_decontaminate": q_decontaminate,
+        "q_fuzzy_decontaminate": q_fuzzy_decontaminate,
         "q_repetition_stats": q_repetition_stats,
         "q_url_normalize": q_url_normalize,
         "q_domain_stats": q_domain_stats,
@@ -1766,6 +1945,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_encode": q_bpe_encode,
         "q_quality_classifier": q_quality_classifier,
         "q_meta_blocking": q_meta_blocking,
+        "q_fs_em": q_fs_em,
+        "q_blocking_metrics": q_blocking_metrics,
+        "q_fs_tf": q_fs_tf,
+        "q_pr_curve": q_pr_curve,
         "q_xdistrib": q_xdistrib,
         "q_ner_tags": q_ner_tags,
         "q_er_pipeline": q_er_pipeline,
@@ -1775,6 +1958,205 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ------------------------------------------------------------------- oracles
+def _fs_pairs_cte() -> str:
+    """Shared CTE prefix for the Fellegi-Sunter oracles: gate records
+    (base + exact-dup + last-token-dropped near-dup), capped first-token
+    blocking, and the integer-exact comparison vectors — a bit-exact
+    replay of linkage.fs_gate_records + fs_comparison_vectors."""
+    tset = "list_distinct(list_filter(string_split({x}, ' '), y -> y <> ''))"
+    ta, tb = tset.format(x="a.name"), tset.format(x="b.name")
+    return f"""
+tok AS (SELECT doc_id, {TOKQ} AS toks FROM documents),
+elig AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 5),
+recs AS (
+  SELECT doc_id AS rec_id, array_to_string(toks[1:5], ' ') AS name FROM elig
+  UNION ALL
+  SELECT doc_id + 100000 AS rec_id, array_to_string(toks[1:5], ' ') AS name
+  FROM elig
+  UNION ALL
+  SELECT doc_id + 200000 AS rec_id, array_to_string(toks[1:4], ' ') AS name
+  FROM elig),
+capped AS (SELECT rec_id, name, blk FROM (
+    SELECT rec_id, name, string_split(name, ' ')[1] AS blk,
+           row_number() OVER (PARTITION BY string_split(name, ' ')[1]
+                              ORDER BY rec_id) AS rn
+    FROM recs) WHERE rn <= 48),
+pairs AS (
+  SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+         CASE WHEN a.name = b.name THEN 2
+              WHEN 10 * levenshtein(a.name, b.name)
+                   <= 3 * greatest(length(a.name), length(b.name)) THEN 1
+              ELSE 0 END AS g_name,
+         CASE WHEN 2 * len(list_intersect({ta}, {tb}))
+                   >= len({ta}) + len({tb}) - len(list_intersect({ta}, {tb}))
+              THEN 1 ELSE 0 END AS g_tok,
+         a.name AS name_a, b.name AS name_b
+  FROM capped a JOIN capped b ON a.blk = b.blk AND a.rec_id < b.rec_id)"""
+
+
+def _fs_mcase(q: str, pre: str, col: str, n: int) -> str:
+    whens = " ".join(f"WHEN {l} THEN {q}.{pre}{l}" for l in range(n - 1))
+    return f"CASE {col} {whens} ELSE {q}.{pre}{n - 1} END"
+
+
+def _fs_estep(q: str) -> tuple[str, str]:
+    pm = f"{q}.lam * {_fs_mcase(q, 'mn', 'g_name', 3)} * {_fs_mcase(q, 'mt', 'g_tok', 2)}"
+    pu = (
+        f"(1.0 - {q}.lam) * {_fs_mcase(q, 'un', 'g_name', 3)}"
+        f" * {_fs_mcase(q, 'ut', 'g_tok', 2)}"
+    )
+    return pm, pu
+
+
+def _fs_em_ctes(n_iter: int) -> str:
+    """The shared unrolled-EM CTE chain (pattern counts, p0 literals,
+    n_iter E/M iterations) — appended after _fs_pairs_cte."""
+
+    def mstep_col(pre: str, col: str, level: int, matched: bool) -> str:
+        num = "c * pp" if matched else "c * (1.0 - pp)"
+        den = "sum(c * pp)" if matched else "sum(c * (1.0 - pp))"
+        return (
+            f"round(least(greatest(coalesce(sum({num}) FILTER (WHERE {col} = "
+            f"{level}), 0) / {den}, 0.000001), 0.999999), 12) AS {pre}{level}"
+        )
+
+    ctes = [
+        "pats AS (SELECT g_name, g_tok, count(*)::BIGINT AS c"
+        " FROM pairs GROUP BY 1, 2)",
+        "p0 AS (SELECT 0.1 AS lam, 0.05 AS mn0, 0.2 AS mn1, 0.75 AS mn2,"
+        " 0.75 AS un0, 0.2 AS un1, 0.05 AS un2,"
+        " 0.2 AS mt0, 0.8 AS mt1, 0.8 AS ut0, 0.2 AS ut1)",
+    ]
+    for i in range(1, n_iter + 1):
+        pm, pu = _fs_estep("q")
+        ctes.append(
+            f"e{i} AS (SELECT g_name, g_tok, c,"
+            f" ({pm}) / (({pm}) + ({pu})) AS pp FROM pats, p{i - 1} q)"
+        )
+        cols = ["round(sum(c * pp) / sum(c), 12) AS lam"]
+        cols += [mstep_col("mn", "g_name", l, True) for l in range(3)]
+        cols += [mstep_col("un", "g_name", l, False) for l in range(3)]
+        cols += [mstep_col("mt", "g_tok", l, True) for l in range(2)]
+        cols += [mstep_col("ut", "g_tok", l, False) for l in range(2)]
+        ctes.append(f"p{i} AS (SELECT {', '.join(cols)} FROM e{i})")
+    return ",\n".join(ctes)
+
+
+def _fs_em_oracle(n_iter: int = 5) -> str:
+    """Unrolled-CTE replay of linkage.fs_em_params + fs_classify: pattern
+    counts, n_iter EM iterations (E-step posterior per pattern, M-step
+    conditional-sum updates with the same least/greatest clamps and the
+    12-digit half-up re-synchronization round), then the final posterior
+    per candidate pair.  Mirrors the Python driver arithmetic expression
+    by expression; residual risk is the disclosed measure-zero
+    knife-edge-rounding class."""
+    pm, pu = _fs_estep("q")
+    return (
+        f"WITH {_fs_pairs_cte()},\n"
+        + _fs_em_ctes(n_iter)
+        + f"""
+SELECT id_a, id_b, g_name, g_tok,
+       round(pm / (pm + pu), 6) AS p_match,
+       (pm / (pm + pu)) >= 0.5 AS is_match
+FROM (SELECT pr.id_a, pr.id_b, pr.g_name, pr.g_tok,
+             {pm} AS pm, {pu} AS pu
+      FROM pairs pr, p{n_iter} q)"""
+    )
+
+
+def _fs_tf_oracle(n_iter: int = 5) -> str:
+    """q_fs_tf replay: the q_fs_em chain plus Winkler/Splink
+    term-frequency adjustment — u_name[2] replaced per-pair by the shared
+    name's clamped relative frequency from the record-level name counts
+    (linkage.fs_tf_adjusted arithmetic, expression for expression)."""
+    u2v = "least(greatest(f.n_name / t.n_total, 0.000001), 0.999999)"
+    pm_q = (
+        f"q.lam * {_fs_mcase('q', 'mn', 'pr.g_name', 3)}"
+        f" * {_fs_mcase('q', 'mt', 'pr.g_tok', 2)}"
+    )
+    pu_q = (
+        f"(1.0 - q.lam) * {_fs_mcase('q', 'un', 'pr.g_name', 3)}"
+        f" * {_fs_mcase('q', 'ut', 'pr.g_tok', 2)}"
+    )
+    pu_tf_q = (
+        f"(1.0 - q.lam) * (CASE WHEN pr.g_name = 2 THEN {u2v}"
+        f" ELSE {_fs_mcase('q', 'un', 'pr.g_name', 3)} END)"
+        f" * {_fs_mcase('q', 'ut', 'pr.g_tok', 2)}"
+    )
+    return (
+        f"WITH {_fs_pairs_cte()},\n"
+        + _fs_em_ctes(n_iter)
+        + f""",
+freq AS (SELECT name, count(*)::BIGINT AS n_name FROM recs GROUP BY name),
+tot AS (SELECT count(*)::BIGINT AS n_total FROM recs)
+SELECT id_a, id_b, g_name, g_tok,
+       round(pm / (pm + pu), 6) AS p_match,
+       round(pm / (pm + pu_tf), 6) AS p_match_tf,
+       (pm / (pm + pu_tf)) >= 0.5 AS is_match
+FROM (SELECT pr.id_a, pr.id_b, pr.g_name, pr.g_tok,
+             {pm_q} AS pm, {pu_q} AS pu, {pu_tf_q} AS pu_tf
+      FROM pairs pr
+      LEFT JOIN freq f ON pr.name_a = f.name
+      CROSS JOIN tot t
+      CROSS JOIN p{n_iter} q)"""
+    )
+
+
+def _pr_curve_oracle() -> str:
+    """q_pr_curve replay: the full q_fs_em oracle as a nested-WITH
+    subquery (records -> blocking -> gammas -> unrolled EM -> per-pair
+    posterior), labeled against the re-derived gold dup pairs, cumulative
+    tp/fp down the distinct-posterior thresholds."""
+    return f"""
+WITH scored AS ({_fs_em_oracle(n_iter=5)}),
+gtok AS (SELECT doc_id, {TOKQ} AS toks FROM documents),
+gelig AS (SELECT doc_id FROM gtok WHERE len(toks) >= 5),
+gold AS (SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM gelig
+         UNION ALL SELECT doc_id, doc_id + 200000 FROM gelig
+         UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM gelig),
+labeled AS (SELECT s.p_match,
+                   CASE WHEN g.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+            FROM scored s LEFT JOIN gold g
+              ON s.id_a = g.id_a AND s.id_b = g.id_b),
+by_score AS (SELECT p_match, count(*)::BIGINT AS n_pairs,
+                    sum(is_dup)::BIGINT AS pos
+             FROM labeled GROUP BY 1),
+ng AS (SELECT count(*)::BIGINT AS n_gold FROM gold),
+base AS (SELECT p_match, n_pairs,
+                CAST(sum(pos) OVER w AS BIGINT) AS tp,
+                CAST(sum(n_pairs) OVER w - sum(pos) OVER w AS BIGINT) AS fp,
+                n_gold
+         FROM by_score, ng
+         WINDOW w AS (ORDER BY p_match DESC))
+SELECT p_match AS threshold, n_pairs, tp, fp,
+       n_gold - tp AS fn,
+       round(tp / (tp + fp), 6) AS precision,
+       round(tp / n_gold, 6) AS recall
+FROM base
+"""
+
+
+def _blocking_metrics_oracle() -> str:
+    return (
+        f"WITH {_fs_pairs_cte()},\n"
+        + """
+gold AS (SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM elig
+         UNION ALL SELECT doc_id, doc_id + 200000 FROM elig
+         UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM elig),
+agg AS (SELECT (SELECT count(*) FROM recs) AS n_records,
+               (SELECT count(*) FROM pairs) AS n_cand,
+               (SELECT count(*) FROM gold) AS n_gold,
+               (SELECT count(*) FROM pairs p
+                JOIN gold g ON p.id_a = g.id_a AND p.id_b = g.id_b) AS tp)
+SELECT n_records::BIGINT AS n_records, n_cand::BIGINT AS n_cand,
+       n_gold::BIGINT AS n_gold, tp::BIGINT AS tp,
+       round(tp / n_gold, 6) AS pair_completeness,
+       round(1 - n_cand / (n_records * (n_records - 1) / 2.0), 6)
+         AS reduction_ratio
+FROM agg"""
+    )
+
+
 def _sql_lit(v) -> str:
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
@@ -2701,6 +3083,44 @@ GROUP BY 1, 2
 """
 
 
+def _fuzzy_decon_oracle(bands: int = 4, rows: int = 2) -> str:
+    """SQL replay of q_fuzzy_decontaminate: the q_minhash_lsh oracle's md5
+    string-min bucket derivation over BOTH the dup-injected training corpus
+    and the benchmark slice, then the bucket-collision rollup."""
+    n = bands * rows
+    mh = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS mh{i}"
+        for i in range(n)
+    )
+    buckets = ", ".join(
+        "'" + str(b) + "#' || " + " || '#' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        for b in range(bands)
+    )
+    shingle_cte = """(SELECT doc_id,
+       CASE WHEN len(toks) >= 3
+            THEN list_transform(generate_series(1, len(toks) - 2),
+                                i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+            ELSE [array_to_string(toks, ' ')] END AS shingles
+       FROM {src})"""
+    return f"""
+WITH train AS ({_DOCS_DUP_SQL}),
+ttok AS (SELECT doc_id, {TOKQ} AS toks FROM train),
+tsh AS {shingle_cte.format(src='ttok')},
+tsig AS (SELECT doc_id, {mh} FROM tsh),
+tb AS (SELECT doc_id, unnest([{buckets}]) AS bucket FROM tsig),
+btok AS (SELECT doc_id, {TOKQ} AS toks FROM documents WHERE doc_id % 97 = 0),
+bsh AS {shingle_cte.format(src='btok')},
+bsig AS (SELECT doc_id, {mh} FROM bsh),
+bb AS (SELECT DISTINCT bench_id, bucket FROM
+       (SELECT doc_id AS bench_id, unnest([{buckets}]) AS bucket FROM bsig))
+SELECT t.doc_id,
+       count(DISTINCT t.bucket)::BIGINT AS n_hit_buckets,
+       count(DISTINCT b.bench_id)::BIGINT AS n_bench_docs
+FROM tb t JOIN bb b ON t.bucket = b.bucket
+GROUP BY t.doc_id
+"""
+
+
 _MESSY_URL_SQL = """
 SELECT doc_id,
   CASE CAST(doc_id % 4 AS INT)
@@ -3417,11 +3837,35 @@ FROM sym GROUP BY w1, wn
                    round((muc_f1 + b3_f1 + ceafe_f1) / 3.0, 6) AS conll_f1
             FROM f
         """,
+        "q_ceafm": """
+            WITH it AS (SELECT doc_id,
+                               doc_id % 40 AS g,
+                               length(text) % 2 AS c,
+                               (doc_id // 40) % 2 AS e
+                        FROM documents),
+            cells AS (SELECT g, c, e, count(*) AS n_ce FROM it GROUP BY g, c, e),
+            pv AS (SELECT g,
+                     coalesce(max(CASE WHEN c = 0 AND e = 0 THEN n_ce END), 0) AS n00,
+                     coalesce(max(CASE WHEN c = 0 AND e = 1 THEN n_ce END), 0) AS n01,
+                     coalesce(max(CASE WHEN c = 1 AND e = 0 THEN n_ce END), 0) AS n10,
+                     coalesce(max(CASE WHEN c = 1 AND e = 1 THEN n_ce END), 0) AS n11
+                   FROM cells GROUP BY g),
+            cf AS (SELECT sum(greatest(n00 + n11, n01 + n10)) AS sphi FROM pv),
+            cnt AS (SELECT count(*) AS snm FROM it),
+            m AS (SELECT CASE WHEN snm > 0 THEN sphi * 1.0 / snm ELSE 0.0 END AS p,
+                         CASE WHEN snm > 0 THEN sphi * 1.0 / snm ELSE 0.0 END AS r
+                  FROM cf, cnt)
+            SELECT round(p, 6) AS ceafm_precision, round(r, 6) AS ceafm_recall,
+                   round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END, 6)
+                     AS ceafm_f1
+            FROM m
+        """,
         "q_simhash_pairs": _simhash_oracle(),
         "q_ann_lsh": _ann_lsh_oracle(),
         "q_substring_dup": _substring_dup_oracle(),
         "q_dedup_keep_one": _keep_one_oracle(),
         "q_decontaminate": _decontaminate_oracle(),
+        "q_fuzzy_decontaminate": _fuzzy_decon_oracle(),
         "q_bloom_decontaminate": _bloom_decontaminate_oracle(),
         "q_repetition_stats": _REPETITION_ORACLE,
         "q_url_normalize": _URL_NORMALIZE_ORACLE,
@@ -3795,6 +4239,10 @@ JOIN nodes nu ON nu.node = e.id_a
 JOIN nodes nv ON nv.node = e.id_b
 WHERE e.cbs * nu.cw >= nu.sw OR e.cbs * nv.cw >= nv.sw
 """
+    out["q_fs_em"] = _fs_em_oracle(n_iter=5)
+    out["q_blocking_metrics"] = _blocking_metrics_oracle()
+    out["q_fs_tf"] = _fs_tf_oracle(n_iter=5)
+    out["q_pr_curve"] = _pr_curve_oracle()
     out["q_bpe_merges"] = _bpe_oracle(n_merges=6, top_words=2000)
     out["q_bpe_encode"] = _bpe_encode_oracle(n_merges=6, top_words=2000)
     qc = _quality_clf_oracle()

@@ -60,6 +60,7 @@ HEADLINE = [
     "q_dsir_select",
     "q_semdedup",
     "q_pack_sequences",
+    "q_fs_em",
 ]
 
 

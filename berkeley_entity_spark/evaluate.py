@@ -226,6 +226,56 @@ def ceafe_metrics(
     return _ceafe_from_cells(cells)
 
 
+def ceafm_metrics(
+    pred: DataFrame,
+    gold: DataFrame,
+    key: str = "mention_id",
+    doc_col: str | None = None,
+) -> DataFrame:
+    """CEAF-m (Luo 2005 phi3 — mention-based CEAF): the optimal 1:1
+    cluster alignment maximizes the TOTAL number of commonly-clustered
+    mentions; precision divides by the pred-side mention count, recall by
+    the gold side (the scorer-v7 'ceafm' matcher that ships beside the
+    'ceafe' one CorefConllScorer.scala parses).  Under this repo's
+    aligned-mention convention (inner join on key — ceafe_metrics'
+    convention) both denominators equal the aligned mention count, so
+    P = R = F1 whenever both sides cluster the same mention set.  Same
+    intersection-cells + per-doc Arrow Hungarian shape as CEAFe: only one
+    row per non-empty cluster x entity cell ever reaches Python."""
+    import pandas as pd
+
+    from berkeley_entity_spark.ml.assignment import hungarian_max
+
+    cells = _doc_cells(pred, gold, key, doc_col)
+
+    def align(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cl = {c: i for i, c in enumerate(sorted(pdf["cluster_id"].unique()))}
+        en = {e: i for i, e in enumerate(sorted(pdf["entity_id"].unique()))}
+        mat = np.zeros((len(cl), len(en)))
+        for r in pdf.itertuples():
+            mat[cl[r.cluster_id], en[r.entity_id]] = float(r.n_ce)
+        phi, _ = hungarian_max(mat)
+        return pd.DataFrame({"phi": [phi], "n_m": [int(pdf["n_ce"].sum())]})
+
+    per_doc = cells.groupBy("_doc").applyInPandas(
+        align, schema="phi double, n_m long"
+    )
+    safe = lambda a, b: F.when(b > 0, a / b).otherwise(F.lit(0.0))  # noqa: E731
+    f1 = lambda p, r: F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))  # noqa: E731
+    agg = per_doc.agg(F.sum("phi").alias("sphi"), F.sum("n_m").alias("snm"))
+    out = agg.select(
+        safe(F.col("sphi"), F.col("snm")).alias("ceafm_precision"),
+        safe(F.col("sphi"), F.col("snm")).alias("ceafm_recall"),
+    )
+    return out.select(
+        "ceafm_precision",
+        "ceafm_recall",
+        f1(F.col("ceafm_precision"), F.col("ceafm_recall")).alias("ceafm_f1"),
+    )
+
+
 def _doc_cells(
     pred: DataFrame, gold: DataFrame, key: str, doc_col: str | None
 ) -> DataFrame:

@@ -259,6 +259,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def fuzzy_contaminated_docs(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    bands: int = 4,
+    rows: int = 2,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate benchmark decontamination: flag training docs whose
+    MinHash-LSH band bucket collides with any benchmark doc's — the fuzzy
+    sibling of contaminated_docs (exact 13-gram) and
+    bloom_contaminated_docs, catching lightly-paraphrased or truncated
+    benchmark copies the exact probes miss (the Lee et al. 2022 dedup
+    argument applied to eval leakage).
+
+    Same broadcast shape as the exact probe: the benchmark bucket table is
+    distinct + BROADCAST (eval sets are MBs against a 100 TB corpus), so
+    the training corpus is scanned once and never shuffles on the probe.
+    Join fan-out per training bucket row is bounded by benchmark
+    multiplicity, never corpus df — no hot-bucket cap needed here.
+
+    Output: (doc_id, n_hit_buckets, n_bench_docs) per contaminated
+    training doc; a benchmark doc present in training flags itself (the
+    decontamination pass is expected to drop it)."""
+    tb = minhash_band_buckets(documents, bands, rows, shingle_n, text_col)
+    bb = (
+        minhash_band_buckets(benchmark, bands, rows, shingle_n, text_col)
+        .select("bucket", F.col("doc_id").alias("bench_id"))
+        .distinct()
+    )
+    return (
+        tb.join(F.broadcast(bb), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bucket").alias("n_hit_buckets"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 

@@ -1,0 +1,316 @@
+"""Fellegi-Sunter unsupervised record-linkage weights (EM on sufficient
+statistics).
+
+The reference's pairwise coref scorer is TRAINED from gold antecedents
+(`coref/CorefTrainer.scala`); production record linkage usually has no
+labels, and the canonical unsupervised answer since Fellegi & Sunter
+(JASA 1969) — the model behind Splink / fastLink — is a two-class latent
+mixture over DISCRETIZED comparison vectors gamma:
+
+    P(gamma) = lam * prod_k m_k[gamma_k]  +  (1-lam) * prod_k u_k[gamma_k]
+
+fit by EM, where m/u are per-feature agreement probabilities among
+matches / non-matches and lam is the match prevalence among candidate
+pairs.  The per-pair posterior P(match | gamma) is then a pure function
+of the pattern — the match weight a linker thresholds on.
+
+Scale shape (the whole point of this formulation at 100 TB):
+
+  * gamma extraction is one whole-stage-codegen projection over the
+    blocked candidate pairs (integer comparisons only — levenshtein and
+    set-size arithmetic, no floats, so the discretization is
+    engine-exact);
+  * EM never sees pairs: its sufficient statistics are the pattern
+    COUNTS — one groupBy over <= prod_k |levels_k| rows (6 here).  The
+    driver collect is bounded by the pattern-space size, NOT the corpus
+    (same disclosed-bounded-collect policy as the BPE argmax and the
+    Bloom bitset);
+  * the fitted parameters ride back into ONE codegen CASE projection —
+    classifying a pair costs two branch lookups and four multiplies,
+    no join, no shuffle, no Python.
+
+Float determinism contract: every EM iteration ends by rounding all
+parameters to 12 decimal digits (half-up, positive domain) in BOTH
+engines, so ulp drift from summation order cannot accumulate across
+iterations; outputs additionally round to the repo-standard 6 digits.
+Residual risk is the usual measure-zero knife-edge rounding class
+(disclosed, same as q_ann_ivf).
+
+Levels: g_name in {0,1,2} (2 = exact string equality, 1 = levenshtein
+within 30% of the longer length — `10*lev <= 3*greatest(len)`, integer),
+g_tok in {0,1} (1 = distinct-token Jaccard >= 1/2 — `2*inter >= union`,
+integer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "fs_gate_records",
+    "fs_comparison_vectors",
+    "fs_em_params",
+    "fs_posterior_col",
+    "fs_classify",
+    "fs_tf_adjusted",
+    "fs_link",
+    "fs_link_tf",
+]
+
+# exact decimal literals shared with the SQL oracle (1e-6 and 0.000001
+# parse to the same double; `1 - 1e-6` does NOT equal the 0.999999
+# literal bitwise, hence the explicit constants)
+CLAMP_LO = 0.000001
+CLAMP_HI = 0.999999
+INIT = {
+    "lam": 0.1,
+    "m_n": [0.05, 0.2, 0.75],
+    "u_n": [0.75, 0.2, 0.05],
+    "m_t": [0.2, 0.8],
+    "u_t": [0.8, 0.2],
+}
+N_ITER = 5
+
+
+def fs_gate_records(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(rec_id, name) linkage records for the gate query: each document
+    with >= 5 tokens yields its 5-token name prefix, an EXACT duplicate
+    (+100000), and a NEAR duplicate (+200000, last name token dropped) —
+    so candidate pairs exercise all g_name levels against same-block
+    non-matches."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = documents.where(F.size(toks) >= 5).select(
+        F.col("doc_id").alias("rec_id"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("name"),
+    )
+    exact = base.select((F.col("rec_id") + 100000).alias("rec_id"), "name")
+    near = documents.where(F.size(toks) >= 5).select(
+        (F.col("doc_id") + 200000).alias("rec_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("name"),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def fs_comparison_vectors(records: DataFrame, max_block: int = 48) -> DataFrame:
+    """(id_a, id_b, g_name, g_tok) — first-token blocked candidate pairs
+    (standard row_number hot-block cap, deterministic rec_id order) with
+    the integer-exact discretized comparison vector."""
+    toks = F.filter(F.split(F.col("name"), " "), lambda t: t != "")
+    keyed = records.select(
+        "rec_id", "name", F.element_at(toks, 1).alias("blk")
+    )
+    w = Window.partitionBy("blk").orderBy("rec_id")
+    capped = keyed.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= max_block
+    ).drop("rn")
+    a, b = capped.alias("a"), capped.alias("b")
+    na, nb = F.col("a.name"), F.col("b.name")
+    ta = F.array_distinct(F.filter(F.split(na, " "), lambda t: t != ""))
+    tb = F.array_distinct(F.filter(F.split(nb, " "), lambda t: t != ""))
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(ta) + F.size(tb) - inter
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.rec_id") < F.col("b.rec_id")))
+        .select(
+            F.col("a.rec_id").alias("id_a"),
+            F.col("b.rec_id").alias("id_b"),
+            F.when(na == nb, F.lit(2))
+            .when(
+                10 * F.levenshtein(na, nb) <= 3 * F.greatest(F.length(na), F.length(nb)),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("g_name"),
+            F.when(2 * inter >= union, F.lit(1)).otherwise(F.lit(0)).alias("g_tok"),
+            na.alias("name_a"),
+            nb.alias("name_b"),
+        )
+    )
+
+
+def _round12(x: float) -> float:
+    """Half-up rounding to 12 digits on the positive domain — mirrors
+    DuckDB's round(x, 12) (half away from zero) rather than Python's
+    banker's round."""
+    import math
+
+    return math.floor(x * 1e12 + 0.5) / 1e12
+
+
+def _clamp(x: float) -> float:
+    return min(max(x, CLAMP_LO), CLAMP_HI)
+
+
+def fs_em_params(patterns: list[tuple[int, int, int]], n_iter: int = N_ITER) -> dict:
+    """EM over the bounded pattern-count table [(g_name, g_tok, count)].
+
+    Pure driver arithmetic on sufficient statistics (<= 6 rows).  Sums run
+    in sorted-(g_name, g_tok) pattern order; every iteration ends with the
+    12-digit half-up re-synchronization round described in the module
+    docstring, so the SQL oracle's unrolled-CTE replay stays bit-aligned.
+    """
+    pats = sorted(patterns)
+    lam = INIT["lam"]
+    m_n, u_n = list(INIT["m_n"]), list(INIT["u_n"])
+    m_t, u_t = list(INIT["m_t"]), list(INIT["u_t"])
+    for _ in range(n_iter):
+        rows = []
+        for gn, gt, c in pats:
+            pm = lam * m_n[gn] * m_t[gt]
+            pu = (1.0 - lam) * u_n[gn] * u_t[gt]
+            p = pm / (pm + pu)
+            rows.append((gn, gt, c, p))
+        big_c = sum(c for _, _, c, _ in rows)
+        cp = sum(c * p for _, _, c, p in rows)
+        cq = sum(c * (1.0 - p) for _, _, c, p in rows)
+        lam = _round12(cp / big_c)
+        m_n = [
+            _round12(_clamp(sum(c * p for gn, _, c, p in rows if gn == l) / cp))
+            for l in range(3)
+        ]
+        u_n = [
+            _round12(_clamp(sum(c * (1.0 - p) for gn, _, c, p in rows if gn == l) / cq))
+            for l in range(3)
+        ]
+        m_t = [
+            _round12(_clamp(sum(c * p for _, gt, c, p in rows if gt == l) / cp))
+            for l in range(2)
+        ]
+        u_t = [
+            _round12(_clamp(sum(c * (1.0 - p) for _, gt, c, p in rows if gt == l) / cq))
+            for l in range(2)
+        ]
+    return {"lam": lam, "m_n": m_n, "u_n": u_n, "m_t": m_t, "u_t": u_t}
+
+
+def _level_case(col: str, vals: list[float]) -> Column:
+    e = F.lit(vals[0])
+    for l in range(1, len(vals)):
+        e = F.when(F.col(col) == l, F.lit(vals[l])).otherwise(e)
+    return e
+
+
+def fs_posterior_col(params: dict) -> Column:
+    """P(match | gamma) as a codegen expression over (g_name, g_tok) with
+    the fitted parameters as literals — the per-pair classification is a
+    shuffle-free, Python-free projection."""
+    pm = (
+        F.lit(params["lam"])
+        * _level_case("g_name", params["m_n"])
+        * _level_case("g_tok", params["m_t"])
+    )
+    pu = (
+        F.lit(1.0 - params["lam"])
+        * _level_case("g_name", params["u_n"])
+        * _level_case("g_tok", params["u_t"])
+    )
+    return pm / (pm + pu)
+
+
+def fs_classify(pairs: DataFrame, params: dict, threshold: float = 0.5) -> DataFrame:
+    """(id_a, id_b, g_name, g_tok, p_match, is_match) — posterior match
+    probability per candidate pair, rounded to the repo-standard 6
+    digits."""
+    p = fs_posterior_col(params)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "g_name",
+        "g_tok",
+        F.round(p, 6).alias("p_match"),
+        (p >= F.lit(threshold)).alias("is_match"),
+    )
+
+
+def fs_tf_adjusted(
+    records: DataFrame,
+    pairs: DataFrame,
+    params: dict,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Term-frequency-adjusted match weights (Winkler's value-specific
+    weights; Splink's tf_adjustment): for exact-name agreements the
+    chance two NON-matches share the value is the value's own relative
+    frequency, not the global u — "John Smith" agreement is weak
+    evidence, "Xanthippe Quarry" agreement is strong.  Post-EM (like
+    Splink), u_name[2] is replaced per-pair by clamp(freq(name)/N) from
+    the record-level name-frequency table; all other parameters are
+    untouched, so non-exact pairs score identically to fs_classify.
+
+    Scale shape: one groupBy(name) over records + a 1-row total
+    crossJoin; the frequency table joins the exact-match pairs on name
+    equality (AQE skew-split handles hot names — a hot name is exactly
+    the case the adjustment exists for).  Output adds p_match_tf beside
+    the unadjusted p_match."""
+    total = records.agg(F.count(F.lit(1)).alias("n_total"))
+    freq = records.groupBy("name").agg(F.count(F.lit(1)).alias("n_name")).crossJoin(
+        total
+    )
+    p_base = fs_posterior_col(params)
+    joined = pairs.join(
+        freq.select(F.col("name").alias("name_a"), "n_name", "n_total"),
+        "name_a",
+        "left",
+    )
+    u2v = F.least(
+        F.greatest(F.col("n_name") / F.col("n_total"), F.lit(CLAMP_LO)),
+        F.lit(CLAMP_HI),
+    )
+    pm = (
+        F.lit(params["lam"])
+        * _level_case("g_name", params["m_n"])
+        * _level_case("g_tok", params["m_t"])
+    )
+    pu_tf = (
+        F.lit(1.0 - params["lam"])
+        * F.when(F.col("g_name") == 2, u2v).otherwise(
+            _level_case("g_name", params["u_n"])
+        )
+        * _level_case("g_tok", params["u_t"])
+    )
+    p_tf = pm / (pm + pu_tf)
+    return joined.select(
+        "id_a",
+        "id_b",
+        "g_name",
+        "g_tok",
+        F.round(p_base, 6).alias("p_match"),
+        F.round(p_tf, 6).alias("p_match_tf"),
+        (p_tf >= F.lit(threshold)).alias("is_match"),
+    )
+
+
+def fs_link(documents: DataFrame, max_block: int = 48, n_iter: int = N_ITER) -> DataFrame:
+    """End-to-end gate pipeline: records -> blocked comparison vectors ->
+    pattern counts (bounded collect, <= 6 rows) -> EM -> codegen
+    classification."""
+    pairs = fs_comparison_vectors(fs_gate_records(documents), max_block=max_block)
+    pairs = pairs.localCheckpoint(eager=True)  # pattern agg + final projection share it
+    pats = [
+        (r["g_name"], r["g_tok"], r["n"])
+        for r in pairs.groupBy("g_name", "g_tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: <= 3*2 pattern rows regardless of corpus size
+    ]
+    params = fs_em_params(pats, n_iter=n_iter)
+    return fs_classify(pairs, params)
+
+
+def fs_link_tf(
+    documents: DataFrame, max_block: int = 48, n_iter: int = N_ITER
+) -> DataFrame:
+    """fs_link with the term-frequency adjustment applied to exact-name
+    agreements (fs_tf_adjusted) — same EM fit, value-specific u."""
+    recs = fs_gate_records(documents)
+    pairs = fs_comparison_vectors(recs, max_block=max_block).localCheckpoint(
+        eager=True
+    )
+    pats = [
+        (r["g_name"], r["g_tok"], r["n"])
+        for r in pairs.groupBy("g_name", "g_tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: <= 3*2 pattern rows
+    ]
+    params = fs_em_params(pats, n_iter=n_iter)
+    return fs_tf_adjusted(recs, pairs, params)

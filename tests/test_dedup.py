@@ -242,3 +242,27 @@ def test_segment_dedup_partitioning_invariant(spark):
         map(tuple, segment_dedup(docs.repartition(13), seg_tokens=4).collect())
     )
     assert a == b
+
+
+def test_fuzzy_decontaminate_flags_copies_and_paraphrases(spark):
+    from berkeley_entity_spark.operators.dedup import fuzzy_contaminated_docs
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, bench_text),                       # benchmark doc itself in training
+            (2, bench_text),                       # exact copy under a new id
+            (3, bench_text + " extra trailing"),   # near copy: superset shingles
+            (4, "entirely different content with no shared shingles at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = docs.where("doc_id = 1")
+    out = {r["doc_id"]: r for r in fuzzy_contaminated_docs(docs, bench).collect()}
+    # exact copies collide on ALL 4 band buckets
+    assert out[1].n_hit_buckets == 4 and out[2].n_hit_buckets == 4
+    assert out[1].n_bench_docs == 1
+    # the superset doc shares at least one band (its extra shingles can only
+    # steal some mins); the unrelated doc is never flagged
+    assert 3 in out and out[3].n_hit_buckets >= 1
+    assert 4 not in out

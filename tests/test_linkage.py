@@ -1,0 +1,140 @@
+from __future__ import annotations
+
+from berkeley_entity_spark.operators.linkage import (
+    _round12,
+    fs_comparison_vectors,
+    fs_em_params,
+    fs_gate_records,
+    fs_link,
+)
+
+
+def _py_posterior(params: dict, gn: int, gt: int) -> float:
+    pm = params["lam"] * params["m_n"][gn] * params["m_t"][gt]
+    pu = (1.0 - params["lam"]) * params["u_n"][gn] * params["u_t"][gt]
+    return pm / (pm + pu)
+
+
+def test_em_separates_obvious_mixture():
+    # strong-agreement patterns are rare + clustered; disagreement dominates
+    pats = [(2, 1, 100), (1, 1, 80), (0, 1, 50), (0, 0, 5000)]
+    params = fs_em_params(pats)
+    assert _py_posterior(params, 2, 1) > 0.9
+    assert _py_posterior(params, 0, 0) < 0.1
+    # monotone in g_name at fixed g_tok
+    assert (
+        _py_posterior(params, 2, 1)
+        >= _py_posterior(params, 1, 1)
+        >= _py_posterior(params, 0, 1)
+    )
+
+
+def test_round12_is_half_up_not_bankers():
+    assert _round12(2.5e-12) == 3e-12  # banker's would give 2e-12
+    assert _round12(0.1234567890123456) == 0.123456789012
+
+
+def test_em_handles_missing_levels():
+    # no g_name=1 pattern at all: the clamp keeps m/u finite and in (0,1)
+    params = fs_em_params([(2, 1, 10), (0, 0, 1000)])
+    for k in ("m_n", "u_n", "m_t", "u_t"):
+        for v in params[k]:
+            assert 0.0 < v < 1.0
+
+
+def test_gate_records_and_gammas(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha nu xi omicron pi rho"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = fs_comparison_vectors(fs_gate_records(docs)).collect()
+    by_pair = {(r["id_a"], r["id_b"]): (r["g_name"], r["g_tok"]) for r in pairs}
+    # base vs exact copy: identical 5-token names
+    assert by_pair[(1, 100001)] == (2, 1)
+    # base vs near copy: last token dropped -> lev band + jaccard 4/5
+    assert by_pair[(1, 200001)] == (1, 1)
+    # the two different docs share only the block token 'alpha'
+    gn, gt = by_pair[(1, 2)]
+    assert gn == 0 and gt == 0
+
+
+def test_fs_link_matches_python_posterior(spark):
+    docs = spark.createDataFrame(
+        [
+            (i, f"{w} mid{i} tail{i} quux{i} end{i} extra{i}")
+            for i, w in enumerate(
+                ["apple"] * 6 + ["berry"] * 5 + ["cherry"] * 4
+            )
+        ],
+        "doc_id long, text string",
+    )
+    out = fs_link(docs).collect()
+    assert out, "gate pipeline produced no pairs"
+    pats = {}
+    for r in out:
+        pats[(r["g_name"], r["g_tok"])] = pats.get((r["g_name"], r["g_tok"]), 0) + 1
+    params = fs_em_params([(gn, gt, c) for (gn, gt), c in pats.items()])
+    for r in out:
+        expect = _py_posterior(params, r["g_name"], r["g_tok"])
+        assert abs(r["p_match"] - round(expect, 6)) < 1e-9
+        assert r["is_match"] == (expect >= 0.5)
+
+
+def test_true_pairs_classified_as_matches(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} a{i} b{i} c{i} d{i} e{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    rows = fs_link(docs).collect()
+    gold = {(r["id_a"], r["id_b"]) for r in rows if r["id_b"] == r["id_a"] + 100000}
+    assert gold
+    matched = {
+        (r["id_a"], r["id_b"])
+        for r in rows
+        if r["is_match"] and (r["id_a"], r["id_b"]) in gold
+    }
+    # every surviving exact-dup pair scores as a match
+    assert matched == gold
+    # and the noise pairs dominate yet mostly score below threshold
+    noise = [r for r in rows if r["g_name"] == 0 and r["g_tok"] == 0]
+    assert noise and all(not r["is_match"] for r in noise)
+
+
+def test_tf_adjustment_downweights_hot_names(spark):
+    from berkeley_entity_spark.operators.linkage import fs_link_tf
+
+    # 12 docs share one hot 5-token name; 1 doc has a rare name.  All get
+    # exact +100000 copies, so both name values produce g_name=2 pairs.
+    hot = "smith john common name here filler"
+    rare = "xanthippe quarry obelisk meridian paradox filler"
+    docs = spark.createDataFrame(
+        [(i, hot) for i in range(12)] + [(99, rare)],
+        ["doc_id", "text"],
+    )
+    rows = fs_link_tf(docs).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r for r in rows}
+    hot_pair = by_pair[(0, 100000)]
+    rare_pair = by_pair[(99, 100099)]
+    assert hot_pair["g_name"] == 2 and rare_pair["g_name"] == 2
+    # same unadjusted posterior (same gamma pattern) ...
+    assert hot_pair["p_match"] == rare_pair["p_match"]
+    # ... but the rare name is stronger evidence after the tf adjustment
+    assert rare_pair["p_match_tf"] > hot_pair["p_match_tf"]
+    # non-exact pairs are untouched by the adjustment
+    for r in rows:
+        if r["g_name"] != 2:
+            assert r["p_match_tf"] == r["p_match"]
+
+
+def test_hot_block_stays_capped(spark):
+    # 500 docs all sharing the block token: pair volume must be bounded by
+    # C(max_block, 2), not C(1500, 2)
+    docs = spark.createDataFrame(
+        [(i, f"hotword a{i} b{i} c{i} d{i} e{i}") for i in range(500)],
+        ["doc_id", "text"],
+    )
+    n = fs_comparison_vectors(fs_gate_records(docs), max_block=48).count()
+    assert 0 < n <= 48 * 47 // 2

@@ -181,3 +181,24 @@ def test_conll_f1_is_average_and_doc_scoped(spark):
     # CEAFe counts 5 pred clusters total (3 in d1 after scoping? no — 2+2)
     # sanity: perfect d2, imperfect d1 -> ceafe strictly between 0 and 1
     assert 0.0 < row["ceafe_f1"] < 1.0
+
+
+def test_ceafm_identity_and_textbook(spark):
+    """Luo 2005 phi3 by hand on the same example as the CEAFe test:
+    gold {1,2,3},{4,5}; pred {1,2,4},{3},{5}.  Cell counts =
+    [[2,1],[1,0],[0,1]]; optimal mention alignment = C1-E1 (2) + C3-E2
+    (1) = 3 of 5 mentions -> P = R = F1 = 3/5."""
+    from berkeley_entity_spark.evaluate import ceafm_metrics
+
+    pred, gold = frames(spark, [["a", "b"], ["c"]], [["a", "b"], ["c"]])
+    row = ceafm_metrics(pred, gold).collect()[0]
+    assert row["ceafm_precision"] == pytest.approx(1.0)
+    assert row["ceafm_f1"] == pytest.approx(1.0)
+
+    pred, gold = frames(
+        spark, [["1", "2", "4"], ["3"], ["5"]], [["1", "2", "3"], ["4", "5"]]
+    )
+    row = ceafm_metrics(pred, gold).collect()[0]
+    assert row["ceafm_precision"] == pytest.approx(3 / 5)
+    assert row["ceafm_recall"] == pytest.approx(3 / 5)
+    assert row["ceafm_f1"] == pytest.approx(3 / 5)

@@ -225,3 +225,89 @@ def test_incremental_dedup_hot_bucket_cap_and_idempotent_sink(spark, tmp_path):
     assert {
         (r["doc_id"], r["bucket"]) for r in spark.read.parquet(state).collect()
     } == state_set
+
+
+def _as_pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string").selectExpr(
+        "url", "CAST(NULL AS timestamp) AS warc_ts",
+        "CAST(NULL AS binary) AS html", "text", "'en' AS lang",
+    )
+
+
+def test_incremental_er_equals_batch_cc(spark, tmp_path):
+    """Incremental entity resolution: draining batches through
+    start_incremental_er_stream yields EXACTLY the batch pipeline's
+    clusters (bucket-join pairs -> connected components) — including a
+    cross-batch merge of two clusters that existed in earlier snapshots.
+
+    The merge scenario is deterministic for this fixed data: T2 differs
+    from T1 only in the final token, so they share every shingle except
+    one and collide on at least one LSH band; T1's cluster forms in batch
+    1, T2's in batch 2, and the T1/T2 band collision must MERGE them —
+    exercising the touched-cluster recompute path, while the batch-3 drop
+    extends an existing cluster (affected-edges path) and adds fresh
+    within-batch clusters (no-prev path ran in batch 1)."""
+    from berkeley_entity_spark.operators.clustering import connected_components
+    from berkeley_entity_spark.operators.dedup import minhash_band_buckets
+    from berkeley_entity_spark.streaming.ingest import (
+        start_incremental_er_stream,
+    )
+
+    t1 = "quantum harbor lighthouse meridian obelisk paradox quarry riverbed sandstone timber"
+    t2 = "quantum harbor lighthouse meridian obelisk paradox quarry riverbed sandstone granite"
+    t3 = "completely different words entirely unrelated content spanning another topic altogether"
+    root = str(tmp_path / "er_pages")
+    drops = [
+        [("a1", t1), ("a2", t1), ("c1", t3)],
+        [("b1", t2), ("b2", t2), ("c2", t3)],
+        [("a3", t1), ("d1", "lone unpaired page with unique text"), ],
+    ]
+    for rows in drops:
+        _as_pages(spark, rows).write.mode("append").parquet(root)
+    all_rows = [r for d in drops for r in d]
+
+    state = str(tmp_path / "er_state")
+    pairs = str(tmp_path / "er_pairs")
+    assign = str(tmp_path / "er_assign")
+    ckpt = str(tmp_path / "er_ckpt")
+    q = start_incremental_er_stream(spark, root, state, pairs, assign, ckpt)
+    q.awaitTermination(300)
+
+    snaps = spark.read.parquet(assign)
+    last = snaps.agg(F.max("batch_id")).collect()[0][0]
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in snaps.where(F.col("batch_id") == last).collect()
+    }
+
+    docs = _as_pages(spark, all_rows).select(F.col("url").alias("doc_id"), "text")
+    b = minhash_band_buckets(docs)
+    a = b.toDF("id_a", "bucket")
+    batch_pairs = (
+        a.join(b.toDF("id_b", "bucket"), "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(F.xxhash64("id_a").alias("u"), F.xxhash64("id_b").alias("v"))
+        .distinct()
+    )
+    want = {
+        (r["node_id"], r["component"])
+        for r in connected_components(batch_pairs).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # the T1 cluster (batch 1) and T2 cluster (batch 2) really merged
+    hashes = {
+        r["url"]: r["h"]
+        for r in _as_pages(spark, all_rows)
+        .select("url", F.xxhash64("url").alias("h"))
+        .collect()
+    }
+    cluster_of = dict(got)
+    t_ids = [hashes[u] for u in ("a1", "a2", "a3", "b1", "b2")]
+    assert len({cluster_of[h] for h in t_ids}) == 1, (
+        "T1/T2 band collision did not merge the clusters — adjust tokens"
+    )
+    # the unrelated-text cluster stayed separate; the singleton stayed out
+    assert cluster_of[hashes["c1"]] == cluster_of[hashes["c2"]]
+    assert cluster_of[hashes["c1"]] != cluster_of[hashes["a1"]]
+    assert hashes["d1"] not in cluster_of

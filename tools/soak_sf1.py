@@ -107,6 +107,11 @@ SOAK_EXTRA = [
     "q_simhash_pairs",
     "q_exact_dedup",
     "q_stratified_sample",
+    # sixth-session linkage family: EM on sufficient stats must stay
+    # corpus-size-free (<= 6 collected rows) — the soak proves the wall
+    # scales with pair volume only
+    "q_fs_em",
+    "q_blocking_metrics",
 ]
 
 
