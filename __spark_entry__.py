@@ -837,6 +837,23 @@ def q_ceafm(spark, sf_dir):
     return m.select(*[F.round(c, 6).alias(c) for c in m.columns])
 
 
+def q_cluster_agreement(spark, sf_dir):
+    """Partition-agreement metrics (evaluate.clustering_agreement): ARI +
+    homogeneity/completeness/V-measure between the lang and source
+    labelings of documents — the same two partitions q_bcubed scores, so
+    the coref-style and information-theoretic views are directly
+    comparable.  Exact BIGINT pair counts; ln-ratio entropy sums over the
+    |C|x|E| cells table only."""
+    from berkeley_entity_spark.evaluate import clustering_agreement
+
+    d = _t(spark, sf_dir, "documents")
+    m = clustering_agreement(
+        d.select(F.col("doc_id").alias("mention_id"), F.col("lang").alias("cluster_id")),
+        d.select(F.col("doc_id").alias("mention_id"), F.col("source").alias("entity_id")),
+    )
+    return m.select(*[F.round(c, 6).alias(c) for c in m.columns])
+
+
 def q_mention_props(spark, sf_dir):
     """P11/S4: number+gender mention properties via the Bergsma-Lin count
     lookup (phrase -> head backoff, confidence-gated gender, person
@@ -1643,6 +1660,94 @@ def q_dedup_keep_one(spark, sf_dir):
     return near_dup_keep_one(_docs_with_dups(spark, sf_dir))
 
 
+def q_cluster_cohesion(spark, sf_dir):
+    """Per-cluster cohesion audit (clustering.cluster_cohesion) over the
+    near-dup match graph: LSH pairs -> connected components -> accepted-
+    edge density per multi-member cluster, with the integer-exact
+    chaining flag (4*e < n*(n-1) AND n >= 3) — the over-merge QA signal
+    transitive closure itself cannot see.  Oracle replays pairs, the
+    recursive-CTE closure, and the density arithmetic."""
+    from berkeley_entity_spark.operators.clustering import (
+        cluster_cohesion,
+        connected_components,
+    )
+    from berkeley_entity_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, bands=4, rows=2).localCheckpoint(eager=True)
+    comp = connected_components(pairs.toDF("u", "v"))
+    assign = (
+        docs.select("doc_id")
+        .join(comp.toDF("doc_id", "cluster_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
+    return cluster_cohesion(assign, pairs)
+
+
+def _golden_inputs(spark, sf_dir):
+    """Deterministic web-page-shaped records + near-dup cluster assignment
+    for q_golden_record: the dup-injected corpus gains a url (host from
+    doc_id % 37), an epoch-second warc_ts (doc_id * 977 % 100000), and a
+    nullable, shadow-uppercased lang (exercises the all-null branch via
+    doc_id % 5 and the majority tie-break via 'ES' vs 'es'); clusters come
+    from the real keep-one near-dup pipeline."""
+    from berkeley_entity_spark.operators.dedup import near_dup_keep_one
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "text",
+            F.upper("lang").alias("lang"),
+        )
+    )
+    recs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://src"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("doc_id") * 977) % 100000
+        ).alias("warc_ts"),
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+    )
+    ko = near_dup_keep_one(docs.select("doc_id", "text"))
+    assign = (
+        recs.select("url", "doc_id")
+        .join(ko.select("doc_id", "canonical_id"), "doc_id")
+        .select("url", F.col("canonical_id").alias("cluster_id"))
+    )
+    return recs.drop("doc_id"), assign
+
+
+def q_golden_record(spark, sf_dir):
+    """Golden-record survivorship (operators/survivorship.py): one
+    canonical record per near-dup cluster with deterministic field rules —
+    min url, latest-crawl url/ts, longest text, modal non-null lang — each
+    tie-break replayed as an explicit window order in the DuckDB oracle
+    on top of the same recursive-CTE closure as q_dedup_keep_one."""
+    from berkeley_entity_spark.operators.survivorship import golden_records
+
+    recs, assign = _golden_inputs(spark, sf_dir)
+    g = golden_records(recs, assign)
+    return g.select(
+        "cluster_id",
+        "n_members",
+        "n_langs",
+        "canonical_url",
+        "latest_url",
+        F.unix_millis("latest_ts").alias("latest_ts_ms"),
+        "best_text",
+        "lang_majority",
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3 appendix C shape): training docs
     sharing any 13-token gram with the benchmark slice (base docs with
@@ -1918,6 +2023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bcubed": q_bcubed,
         "q_ceafe": q_ceafe,
         "q_ceafm": q_ceafm,
+        "q_cluster_agreement": q_cluster_agreement,
+        "q_cluster_cohesion": q_cluster_cohesion,
+        "q_golden_record": q_golden_record,
         "q_mention_props": q_mention_props,
         "q_entity_consensus": q_entity_consensus,
         "q_conll_roundtrip": q_conll_roundtrip,
@@ -3214,11 +3322,12 @@ FROM m
 """
 
 
-def _keep_one_oracle(bands: int = 4, rows: int = 2) -> str:
-    """SQL replay of q_dedup_keep_one: the exact minhash-LSH pair derivation
-    (same CTEs as the q_minhash_lsh oracle) plus the transitive closure as a
-    recursive CTE (component = min member, the OrderedClustering policy) and
-    the keep-one assignment for every doc."""
+def _minhash_closure_ctes(bands: int = 4, rows: int = 2) -> str:
+    """Shared CTE prefix (docs .. pairs .. comp) for every oracle that
+    replays minhash-LSH pairs + the recursive-CTE transitive closure over
+    the dup-injected corpus: q_dedup_keep_one, q_cluster_cohesion,
+    q_golden_record.  Ends at `comp(node, canonical)`; callers append
+    their own tail CTEs/SELECT."""
     n = bands * rows
     mh = ", ".join(
         f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS mh{i}"
@@ -3250,11 +3359,105 @@ walk(node, src) AS (
     SELECT node, node FROM nodes
     UNION
     SELECT s.b, walk.src FROM walk JOIN sym s ON s.a = walk.node),
-comp AS (SELECT node, min(src) AS canonical FROM walk GROUP BY node)
+comp AS (SELECT node, min(src) AS canonical FROM walk GROUP BY node)"""
+
+
+def _keep_one_oracle(bands: int = 4, rows: int = 2) -> str:
+    """SQL replay of q_dedup_keep_one: the exact minhash-LSH pair derivation
+    (same CTEs as the q_minhash_lsh oracle) plus the transitive closure as a
+    recursive CTE (component = min member, the OrderedClustering policy) and
+    the keep-one assignment for every doc."""
+    return f"""{_minhash_closure_ctes(bands, rows)}
 SELECT d.doc_id,
        COALESCE(c.canonical, d.doc_id) AS canonical_id,
        COALESCE(c.canonical, d.doc_id) = d.doc_id AS kept
 FROM docs d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+def _cohesion_oracle(bands: int = 4, rows: int = 2) -> str:
+    """SQL replay of q_cluster_cohesion: the shared minhash-LSH + closure
+    prefix, cluster assignment (canonical = min member, singletons =
+    self), per-cluster accepted-edge count, and the integer-exact
+    density/chaining arithmetic."""
+    return f"""{_minhash_closure_ctes(bands, rows)},
+assign AS (SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS cluster_id
+           FROM docs d LEFT JOIN comp c ON c.node = d.doc_id),
+e AS (SELECT a.cluster_id, count(*) AS n_edges
+      FROM pairs p
+      JOIN assign a ON a.doc_id = p.id_a
+      JOIN assign b2 ON b2.doc_id = p.id_b
+      WHERE a.cluster_id = b2.cluster_id
+      GROUP BY 1),
+n AS (SELECT cluster_id, count(*) AS n_members
+      FROM assign GROUP BY 1)
+SELECT n.cluster_id, n.n_members,
+       COALESCE(e.n_edges, 0) AS n_edges,
+       round(2.0 * COALESCE(e.n_edges, 0)
+             / (n.n_members * (n.n_members - 1)), 6) AS density,
+       (n.n_members >= 3
+        AND 4 * COALESCE(e.n_edges, 0)
+            < n.n_members * (n.n_members - 1)) AS is_chained
+FROM n LEFT JOIN e USING (cluster_id)
+WHERE n.n_members >= 2
+"""
+
+
+_GOLDEN_RECS_SQL = """
+recs AS (SELECT doc_id,
+    'https://src' || CAST(doc_id % 37 AS VARCHAR) || '.example.com/d/'
+        || CAST(doc_id AS VARCHAR) AS url,
+    1704067200 + (doc_id * 977) % 100000 AS ts_s,
+    text,
+    CASE WHEN doc_id % 5 = 0 THEN NULL
+         WHEN doc_id >= 100000 THEN upper(lang) ELSE lang END AS lang
+  FROM (SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text, lang FROM documents) d0)"""
+
+
+def _golden_record_oracle(bands: int = 4, rows: int = 2) -> str:
+    """SQL replay of q_golden_record: nests the keep-one closure as the
+    cluster assignment, rebuilds the deterministic record fields
+    (url / epoch-second warc_ts / nullable cased lang) and replays every
+    survivorship tie-break as an explicit window order:
+    latest = (ts DESC, url DESC), best text = (length DESC, url ASC),
+    lang majority = (votes DESC, lang ASC) over non-null members."""
+    return f"""{_minhash_closure_ctes(bands, rows)},
+{_GOLDEN_RECS_SQL},
+j AS (SELECT COALESCE(c.canonical, r.doc_id) AS cluster_id, r.*
+      FROM recs r LEFT JOIN comp c ON c.node = r.doc_id),
+core AS (SELECT cluster_id, count(*) AS n_members,
+                min(url) AS canonical_url
+         FROM j GROUP BY 1),
+latest AS (SELECT cluster_id, url AS latest_url, ts_s FROM (
+             SELECT cluster_id, url, ts_s,
+                    row_number() OVER (PARTITION BY cluster_id
+                        ORDER BY ts_s DESC, url DESC) AS rn
+             FROM j) WHERE rn = 1),
+best AS (SELECT cluster_id, text AS best_text FROM (
+           SELECT cluster_id, text,
+                  row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY length(text) DESC, url ASC) AS rn
+           FROM j) WHERE rn = 1),
+votes AS (SELECT cluster_id, lang, count(*) AS n_v
+          FROM j WHERE lang IS NOT NULL GROUP BY 1, 2),
+langm AS (SELECT cluster_id, lang AS lang_majority FROM (
+            SELECT cluster_id, lang,
+                   row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY n_v DESC, lang ASC) AS rn
+            FROM votes) WHERE rn = 1),
+nl AS (SELECT cluster_id, count(*) AS n_langs FROM votes GROUP BY 1)
+SELECT core.cluster_id, core.n_members,
+       COALESCE(nl.n_langs, 0) AS n_langs,
+       core.canonical_url, latest.latest_url,
+       CAST(latest.ts_s * 1000 AS BIGINT) AS latest_ts_ms,
+       best.best_text, langm.lang_majority
+FROM core
+JOIN latest USING (cluster_id)
+JOIN best USING (cluster_id)
+LEFT JOIN langm USING (cluster_id)
+LEFT JOIN nl USING (cluster_id)
 """
 
 
@@ -3692,6 +3895,43 @@ SELECT correct, total_pred, total_gold,
        round(CAST(CASE WHEN pn + rn > 0 THEN 2 * pn * rn / (pn + rn) ELSE 0.0 END AS DOUBLE), 6) AS f1_nil
 FROM r
 """,
+        "q_cluster_agreement": """
+            WITH j AS (SELECT doc_id, lang AS c, source AS e FROM documents),
+            cells AS (SELECT c, e, count(*) AS n_ce FROM j GROUP BY 1, 2),
+            nc AS (SELECT c, sum(n_ce) AS n_c FROM cells GROUP BY 1),
+            ne AS (SELECT e, sum(n_ce) AS n_e FROM cells GROUP BY 1),
+            base AS (SELECT sum(n_ce) AS n,
+                            sum(n_ce * (n_ce - 1)) AS t_cells,
+                            sum(n_ce * ln(n_c * 1.0 / n_ce)) AS s_e_given_c,
+                            sum(n_ce * ln(n_e * 1.0 / n_ce)) AS s_c_given_e
+                     FROM cells JOIN nc USING (c) JOIN ne USING (e)),
+            r AS (SELECT sum(n_c * (n_c - 1)) AS t_rows,
+                         sum(n_c * ln(n_c)) AS s_rows FROM nc),
+            cc AS (SELECT sum(n_e * (n_e - 1)) AS t_cols,
+                          sum(n_e * ln(n_e)) AS s_cols FROM ne),
+            m AS (SELECT t_cells / 2.0 AS a, t_rows / 2.0 AS r2,
+                         t_cols / 2.0 AS c2, n * (n - 1) / 2.0 AS npairs,
+                         s_e_given_c / n AS h_e_c, s_c_given_e / n AS h_c_e,
+                         ln(n) - s_cols / n AS h_e, ln(n) - s_rows / n AS h_c
+                  FROM base, r, cc),
+            f AS (SELECT
+                    CASE WHEN (r2 + c2) / 2.0 - r2 * c2 / npairs = 0 THEN 1.0
+                         ELSE (a - r2 * c2 / npairs)
+                              / ((r2 + c2) / 2.0 - r2 * c2 / npairs) END AS ari,
+                    CASE WHEN h_e = 0 THEN 1.0
+                         ELSE 1.0 - h_e_c / h_e END AS homogeneity,
+                    CASE WHEN h_c = 0 THEN 1.0
+                         ELSE 1.0 - h_c_e / h_c END AS completeness
+                  FROM m)
+            SELECT round(ari, 6) AS ari,
+                   round(homogeneity, 6) AS homogeneity,
+                   round(completeness, 6) AS completeness,
+                   round(CASE WHEN homogeneity + completeness > 0
+                              THEN 2.0 * homogeneity * completeness
+                                   / (homogeneity + completeness)
+                              ELSE 0.0 END, 6) AS v_measure
+            FROM f
+        """,
         "q_bcubed": """
             WITH j AS (SELECT doc_id, lang AS c, source AS e FROM documents),
             cells AS (SELECT c, e, count(*) AS n_ce FROM j GROUP BY c, e),
@@ -4239,6 +4479,8 @@ JOIN nodes nu ON nu.node = e.id_a
 JOIN nodes nv ON nv.node = e.id_b
 WHERE e.cbs * nu.cw >= nu.sw OR e.cbs * nv.cw >= nv.sw
 """
+    out["q_cluster_cohesion"] = _cohesion_oracle()
+    out["q_golden_record"] = _golden_record_oracle()
     out["q_fs_em"] = _fs_em_oracle(n_iter=5)
     out["q_blocking_metrics"] = _blocking_metrics_oracle()
     out["q_fs_tf"] = _fs_tf_oracle(n_iter=5)

@@ -276,6 +276,103 @@ def ceafm_metrics(
     )
 
 
+def clustering_agreement(
+    pred: DataFrame, gold: DataFrame, key: str = "mention_id"
+) -> DataFrame:
+    """Partition-agreement metrics beside the coref-specific scorers: ARI
+    (Hubert & Arabie 1985, pair-counting adjusted Rand) and V-measure with
+    its homogeneity/completeness components (Rosenberg & Hirschberg 2007)
+    — the external-validation numbers a clustering pipeline publishes when
+    the gold side is a labeling rather than a coref key file.
+
+    Everything reduces over the (cluster x entity) intersection-cells
+    table (|C|*|E| rows, never mentions): the pair counts sum n*(n-1)
+    per cell/row/column in exact BIGINT and halve only in the final
+    double-precision formula; the conditional entropies are one weighted
+    ln-ratio sum over the same cells.  Edge conventions follow sklearn:
+    ARI = 1 when the adjustment denominator is 0 (both partitions trivial
+    in the same way), homogeneity/completeness = 1 when the respective
+    reference entropy is 0, V = 0 when h + c = 0.
+
+    One row: (ari, homogeneity, completeness, v_measure)."""
+    j = pred.select(key, "cluster_id").join(gold.select(key, "entity_id"), key)
+    cells = j.groupBy("cluster_id", "entity_id").agg(
+        F.count(F.lit(1)).alias("n_ce")
+    )
+    nc = cells.groupBy("cluster_id").agg(F.sum("n_ce").alias("n_c"))
+    ne = cells.groupBy("entity_id").agg(F.sum("n_ce").alias("n_e"))
+    cj = cells.join(nc, "cluster_id").join(ne, "entity_id")
+    base = cj.agg(
+        F.sum("n_ce").alias("n"),
+        F.sum(F.col("n_ce") * (F.col("n_ce") - 1)).alias("t_cells"),
+        F.sum(
+            F.col("n_ce") * F.log(F.col("n_c") / F.col("n_ce"))
+        ).alias("s_e_given_c"),
+        F.sum(
+            F.col("n_ce") * F.log(F.col("n_e") / F.col("n_ce"))
+        ).alias("s_c_given_e"),
+    )
+    rows = nc.agg(
+        F.sum(F.col("n_c") * (F.col("n_c") - 1)).alias("t_rows"),
+        F.sum(F.col("n_c") * F.log("n_c")).alias("s_rows"),
+    )
+    cols = ne.agg(
+        F.sum(F.col("n_e") * (F.col("n_e") - 1)).alias("t_cols"),
+        F.sum(F.col("n_e") * F.log("n_e")).alias("s_cols"),
+    )
+    m = (
+        base.crossJoin(rows)
+        .crossJoin(cols)
+        .select(
+            (F.col("t_cells") / 2.0).alias("a"),
+            (F.col("t_rows") / 2.0).alias("r2"),
+            (F.col("t_cols") / 2.0).alias("c2"),
+            (F.col("n") * (F.col("n") - 1) / 2.0).alias("npairs"),
+            # H(E|C) = sum (n_ce/n) ln(n_c/n_ce); H(E) = ln n - sum (n_e/n) ln n_e
+            (F.col("s_e_given_c") / F.col("n")).alias("h_e_c"),
+            (F.col("s_c_given_e") / F.col("n")).alias("h_c_e"),
+            (F.log("n") - F.col("s_cols") / F.col("n")).alias("h_e"),
+            (F.log("n") - F.col("s_rows") / F.col("n")).alias("h_c"),
+        )
+        .select(
+            F.when(
+                (F.col("r2") + F.col("c2")) / 2.0
+                - F.col("r2") * F.col("c2") / F.col("npairs")
+                == 0,
+                F.lit(1.0),
+            )
+            .otherwise(
+                (F.col("a") - F.col("r2") * F.col("c2") / F.col("npairs"))
+                / (
+                    (F.col("r2") + F.col("c2")) / 2.0
+                    - F.col("r2") * F.col("c2") / F.col("npairs")
+                )
+            )
+            .alias("ari"),
+            F.when(F.col("h_e") == 0, F.lit(1.0))
+            .otherwise(1.0 - F.col("h_e_c") / F.col("h_e"))
+            .alias("homogeneity"),
+            F.when(F.col("h_c") == 0, F.lit(1.0))
+            .otherwise(1.0 - F.col("h_c_e") / F.col("h_c"))
+            .alias("completeness"),
+        )
+    )
+    return m.select(
+        "ari",
+        "homogeneity",
+        "completeness",
+        F.when(
+            F.col("homogeneity") + F.col("completeness") > 0,
+            2.0
+            * F.col("homogeneity")
+            * F.col("completeness")
+            / (F.col("homogeneity") + F.col("completeness")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v_measure"),
+    )
+
+
 def _doc_cells(
     pred: DataFrame, gold: DataFrame, key: str, doc_col: str | None
 ) -> DataFrame:

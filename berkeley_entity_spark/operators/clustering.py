@@ -304,3 +304,68 @@ def assign_clusters(
         .join(surf_assign, "norm_name")
         .select("mention_id", "cluster_id")
     )
+
+
+def cluster_cohesion(
+    assign: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Per-cluster cohesion audit over the match graph: how DENSE is each
+    resolved cluster in accepted edges?
+
+    Transitive closure makes every chained merge look like any other
+    cluster; the standard ER QA signal for over-merging (the "chaining"
+    failure CC inherits from single-link clustering) is edge density —
+    a cluster of n members holding barely n-1 of its n(n-1)/2 possible
+    match edges was glued by a chain, one holding most of them was
+    confirmed pairwise.  Output per multi-member cluster:
+
+      (cluster_id, n_members, n_edges, density, is_chained)
+
+    density = 2*e / (n*(n-1)); is_chained uses the integer-exact test
+    4*e < n*(n-1) (density < 0.5) AND n >= 3, so the flag is
+    engine-portable with no float compare.
+
+    Scale shape: two broadcast-free equi-joins mapping edge endpoints to
+    their clusters (edges already live in one cluster by construction,
+    but the join re-derives it rather than trusting the caller), then one
+    groupBy(cluster).  Nothing is quadratic: |edges| is the blocked,
+    capped candidate-pair volume, and counting is map-side combinable."""
+    a = assign.select(
+        F.col(id_col).alias("id_a"), F.col(cluster_col).alias("_ca")
+    )
+    b = assign.select(
+        F.col(id_col).alias("id_b"), F.col(cluster_col).alias("_cb")
+    )
+    e = (
+        edges.join(a, "id_a")
+        .join(b, "id_b")
+        .where(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias(cluster_col))
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    n = assign.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        n.where(F.col("n_members") >= 2)
+        .join(e, cluster_col, "left")
+        .select(
+            cluster_col,
+            "n_members",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.round(
+                2.0
+                * F.coalesce("n_edges", F.lit(0))
+                / (F.col("n_members") * (F.col("n_members") - 1)),
+                6,
+            ).alias("density"),
+            (
+                (F.col("n_members") >= 3)
+                & (
+                    4 * F.coalesce("n_edges", F.lit(0))
+                    < F.col("n_members") * (F.col("n_members") - 1)
+                )
+            ).alias("is_chained"),
+        )
+    )

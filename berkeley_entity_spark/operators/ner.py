@@ -189,16 +189,15 @@ def load_default_ner_weights():
     Mirrors the pairwise scorer's artifact policy: the reference always tags
     with a trained CRF (NerSystemLabeled.scala:48-124); the hand-set
     emission model is only the bootstrap fallback."""
+    import io
     import json
-    import os
 
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "ml", "ner_weights.npz",
-    )
-    if not os.path.exists(path):
+    from berkeley_entity_spark.util import artifact_bytes
+
+    raw = artifact_bytes("ner_weights.npz")
+    if raw is None:
         return None
-    data = np.load(path, allow_pickle=False)
+    data = np.load(io.BytesIO(raw), allow_pickle=False)
     feats = json.loads(str(data["features_json"]))
     W = data["W"]
     if W.shape[0] != len(LABELS):

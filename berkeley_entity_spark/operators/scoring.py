@@ -12,7 +12,6 @@ min-count cutoff) and broadcast into the kernel.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -48,19 +47,20 @@ def weights_vector(weights: dict[str, float] | None = None) -> np.ndarray:
     return np.array([w[name] for name in FEATURE_NAMES], dtype=np.float64)
 
 
-_TRAINED_ARTIFACT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "ml", "default_weights.npy",
-)
-
-
 def load_default_weights() -> np.ndarray:
     """The production weight vector: the trained AdaGrad-L1 artifact
     (tools/train_default_weights.py; the reference never scores with an
     untrained model — coref/PairwiseScorer.scala:13-15), falling back to the
-    hand-set vector only when the artifact is absent."""
-    if os.path.exists(_TRAINED_ARTIFACT):
-        w = np.load(_TRAINED_ARTIFACT)
+    hand-set vector only when the artifact is absent.  Read through
+    artifact_bytes so a spark-submit --py-files zip deployment loads it
+    too (zipimport has no filesystem __file__)."""
+    import io
+
+    from berkeley_entity_spark.util import artifact_bytes
+
+    raw = artifact_bytes("default_weights.npy")
+    if raw is not None:
+        w = np.load(io.BytesIO(raw))
         if w.shape == (len(FEATURE_NAMES),):
             return w
     return weights_vector()

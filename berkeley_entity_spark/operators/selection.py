@@ -370,15 +370,11 @@ def load_default_quality_weights():
     """(weights, bias, n_buckets) trained by tools/train_quality_classifier.py,
     or None if the artifact is absent."""
     import json
-    import os
 
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "ml",
-        "quality_clf.json",
-    )
-    if not os.path.exists(path):
+    from berkeley_entity_spark.util import artifact_bytes
+
+    raw = artifact_bytes("quality_clf.json")
+    if raw is None:
         return None
-    with open(path) as f:
-        d = json.load(f)
+    d = json.loads(raw)
     return d["weights"], d["bias"], d["n_buckets"]

@@ -88,3 +88,21 @@ def maybe_broadcast(
     if estimated_bytes(df, n_rows) > cap_bytes:
         return df
     return F.broadcast(df)
+
+
+def artifact_bytes(name: str) -> bytes | None:
+    """Read a packaged `ml/` artifact (trained weights and the like) via
+    importlib.resources, so loading works identically from a source
+    checkout, an installed wheel, and a `spark-submit --py-files` zip —
+    zipimported packages have no real filesystem __file__, which is why
+    callers must not build os.path joins off module paths.  Returns None
+    when the artifact is absent (the callers' bootstrap-fallback path)."""
+    from importlib import resources
+
+    try:
+        t = resources.files("berkeley_entity_spark.ml").joinpath(name)
+        if not t.is_file():
+            return None
+        return t.read_bytes()
+    except (ModuleNotFoundError, FileNotFoundError, OSError):
+        return None

@@ -95,3 +95,53 @@ def test_cc_distributed_loop_matches_driver_finish(spark):
         }
         assert via_loop == via_driver
         assert via_loop == _union_find_components(edges)
+
+
+# ---------------------------------------------------------------- cohesion
+
+
+def test_cluster_cohesion_density_and_chaining(spark):
+    from berkeley_entity_spark.operators.clustering import cluster_cohesion
+
+    # cluster 1: triangle (dense); cluster 2: 5-chain (chained);
+    # cluster 3: pair; cluster 4: singleton (excluded);
+    # cluster 5: two members, zero edges (left-join zero path)
+    assign = spark.createDataFrame(
+        [(f"a{i}", 1) for i in range(3)]
+        + [(f"b{i}", 2) for i in range(5)]
+        + [("c0", 3), ("c1", 3), ("d0", 4), ("e0", 5), ("e1", 5)],
+        "doc_id string, cluster_id long",
+    )
+    edges = spark.createDataFrame(
+        [("a0", "a1"), ("a0", "a2"), ("a1", "a2")]
+        + [(f"b{i}", f"b{i+1}") for i in range(4)]
+        + [("c0", "c1"), ("a0", "b0")],  # cross-cluster edge must be dropped
+        "id_a string, id_b string",
+    )
+    got = {
+        r["cluster_id"]: r for r in cluster_cohesion(assign, edges).collect()
+    }
+    assert 4 not in got  # singleton excluded
+    assert got[1]["n_edges"] == 3 and got[1]["density"] == 1.0
+    assert not got[1]["is_chained"]
+    assert got[2]["n_edges"] == 4 and got[2]["density"] == 0.4
+    assert got[2]["is_chained"]
+    assert got[3]["n_edges"] == 1 and got[3]["density"] == 1.0
+    assert not got[3]["is_chained"]
+    assert got[5]["n_edges"] == 0 and got[5]["density"] == 0.0
+    # n=2 is never flagged chained even at density 0
+    assert not got[5]["is_chained"]
+
+
+def test_cluster_cohesion_exact_half_density_not_chained(spark):
+    from berkeley_entity_spark.operators.clustering import cluster_cohesion
+
+    # 4-path: e=3, n(n-1)=12, 4e=12 -> density exactly 0.5, NOT chained
+    assign = spark.createDataFrame(
+        [(f"p{i}", 1) for i in range(4)], "doc_id string, cluster_id long"
+    )
+    edges = spark.createDataFrame(
+        [("p0", "p1"), ("p1", "p2"), ("p2", "p3")], "id_a string, id_b string"
+    )
+    r = cluster_cohesion(assign, edges).collect()[0]
+    assert r["density"] == 0.5 and not r["is_chained"]

@@ -202,3 +202,72 @@ def test_ceafm_identity_and_textbook(spark):
     assert row["ceafm_precision"] == pytest.approx(3 / 5)
     assert row["ceafm_recall"] == pytest.approx(3 / 5)
     assert row["ceafm_f1"] == pytest.approx(3 / 5)
+
+
+# ------------------------------------------------- clustering agreement
+
+
+def _agreement_ref(pred_clusters, gold_clusters):
+    """Independent pure-Python ARI + V-measure from the contingency table
+    (math.comb / math.log, no shared code with the DataFrame impl)."""
+    import math
+    from collections import Counter
+
+    p = {m: c for c, ms in enumerate(pred_clusters) for m in ms}
+    g = {m: e for e, ms in enumerate(gold_clusters) for m in ms}
+    keys = sorted(set(p) & set(g))
+    n = len(keys)
+    cells = Counter((p[m], g[m]) for m in keys)
+    nc = Counter(p[m] for m in keys)
+    ne = Counter(g[m] for m in keys)
+    a = sum(math.comb(v, 2) for v in cells.values())
+    r2 = sum(math.comb(v, 2) for v in nc.values())
+    c2 = sum(math.comb(v, 2) for v in ne.values())
+    npairs = math.comb(n, 2)
+    exp = r2 * c2 / npairs
+    mx = (r2 + c2) / 2
+    ari = 1.0 if mx == exp else (a - exp) / (mx - exp)
+    h_e = -sum(v / n * math.log(v / n) for v in ne.values())
+    h_c = -sum(v / n * math.log(v / n) for v in nc.values())
+    h_e_c = -sum(
+        v / n * math.log(v / nc[ck]) for (ck, _), v in cells.items()
+    )
+    h_c_e = -sum(
+        v / n * math.log(v / ne[ek]) for (_, ek), v in cells.items()
+    )
+    hom = 1.0 if h_e == 0 else 1 - h_e_c / h_e
+    com = 1.0 if h_c == 0 else 1 - h_c_e / h_c
+    v = 0.0 if hom + com == 0 else 2 * hom * com / (hom + com)
+    return {"ari": ari, "homogeneity": hom, "completeness": com, "v_measure": v}
+
+
+def _agreement(spark, pred_clusters, gold_clusters):
+    from berkeley_entity_spark.evaluate import clustering_agreement
+
+    pred, gold = frames(spark, pred_clusters, gold_clusters)
+    row = clustering_agreement(pred, gold).collect()[0]
+    return {k: float(row[k]) for k in row.asDict()}
+
+
+def test_agreement_vs_independent_reference(spark):
+    pred = [["a", "b"], ["c", "d"], ["e", "f", "g"]]
+    gold = [["a", "b", "c"], ["d", "e"], ["f", "g"]]
+    got = _agreement(spark, pred, gold)
+    want = _agreement_ref(pred, gold)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), k
+
+
+def test_agreement_identical_partitions(spark):
+    pred = [["a", "b"], ["c"], ["d", "e", "f"]]
+    got = _agreement(spark, pred, pred)
+    assert all(got[k] == pytest.approx(1.0) for k in got)
+
+
+def test_agreement_single_pred_cluster(spark):
+    # everything in one predicted cluster: completeness 1, homogeneity 0
+    got = _agreement(spark, [["a", "b", "c", "d"]], [["a", "b"], ["c", "d"]])
+    assert got["completeness"] == pytest.approx(1.0)
+    assert got["homogeneity"] == pytest.approx(0.0)
+    assert got["v_measure"] == pytest.approx(0.0)
+    assert got["ari"] == pytest.approx(0.0)  # adjusted: chance-level
