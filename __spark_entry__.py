@@ -1684,6 +1684,77 @@ def q_cluster_cohesion(spark, sf_dir):
     return cluster_cohesion(assign, pairs)
 
 
+def q_cluster_repair(spark, sf_dir):
+    """Over-merge remediation (clustering.repair_chained_clusters): the
+    near-dup graph is poisoned with deterministic bridge edges
+    ((i, i+1) for i % 50 = 0 — exactly the spurious-link failure
+    single-link closure cannot survive), clusters are closed over the
+    poisoned graph, the cohesion audit flags the chains, and the flagged
+    clusters are re-closed using only strong edges (integer-exact token
+    Jaccard >= 0.6: 5*inter >= 3*union).  Healthy clusters pass through
+    untouched.  The oracle replays the poisoning, BOTH recursive-CTE
+    closures, the cohesion flag, and the Jaccard arithmetic."""
+    from berkeley_entity_spark.operators.clustering import (
+        connected_components,
+        repair_chained_clusters,
+    )
+    from berkeley_entity_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, bands=4, rows=2)
+    base = docs.where(F.col("doc_id") < 100000).select("doc_id")
+    bridges = (
+        base.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .where(F.col("id_a") % 50 == 0)
+        .join(base.select(F.col("doc_id").alias("id_b")), "id_b")
+    )
+    edges = (
+        pairs.select("id_a", "id_b")
+        .unionByName(bridges.select("id_a", "id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("toks"),
+    )
+    es = (
+        edges.join(toks.toDF("id_a", "ta"), "id_a")
+        .join(toks.toDF("id_b", "tb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ta", "tb")).alias("inter"),
+            (F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))).alias("uni"),
+        )
+        .withColumn("strong", 5 * F.col("inter") >= 3 * F.col("uni"))
+    )
+    comp = connected_components(edges.toDF("u", "v"))
+    assign = (
+        docs.select("doc_id")
+        .join(comp.toDF("doc_id", "cluster_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
+    return repair_chained_clusters(assign, es)
+
+
+def q_phonetic_block(spark, sf_dir):
+    """Phonetic blocking pass (blocking.soundex_key_col + phonetic_pairs):
+    soundex-class keys over the REAL extract kernel's distinct surfaces,
+    hot-block row_number cap, band self-join.  The key is deliberately an
+    engine-portable translate + quantifier-only-regexp chain (RE2 has no
+    backreferences), so the DuckDB oracle replays it rule for rule on top
+    of the nested mention-extraction oracle."""
+    from berkeley_entity_spark.operators.blocking import phonetic_pairs
+    from berkeley_entity_spark.operators.extract import extract_mentions
+
+    m = extract_mentions(_cap_docs(spark, sf_dir), appositive_subspans=True)
+    surfaces = m.select("norm_name").distinct()
+    return phonetic_pairs(surfaces, id_col="norm_name", max_block=64)
+
+
 def _golden_inputs(spark, sf_dir):
     """Deterministic web-page-shaped records + near-dup cluster assignment
     for q_golden_record: the dup-injected corpus gains a url (host from
@@ -2025,6 +2096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ceafm": q_ceafm,
         "q_cluster_agreement": q_cluster_agreement,
         "q_cluster_cohesion": q_cluster_cohesion,
+        "q_cluster_repair": q_cluster_repair,
+        "q_phonetic_block": q_phonetic_block,
         "q_golden_record": q_golden_record,
         "q_mention_props": q_mention_props,
         "q_entity_consensus": q_entity_consensus,
@@ -3322,12 +3395,11 @@ FROM m
 """
 
 
-def _minhash_closure_ctes(bands: int = 4, rows: int = 2) -> str:
-    """Shared CTE prefix (docs .. pairs .. comp) for every oracle that
-    replays minhash-LSH pairs + the recursive-CTE transitive closure over
-    the dup-injected corpus: q_dedup_keep_one, q_cluster_cohesion,
-    q_golden_record.  Ends at `comp(node, canonical)`; callers append
-    their own tail CTEs/SELECT."""
+def _minhash_pairs_ctes(bands: int = 4, rows: int = 2) -> str:
+    """CTE prefix (docs .. pairs) replaying minhash-LSH candidate pairs
+    over the dup-injected corpus.  Opens the WITH RECURSIVE block so
+    callers can append `_closure_sql` tails; ends at
+    `pairs(id_a, id_b)`."""
     n = bands * rows
     mh = ", ".join(
         f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS mh{i}"
@@ -3351,15 +3423,33 @@ sig AS (SELECT doc_id, {mh} FROM sh),
 b AS (SELECT doc_id, unnest([{buckets}]) AS bucket FROM sig),
 pairs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
           FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
-          GROUP BY 1, 2),
-sym AS (SELECT id_a AS a, id_b AS b FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs),
-nodes AS (SELECT DISTINCT a AS node FROM sym),
-walk(node, src) AS (
-    SELECT node, node FROM nodes
+          GROUP BY 1, 2)"""
+
+
+def _closure_sql(edge_cte: str, p: str = "") -> str:
+    """Recursive-CTE transitive closure over `edge_cte(id_a, id_b)`:
+    appends {p}sym/{p}nodes/{p}walk/{p}comp, ending at
+    `{p}comp(node, canonical)` with canonical = min member (the
+    OrderedClustering policy).  Must be appended inside a WITH RECURSIVE
+    block (e.g. after _minhash_pairs_ctes)."""
+    return f""",
+{p}sym AS (SELECT id_a AS a, id_b AS b FROM {edge_cte}
+        UNION ALL SELECT id_b, id_a FROM {edge_cte}),
+{p}nodes AS (SELECT DISTINCT a AS node FROM {p}sym),
+{p}walk(node, src) AS (
+    SELECT node, node FROM {p}nodes
     UNION
-    SELECT s.b, walk.src FROM walk JOIN sym s ON s.a = walk.node),
-comp AS (SELECT node, min(src) AS canonical FROM walk GROUP BY node)"""
+    SELECT s.b, {p}walk.src FROM {p}walk JOIN {p}sym s ON s.a = {p}walk.node),
+{p}comp AS (SELECT node, min(src) AS canonical FROM {p}walk GROUP BY node)"""
+
+
+def _minhash_closure_ctes(bands: int = 4, rows: int = 2) -> str:
+    """Shared CTE prefix (docs .. pairs .. comp) for every oracle that
+    replays minhash-LSH pairs + the recursive-CTE transitive closure over
+    the dup-injected corpus: q_dedup_keep_one, q_cluster_cohesion,
+    q_golden_record.  Ends at `comp(node, canonical)`; callers append
+    their own tail CTEs/SELECT."""
+    return _minhash_pairs_ctes(bands, rows) + _closure_sql("pairs")
 
 
 def _keep_one_oracle(bands: int = 4, rows: int = 2) -> str:
@@ -3372,6 +3462,98 @@ SELECT d.doc_id,
        COALESCE(c.canonical, d.doc_id) AS canonical_id,
        COALESCE(c.canonical, d.doc_id) = d.doc_id AS kept
 FROM docs d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+def _cluster_repair_oracle(bands: int = 4, rows: int = 2) -> str:
+    """SQL replay of q_cluster_repair: minhash pairs + deterministic
+    bridge poisoning, base closure over the poisoned graph, integer-exact
+    Jaccard per edge, the cohesion chaining flag, the strong-edge
+    re-closure of flagged clusters only, and the kept/repaired union."""
+    return f"""{_minhash_pairs_ctes(bands, rows)},
+base AS (SELECT doc_id FROM docs WHERE doc_id < 100000),
+bridges AS (SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+            FROM base a JOIN base b2 ON b2.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 50 = 0),
+edges AS (SELECT id_a, id_b FROM pairs
+          UNION SELECT id_a, id_b FROM bridges){_closure_sql("edges")},
+assign AS (SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS cluster_id
+           FROM docs d LEFT JOIN comp c ON c.node = d.doc_id),
+tok2 AS (SELECT doc_id, list_distinct({TOKQ}) AS toks FROM docs),
+es AS (SELECT e.id_a, e.id_b,
+              len(list_intersect(ta.toks, tb.toks)) AS inter,
+              len(ta.toks) + len(tb.toks)
+                - len(list_intersect(ta.toks, tb.toks)) AS uni
+       FROM edges e
+       JOIN tok2 ta ON ta.doc_id = e.id_a
+       JOIN tok2 tb ON tb.doc_id = e.id_b),
+ec AS (SELECT a.cluster_id, count(*) AS n_edges
+       FROM es
+       JOIN assign a ON a.doc_id = es.id_a
+       JOIN assign b3 ON b3.doc_id = es.id_b
+       WHERE a.cluster_id = b3.cluster_id
+       GROUP BY 1),
+nn AS (SELECT cluster_id, count(*) AS n_members FROM assign GROUP BY 1),
+flagged AS (SELECT nn.cluster_id
+            FROM nn LEFT JOIN ec USING (cluster_id)
+            WHERE nn.n_members >= 3
+              AND 4 * COALESCE(ec.n_edges, 0)
+                  < nn.n_members * (nn.n_members - 1)),
+strong AS (SELECT es.id_a, es.id_b
+           FROM es
+           JOIN assign a ON a.doc_id = es.id_a
+           JOIN assign b4 ON b4.doc_id = es.id_b
+           JOIN flagged f ON f.cluster_id = a.cluster_id
+           WHERE a.cluster_id = b4.cluster_id
+             AND 5 * es.inter >= 3 * es.uni){_closure_sql("strong", "s_")},
+fm AS (SELECT a.doc_id FROM assign a JOIN flagged f USING (cluster_id)),
+rep AS (SELECT fm.doc_id,
+               COALESCE(sc.canonical, fm.doc_id) AS cluster_id,
+               TRUE AS repaired
+        FROM fm LEFT JOIN s_comp sc ON sc.node = fm.doc_id),
+keep AS (SELECT a.doc_id, a.cluster_id, FALSE AS repaired
+         FROM assign a ANTI JOIN flagged f USING (cluster_id))
+SELECT * FROM keep UNION ALL SELECT * FROM rep
+"""
+
+
+def _phonetic_oracle(max_block: int = 64) -> str:
+    """SQL replay of q_phonetic_block on top of the nested mention
+    oracle: the soundex-class chain (translate; strip 9s = h/w merge;
+    per-digit run collapse with 'g'; drop leading code; drop vowel 0s;
+    rpad) — textually the same rule pipeline the Spark expressions run —
+    then the row_number hot-block cap and the band self-join."""
+    collapse = "c1"
+    for d in "0123456":
+        collapse = f"regexp_replace({collapse}, '{d}{{2,}}', '{d}', 'g')"
+    return f"""
+WITH m AS (SELECT * FROM ({_er_mentions_oracle()}) q),
+s AS (SELECT DISTINCT norm_name FROM m),
+k0 AS (SELECT norm_name,
+              list_extract(string_split(norm_name, ' '), 1) AS first
+       FROM s),
+k1 AS (SELECT norm_name, first,
+              regexp_replace(
+                translate(first, 'abcdefghijklmnopqrstuvwxyz',
+                          '01230129022455012623019202'),
+                '9', '', 'g') AS c1
+       FROM k0
+       WHERE regexp_matches(substr(first, 1, 1), '^[a-z]$')),
+k2 AS (SELECT norm_name, first, {collapse} AS c2 FROM k1),
+keyed AS (SELECT norm_name,
+                 upper(substr(first, 1, 1))
+                   || rpad(substr(regexp_replace(substr(c2, 2), '0', '', 'g'),
+                                  1, 3), 3, '0') AS block_key
+          FROM k2),
+capped AS (SELECT norm_name, block_key FROM (
+             SELECT norm_name, block_key,
+                    row_number() OVER (PARTITION BY block_key
+                                       ORDER BY norm_name) AS rn
+             FROM keyed) WHERE rn <= {max_block})
+SELECT DISTINCT a.norm_name AS id_a, b2.norm_name AS id_b, a.block_key
+FROM capped a
+JOIN capped b2 ON a.block_key = b2.block_key
+              AND a.norm_name < b2.norm_name
 """
 
 
@@ -4480,6 +4662,8 @@ JOIN nodes nv ON nv.node = e.id_b
 WHERE e.cbs * nu.cw >= nu.sw OR e.cbs * nv.cw >= nv.sw
 """
     out["q_cluster_cohesion"] = _cohesion_oracle()
+    out["q_cluster_repair"] = _cluster_repair_oracle()
+    out["q_phonetic_block"] = _phonetic_oracle()
     out["q_golden_record"] = _golden_record_oracle()
     out["q_fs_em"] = _fs_em_oracle(n_iter=5)
     out["q_blocking_metrics"] = _blocking_metrics_oracle()

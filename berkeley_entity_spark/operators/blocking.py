@@ -363,3 +363,73 @@ def candidate_pairs(
         )
     )
 
+
+
+# ---------------------------------------------------------------- phonetic
+
+
+def soundex_key_col(name_col="norm_name"):
+    """American-Soundex-class phonetic key as a pure expression chain —
+    the classic record-linkage blocking pass that catches spelling
+    variants (smith/smyth, catherine/kathryn) the exact and
+    sorted-neighborhood keys miss.
+
+    Deliberately implemented as the SAME translate + quantifier-only
+    regexp pipeline both engines run (RE2 has no backreferences or
+    lookahead, so the usual '(\\d)\\1+' collapse is written as one
+    'd{2,}' replace per digit): code letters (h/w -> 9, vowels+y -> 0),
+    strip the 9s (implements the h/w merge rule), collapse runs per
+    digit, drop the leading code (it belongs to the retained first
+    letter), drop the vowel separators, pad to 3.  Keyed on the FIRST
+    token of the normalized surface; NULL when it does not start a-z.
+
+    Standard test vectors (Robert->R163, Tymczak->T522, Pfister->P236,
+    Ashcraft->A261 with the h/w rule) are pinned in tests."""
+    first = F.element_at(F.split(F.col(name_col), " "), 1)
+    code = F.translate(
+        first,
+        "abcdefghijklmnopqrstuvwxyz",
+        "01230129022455012623019202",
+    )
+    code = F.regexp_replace(code, "9", "")  # h/w merge rule
+    for d in "0123456":  # run collapse, one quantifier pattern per digit
+        code = F.regexp_replace(code, d + "{2,}", d)
+    # drop the leading code (the retained first letter's own), then the
+    # vowel separators
+    tail = F.regexp_replace(code.substr(F.lit(2), F.length(code)), "0", "")
+    key = F.concat(
+        F.upper(F.substring(first, 1, 1)),
+        F.rpad(F.substring(tail, 1, 3), 3, "0"),
+    )
+    return F.when(F.substring(first, 1, 1).rlike("^[a-z]$"), key)
+
+
+def phonetic_pairs(
+    surfaces: DataFrame,
+    id_col: str = "node_id",
+    name_col: str = "norm_name",
+    max_block: int = 64,
+) -> DataFrame:
+    """Candidate pairs from the phonetic key: one groupBy-free keying
+    projection, the standard row_number hot-block cap (soundex buckets
+    are famously skewed — S530 holds every smith/smyth/schmidt), and a
+    band self-join.  Output (id_a, id_b, block_key) distinct pairs."""
+    from pyspark.sql import Window
+
+    keyed = surfaces.select(
+        F.col(id_col), soundex_key_col(name_col).alias("block_key")
+    ).where(F.col("block_key").isNotNull())
+    w = Window.partitionBy("block_key").orderBy(id_col)
+    capped = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_block)
+        .drop("rn")
+    )
+    a = capped.toDF("id_a", "block_key")
+    b = capped.toDF("id_b", "block_key")
+    return (
+        a.join(b, "block_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "block_key")
+        .distinct()
+    )

@@ -369,3 +369,56 @@ def cluster_cohesion(
             ).alias("is_chained"),
         )
     )
+
+
+def repair_chained_clusters(
+    assign: DataFrame,
+    edges: DataFrame,
+    strong_col: str = "strong",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Over-merge remediation: transitive closure is single-link, so one
+    spurious bridge edge welds two real entities into one chained cluster
+    forever.  This operator re-closes exactly the clusters the cohesion
+    audit flags (cluster_cohesion's integer-exact chaining test), using
+    only edges marked strong (a caller-supplied boolean — e.g. a tighter
+    jaccard or scorer threshold), and leaves every healthy cluster's
+    assignment untouched.
+
+    Scale shape: flagged clusters are a small subset by construction (the
+    audit exists because most clusters are healthy), so the second CC runs
+    on the flagged subgraph only; untouched assignments pass through via
+    one anti-join, never re-shuffled by cluster content.  New cluster ids
+    keep the min-member convention and cannot collide with kept ids (the
+    node sets are disjoint).
+
+    Output: (id_col, cluster_col, repaired) for EVERY input id."""
+    coh = cluster_cohesion(assign, edges.select("id_a", "id_b"), id_col, cluster_col)
+    flagged = coh.where(F.col("is_chained")).select(cluster_col)
+    fm = assign.join(flagged, cluster_col).select(id_col, cluster_col)
+    ca = assign.select(F.col(id_col).alias("id_a"), F.col(cluster_col).alias("_ca"))
+    cb = assign.select(F.col(id_col).alias("id_b"), F.col(cluster_col).alias("_cb"))
+    strong_edges = (
+        edges.where(F.col(strong_col))
+        .join(ca, "id_a")
+        .join(cb, "id_b")
+        .where(F.col("_ca") == F.col("_cb"))
+        .join(flagged.select(F.col(cluster_col).alias("_ca")), "_ca")
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(strong_edges.toDF("u", "v"))
+    repaired = (
+        fm.select(id_col)
+        .join(comp.toDF(id_col, "_new"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_new", F.col(id_col)).alias(cluster_col),
+            F.lit(True).alias("repaired"),
+        )
+    )
+    kept = (
+        assign.join(flagged, cluster_col, "left_anti")
+        .select(id_col, cluster_col, F.lit(False).alias("repaired"))
+    )
+    return kept.unionByName(repaired)

@@ -145,3 +145,65 @@ def test_cluster_cohesion_exact_half_density_not_chained(spark):
     )
     r = cluster_cohesion(assign, edges).collect()[0]
     assert r["density"] == 0.5 and not r["is_chained"]
+
+
+# ------------------------------------------------------------------ repair
+
+
+def _repair(spark, assign_rows, edge_rows):
+    from berkeley_entity_spark.operators.clustering import (
+        repair_chained_clusters,
+    )
+
+    assign = spark.createDataFrame(assign_rows, "doc_id long, cluster_id long")
+    edges = spark.createDataFrame(
+        edge_rows, "id_a long, id_b long, strong boolean"
+    )
+    return {
+        r["doc_id"]: (r["cluster_id"], r["repaired"])
+        for r in repair_chained_clusters(assign, edges).collect()
+    }
+
+
+def test_repair_splits_bridged_entities(spark):
+    # two triangles {1,2,3} and {4,5,6} welded by one weak bridge 3-4:
+    # density 7/15 < 0.5 and n=6 -> chained; strong re-closure splits
+    assign = [(i, 1) for i in range(1, 7)]
+    edges = (
+        [(1, 2, True), (1, 3, True), (2, 3, True)]
+        + [(4, 5, True), (4, 6, True), (5, 6, True)]
+        + [(3, 4, False)]
+    )
+    got = _repair(spark, assign, edges)
+    assert got[1] == got[2] == got[3] == (1, True)
+    assert got[4] == got[5] == got[6] == (4, True)
+
+
+def test_repair_leaves_healthy_clusters_untouched(spark):
+    # dense cluster (triangle) is NOT flagged even with a weak edge inside
+    assign = [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
+    edges = [(1, 2, True), (1, 3, False), (2, 3, True), (10, 11, False)]
+    got = _repair(spark, assign, edges)
+    assert got[1] == (1, False) and got[3] == (1, False)
+    assert got[10] == (10, False) and got[11] == (10, False)
+
+
+def test_repair_all_weak_chain_shatters_to_singletons(spark):
+    # 5-chain of weak edges -> flagged -> no strong edges -> all singletons
+    assign = [(i, 1) for i in range(1, 6)]
+    edges = [(i, i + 1, False) for i in range(1, 5)]
+    got = _repair(spark, assign, edges)
+    assert got == {i: (i, True) for i in range(1, 6)}
+
+
+def test_repair_strong_cross_cluster_edge_ignored(spark):
+    # a strong edge BETWEEN two flagged clusters must not merge them:
+    # re-closure is confined within each flagged cluster
+    assign = [(i, 1) for i in range(1, 6)] + [(i, 11) for i in range(11, 16)]
+    edges = (
+        [(i, i + 1, False) for i in range(1, 5)]
+        + [(i, i + 1, False) for i in range(11, 15)]
+        + [(5, 11, True)]  # cross-cluster: different cluster ids -> dropped
+    )
+    got = _repair(spark, assign, edges)
+    assert all(got[i] == (i, True) for i in list(range(1, 6)) + list(range(11, 16)))
