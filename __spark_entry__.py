@@ -1755,6 +1755,99 @@ def q_phonetic_block(spark, sf_dir):
     return phonetic_pairs(surfaces, id_col="norm_name", max_block=64)
 
 
+def q_profile(spark, sf_dir):
+    """Column profiling (operators/profile.py): null rates, exact distinct
+    counts, min/max, top-3 values per column in ONE melt scan + two
+    groupBys, with the repo-standard two-phase (salted) top-k so a hot
+    column never funnels the table through one window task.  Profiled
+    over documents' lang/source plus a deterministically-nulled variant
+    (doc_id % 5) to exercise the null accounting."""
+    from berkeley_entity_spark.operators.profile import profile_columns
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("lang"))
+        .alias("lang_nullable"),
+    )
+    return profile_columns(d, top_k=3)
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (selection.weighted_sample;
+    Efraimidis-Spirakis A-ES): top-100 documents by ln(u)/n_chars with a
+    deterministic md5-derived u — one codegen projection +
+    TakeOrderedAndProject, no rand(), no global sort.  The oracle replays
+    the identical ('0x' || md5-hex)::BIGINT arithmetic and ordering."""
+    from berkeley_entity_spark.operators.selection import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s = weighted_sample(d, "n_chars", k=100)
+    return s.select("doc_id", "n_chars", F.round("es_key", 6).alias("es_key"))
+
+
+def q_scd2(spark, sf_dir):
+    """SCD2 golden-record history (operators/scd.py): snapshot 1 opens
+    every (doc_id, lang) at t1; batch 2 (effective t2) uppercases lang
+    for doc_id % 7 = 0 (changed -> close + reopen), omits doc_id % 13 = 0
+    (absent -> stays open), and adds doc_id % 11 = 0 shadows as new keys.
+    Null-safe change detection; timestamps ride as epoch-second columns
+    so the oracle is session-timezone-free."""
+    from berkeley_entity_spark.operators.scd import scd2_init, scd2_merge
+
+    t1, t2 = 1704067200, 1706745600
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    h1 = scd2_init(d, F.timestamp_seconds(F.lit(t1)))
+    upd = (
+        d.where(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.upper("lang"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.lit("xx").alias("lang"),
+            )
+        )
+    )
+    out = scd2_merge(h1, upd, "doc_id", ("lang",), F.timestamp_seconds(F.lit(t2)))
+    return out.select(
+        "doc_id",
+        "lang",
+        F.unix_millis("valid_from").alias("valid_from_ms"),
+        F.unix_millis("valid_to").alias("valid_to_ms"),
+    )
+
+
+def q_dedup_report(spark, sf_dir):
+    """Per-source dedup scorecard: near-dup keep-one over the dup-injected
+    corpus joined back to each doc's source (shadows inherit via
+    doc_id % 100000), aggregated to the numbers a data pipeline publishes
+    per ingest source — docs, kept, dropped, dup_rate."""
+    from berkeley_entity_spark.operators.dedup import near_dup_keep_one
+
+    docs = _docs_with_dups(spark, sf_dir)
+    ko = near_dup_keep_one(docs)
+    src = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"), "source"
+    )
+    j = ko.withColumn("base_id", F.col("doc_id") % 100000).join(src, "base_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
+        F.round(
+            F.sum(F.when(F.col("kept"), 0).otherwise(1))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
 def _golden_inputs(spark, sf_dir):
     """Deterministic web-page-shaped records + near-dup cluster assignment
     for q_golden_record: the dup-injected corpus gains a url (host from
@@ -2099,6 +2192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_repair": q_cluster_repair,
         "q_phonetic_block": q_phonetic_block,
         "q_golden_record": q_golden_record,
+        "q_profile": q_profile,
+        "q_weighted_sample": q_weighted_sample,
+        "q_scd2": q_scd2,
+        "q_dedup_report": q_dedup_report,
         "q_mention_props": q_mention_props,
         "q_entity_consensus": q_entity_consensus,
         "q_conll_roundtrip": q_conll_roundtrip,
@@ -3557,6 +3654,85 @@ JOIN capped b2 ON a.block_key = b2.block_key
 """
 
 
+_PROFILE_ORACLE = """
+WITH src AS (SELECT lang, source,
+                    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang_nullable
+             FROM documents),
+melted AS (
+  SELECT 'lang' AS "column", lang AS value FROM src
+  UNION ALL SELECT 'source', source FROM src
+  UNION ALL SELECT 'lang_nullable', lang_nullable FROM src),
+stats AS (SELECT "column", count(*) AS n_rows,
+                 CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                 min(value) AS min_value, max(value) AS max_value
+          FROM melted GROUP BY 1),
+counts AS (SELECT "column", value, count(*) AS n_value
+           FROM melted WHERE value IS NOT NULL GROUP BY 1, 2),
+nd AS (SELECT "column", count(*) AS n_distinct FROM counts GROUP BY 1),
+top AS (SELECT "column", CAST(rn AS INTEGER) AS rank, value, n_value FROM (
+          SELECT "column", value, n_value,
+                 row_number() OVER (PARTITION BY "column"
+                     ORDER BY n_value DESC, value ASC) AS rn
+          FROM counts) WHERE rn <= 3)
+SELECT s."column", s.n_rows, s.n_null,
+       COALESCE(nd.n_distinct, 0) AS n_distinct,
+       s.min_value, s.max_value, top.rank, top.value, top.n_value
+FROM stats s
+LEFT JOIN nd USING ("column")
+LEFT JOIN top USING ("column")
+"""
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH w AS (SELECT doc_id, n_chars,
+                  round(ln((('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)),
+                                            1, 8))::BIGINT + 1)
+                           / 4294967296.0) / n_chars, 12) AS k12
+           FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_chars, round(k12, 6) AS es_key
+FROM w ORDER BY k12 DESC, doc_id LIMIT 100
+"""
+
+
+_SCD2_ORACLE = """
+WITH d AS (SELECT doc_id, lang FROM documents),
+upd AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN upper(lang) ELSE lang END AS lang
+        FROM d WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, 'xx' AS lang
+        FROM d WHERE doc_id % 11 = 0),
+j AS (SELECT d.doc_id AS ck, d.lang AS cl, u.doc_id AS uk, u.lang AS ul
+      FROM d FULL OUTER JOIN upd u ON u.doc_id = d.doc_id)
+SELECT ck AS doc_id, cl AS lang,
+       1704067200000 AS valid_from_ms, CAST(NULL AS BIGINT) AS valid_to_ms
+FROM j WHERE ck IS NOT NULL AND (uk IS NULL OR cl IS NOT DISTINCT FROM ul)
+UNION ALL
+SELECT ck, cl, 1704067200000, 1706745600000
+FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL AND cl IS DISTINCT FROM ul
+UNION ALL
+SELECT uk, ul, 1706745600000, CAST(NULL AS BIGINT)
+FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR cl IS DISTINCT FROM ul)
+"""
+
+
+def _dedup_report_oracle() -> str:
+    """SQL replay of q_dedup_report: the full keep-one oracle (nested
+    WITH RECURSIVE subquery) joined to each base doc's source, grouped to
+    the per-source scorecard."""
+    return f"""
+WITH ko AS (SELECT * FROM ({_keep_one_oracle()}) q),
+src AS (SELECT doc_id AS base_id, source FROM documents)
+SELECT s.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN ko.kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN ko.kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       round(sum(CASE WHEN ko.kept THEN 0 ELSE 1 END) * 1.0 / count(*), 6)
+         AS dup_rate
+FROM ko JOIN src s ON s.base_id = ko.doc_id % 100000
+GROUP BY 1
+"""
+
+
 def _cohesion_oracle(bands: int = 4, rows: int = 2) -> str:
     """SQL replay of q_cluster_cohesion: the shared minhash-LSH + closure
     prefix, cluster assignment (canonical = min member, singletons =
@@ -4665,6 +4841,10 @@ WHERE e.cbs * nu.cw >= nu.sw OR e.cbs * nv.cw >= nv.sw
     out["q_cluster_repair"] = _cluster_repair_oracle()
     out["q_phonetic_block"] = _phonetic_oracle()
     out["q_golden_record"] = _golden_record_oracle()
+    out["q_profile"] = _PROFILE_ORACLE
+    out["q_weighted_sample"] = _WEIGHTED_SAMPLE_ORACLE
+    out["q_scd2"] = _SCD2_ORACLE
+    out["q_dedup_report"] = _dedup_report_oracle()
     out["q_fs_em"] = _fs_em_oracle(n_iter=5)
     out["q_blocking_metrics"] = _blocking_metrics_oracle()
     out["q_fs_tf"] = _fs_tf_oracle(n_iter=5)

@@ -378,3 +378,46 @@ def load_default_quality_weights():
         return None
     d = json.loads(raw)
     return d["weights"], d["bias"], d["n_buckets"]
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+    algorithm A-ES): each row draws u in (0,1] and ranks by u^(1/w) —
+    equivalently ln(u)/w — and the global top-k IS an exact weighted
+    sample without replacement.  The training-data seat: sample documents
+    proportional to length/quality without a quadratic pass or rejection
+    loop.
+
+    Determinism contract (the repo-standard trick): u is NOT rand() but
+    the first 8 md5-hex digits of (seed | id) + 1 over 2^32 — identical
+    in both engines and under any partitioning; the rank key rounds to
+    12 digits before ordering (ulp guard) with the id as final
+    tie-break.  Scale shape: one codegen projection + TakeOrderedAndProject
+    (per-partition top-k, k-row driver merge) — no global sort, no
+    window, no shuffle of the corpus.  Rows with weight <= 0 are
+    excluded (ln(u)/w flips sign — they cannot rank)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(1 << 32))
+    key = F.round(F.log(u) / F.col(weight_col), 12)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("es_key", key)
+        .orderBy(F.desc("es_key"), F.asc(id_col))
+        .limit(k)
+    )
