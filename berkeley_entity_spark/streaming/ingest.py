@@ -19,11 +19,15 @@ from berkeley_entity_spark.operators.extract import extract_mentions
 from berkeley_entity_spark.synth import PAGES_SCHEMA
 
 
-def read_page_stream(spark: SparkSession, input_dir: str) -> DataFrame:
-    """File-source stream of webpages parquet drops."""
+def read_page_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """File-source stream of webpages parquet drops.  Tests that assert
+    per-batch versioning write ONE file per drop and pass
+    max_files_per_trigger=1 so batch boundaries equal drop boundaries."""
     return (
         spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
@@ -201,11 +205,88 @@ def _dedup_batch(
     )
 
 
-def _latest_snapshot(sess: SparkSession, assign_dir: str, before_batch: int):
-    """The newest (doc_id, cluster_id) assignment snapshot with
-    batch_id < before_batch, or None on the first batch.  Replay-safe: a
-    re-run of batch K deterministically re-reads snapshot K-1 even if
-    later partitions exist."""
+def _er_merge_batch(sess, batch_id: int, pairs_dir: str, assign_dir: str):
+    """The CC-merge step of the incremental ER stream (shared by
+    start_incremental_er_stream and start_golden_scd2_stream): fold this
+    batch's candidate pairs into the previous assignment snapshot by
+    re-closing AFFECTED clusters only (see start_incremental_er_stream's
+    docstring for the exactness argument), write the new snapshot
+    (batch_id-partitioned dynamic overwrite), and return
+    (merged, touched_docs | None) — touched_docs is None on the first
+    batch (everything is new)."""
+    from berkeley_entity_spark.operators.clustering import (
+        connected_components,
+    )
+
+    try:
+        new_pairs = (
+            sess.read.parquet(pairs_dir)
+            .where(F.col("batch_id") == batch_id)
+            .select(
+                F.xxhash64("id_a").alias("u"), F.xxhash64("id_b").alias("v")
+            )
+        )
+    except Exception as e:
+        # a zero-pair first batch writes no partition at all, so the
+        # pairs dir may not exist yet; anything else must fail the batch
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        new_pairs = sess.createDataFrame([], "u long, v long")
+    prev = _latest_snapshot(sess, assign_dir, batch_id)
+    touched = None
+    touched_clusters = None
+    if prev is None:
+        merged = connected_components(new_pairs).toDF(
+            "doc_id", "cluster_id"
+        )
+    else:
+        prev = prev.localCheckpoint(eager=True)
+        touched = (
+            new_pairs.select(F.col("u").alias("doc_id"))
+            .unionByName(new_pairs.select(F.col("v").alias("doc_id")))
+            .distinct()
+        )
+        touched_clusters = (
+            prev.join(F.broadcast(touched), "doc_id")
+            .select("cluster_id")
+            .distinct()
+        )
+        affected = prev.join(
+            F.broadcast(touched_clusters), "cluster_id", "left_semi"
+        )
+        edges = new_pairs.unionByName(
+            affected.where(F.col("doc_id") != F.col("cluster_id")).select(
+                F.col("doc_id").alias("u"), F.col("cluster_id").alias("v")
+            )
+        )
+        recomputed = connected_components(edges).toDF(
+            "doc_id", "cluster_id"
+        )
+        untouched = prev.join(
+            F.broadcast(touched_clusters), "cluster_id", "left_anti"
+        )
+        merged = untouched.unionByName(recomputed)
+    merged = merged.localCheckpoint(eager=True)
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        merged.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(assign_dir)
+    )
+    return merged, touched, touched_clusters
+
+
+def _latest_snapshot(
+    sess: SparkSession,
+    assign_dir: str,
+    before_batch: int,
+    cols: tuple[str, ...] = ("doc_id", "cluster_id"),
+):
+    """The newest snapshot (selected to `cols`) with batch_id <
+    before_batch, or None on the first batch.  Replay-safe: a re-run of
+    batch K deterministically re-reads snapshot K-1 even if later
+    partitions exist."""
     try:
         snaps = sess.read.parquet(assign_dir)
     except Exception as e:
@@ -216,9 +297,7 @@ def _latest_snapshot(sess: SparkSession, assign_dir: str, before_batch: int):
     row = snaps.agg(F.max("batch_id").alias("b")).collect()[0]
     if row["b"] is None:
         return None
-    return snaps.where(F.col("batch_id") == row["b"]).select(
-        "doc_id", "cluster_id"
-    )
+    return snaps.where(F.col("batch_id") == row["b"]).select(*cols)
 
 
 def start_incremental_er_stream(
@@ -267,10 +346,6 @@ def start_incremental_er_stream(
     (tested in test_streaming.py)."""
 
     def _process(batch_df, batch_id: int) -> None:
-        from berkeley_entity_spark.operators.clustering import (
-            connected_components,
-        )
-
         sess = batch_df.sparkSession
         _dedup_batch(
             batch_df,
@@ -282,59 +357,7 @@ def start_incremental_er_stream(
             shingle_n=shingle_n,
             max_bucket=max_bucket,
         )
-        try:
-            new_pairs = (
-                sess.read.parquet(pairs_dir)
-                .where(F.col("batch_id") == batch_id)
-                .select(
-                    F.xxhash64("id_a").alias("u"), F.xxhash64("id_b").alias("v")
-                )
-            )
-        except Exception as e:
-            # a zero-pair first batch writes no partition at all, so the
-            # pairs dir may not exist yet; anything else must fail the batch
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
-            new_pairs = sess.createDataFrame([], "u long, v long")
-        prev = _latest_snapshot(sess, assign_dir, batch_id)
-        if prev is None:
-            merged = connected_components(new_pairs).toDF(
-                "doc_id", "cluster_id"
-            )
-        else:
-            prev = prev.localCheckpoint(eager=True)
-            touched = (
-                new_pairs.select(F.col("u").alias("doc_id"))
-                .unionByName(new_pairs.select(F.col("v").alias("doc_id")))
-                .distinct()
-            )
-            touched_clusters = (
-                prev.join(F.broadcast(touched), "doc_id")
-                .select("cluster_id")
-                .distinct()
-            )
-            affected = prev.join(
-                F.broadcast(touched_clusters), "cluster_id", "left_semi"
-            )
-            edges = new_pairs.unionByName(
-                affected.where(F.col("doc_id") != F.col("cluster_id")).select(
-                    F.col("doc_id").alias("u"), F.col("cluster_id").alias("v")
-                )
-            )
-            recomputed = connected_components(edges).toDF(
-                "doc_id", "cluster_id"
-            )
-            untouched = prev.join(
-                F.broadcast(touched_clusters), "cluster_id", "left_anti"
-            )
-            merged = untouched.unionByName(recomputed)
-        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            merged.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(assign_dir)
-        )
+        _er_merge_batch(sess, batch_id, pairs_dir, assign_dir)
 
     writer = (
         read_page_stream(spark, input_dir)
@@ -365,3 +388,161 @@ def mention_rate_stream(
         .agg(F.count(F.lit(1)).alias("n_mentions"))
         .select("window", "n_mentions")
     )
+
+
+_GOLDEN_HISTORY_SCHEMA = (
+    "cluster_id long, n_members long, n_langs long, canonical_url string, "
+    "latest_url string, latest_ts timestamp, best_text string, "
+    "lang_majority string, valid_from timestamp, valid_to timestamp"
+)
+_GOLDEN_TRACKED = (
+    "n_members",
+    "n_langs",
+    "canonical_url",
+    "latest_url",
+    "latest_ts",
+    "best_text",
+    "lang_majority",
+)
+_GOLDEN_EPOCH0 = 1704067200  # deterministic batch->ts mapping (t0 + 1d/batch)
+
+
+def start_golden_scd2_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    pairs_dir: str,
+    assign_dir: str,
+    pages_dir: str,
+    golden_dir: str,
+    checkpoint_dir: str,
+    bands: int = 4,
+    rows: int = 2,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+    available_now: bool = True,
+    max_files_per_trigger: int = 8,
+):
+    """End-to-end streaming MDM: incremental dedup -> incremental ER merge
+    -> golden-record survivorship -> SCD2 version history, per microbatch.
+
+    This composes the three batch operators into the live pipeline a
+    rolling crawl needs: each batch's pages enter the accumulated page
+    store; the ER merge updates cluster assignments for AFFECTED clusters
+    only (_er_merge_batch); survivorship (operators/survivorship.py)
+    recomputes golden records for exactly the affected clusters — batch
+    docs, pair endpoints, and every member of a cluster any of them
+    touches — and scd2_merge (operators/scd.py) folds them into the
+    running version history: unchanged goldens stay open, changed ones
+    close + reopen at the batch timestamp, clusters ABSORBED by a merge
+    are hard-closed via the deletes path (their id disappears from the
+    assignment).  Per-batch cost is O(batch + affected members); the
+    history never rescans untouched clusters.
+
+    Sinks follow the repo's idempotent pattern (batch_id-partitioned
+    dynamic overwrite; full history snapshot per batch — the parquet
+    stand-in for Iceberg MERGE INTO on the golden table).  Batch
+    timestamps are deterministic (_GOLDEN_EPOCH0 + batch_id days) so
+    replays produce identical histories."""
+
+    def _process(batch_df, batch_id: int) -> None:
+        from berkeley_entity_spark.operators.scd import scd2_merge
+        from berkeley_entity_spark.operators.survivorship import golden_records
+
+        sess = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        _dedup_batch(
+            batch_df,
+            batch_id,
+            state_dir=state_dir,
+            pairs_dir=pairs_dir,
+            bands=bands,
+            rows=rows,
+            shingle_n=shingle_n,
+            max_bucket=max_bucket,
+        )
+        merged, touched, prev_touched_clusters = _er_merge_batch(
+            sess, batch_id, pairs_dir, assign_dir
+        )
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            batch_df.select(
+                F.xxhash64("url").alias("doc_id"),
+                "url",
+                "warc_ts",
+                "text",
+                "lang",
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(pages_dir)
+        )
+        # affected docs: this batch's pages + pair endpoints + every member
+        # of any cluster they belong to under the NEW assignment
+        seed = batch_df.select(F.xxhash64("url").alias("doc_id")).distinct()
+        if touched is not None:
+            seed = seed.unionByName(touched).distinct()
+        aff_clusters = (
+            merged.join(F.broadcast(seed), "doc_id")
+            .select("cluster_id")
+            .distinct()
+        )
+        members = merged.join(
+            F.broadcast(aff_clusters), "cluster_id", "left_semi"
+        )
+        singletons = seed.join(merged, "doc_id", "left_anti").select(
+            "doc_id", F.col("doc_id").alias("cluster_id")
+        )
+        assign_doc = members.unionByName(singletons).localCheckpoint(eager=True)
+        # one record per affected doc: the LATEST crawl of its url wins
+        # (warc_ts desc, batch_id desc) before survivorship sees it
+        pages = (
+            sess.read.parquet(pages_dir)
+            .join(F.broadcast(assign_doc.select("doc_id")), "doc_id")
+            .groupBy("doc_id")
+            .agg(
+                F.max_by(
+                    F.struct("url", "warc_ts", "text", "lang"),
+                    F.struct("warc_ts", "batch_id"),
+                ).alias("r")
+            )
+            .select("doc_id", "r.url", "r.warc_ts", "r.text", "r.lang")
+        )
+        assign_url = assign_doc.join(pages.select("doc_id", "url"), "doc_id").select(
+            "url", "cluster_id"
+        )
+        golden = golden_records(pages.drop("doc_id"), assign_url)
+        prev_hist = _latest_snapshot(
+            sess, golden_dir, batch_id,
+            cols=_GOLDEN_TRACKED[:0] + ("cluster_id",) + _GOLDEN_TRACKED
+            + ("valid_from", "valid_to"),
+        )
+        if prev_hist is None:
+            prev_hist = sess.createDataFrame([], _GOLDEN_HISTORY_SCHEMA)
+        deletes = None
+        if prev_touched_clusters is not None:
+            deletes = prev_touched_clusters.toDF("cluster_id").join(
+                aff_clusters, "cluster_id", "left_anti"
+            )
+        eff = F.timestamp_seconds(
+            F.lit(_GOLDEN_EPOCH0 + batch_id * 86400)
+        )
+        hist = scd2_merge(
+            prev_hist, golden, "cluster_id", _GOLDEN_TRACKED, eff, deletes
+        )
+        (
+            hist.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(golden_dir)
+        )
+
+    writer = (
+        read_page_stream(spark, input_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -311,3 +311,126 @@ def test_incremental_er_equals_batch_cc(spark, tmp_path):
     assert cluster_of[hashes["c1"]] == cluster_of[hashes["c2"]]
     assert cluster_of[hashes["c1"]] != cluster_of[hashes["a1"]]
     assert hashes["d1"] not in cluster_of
+
+
+def _ts_pages(spark, rows):
+    """rows = (url, text, epoch_s) -> pages with real warc_ts."""
+    return spark.createDataFrame(
+        rows, "url string, text string, ts long"
+    ).selectExpr(
+        "url", "timestamp_seconds(ts) AS warc_ts",
+        "CAST(NULL AS binary) AS html", "text", "'en' AS lang",
+    )
+
+
+def test_golden_scd2_stream(spark, tmp_path):
+    """Streaming MDM end-to-end: incremental dedup -> affected-cluster ER
+    merge -> survivorship -> SCD2 history.  Asserts (a) the final OPEN
+    golden rows equal the batch pipeline's golden records over the full
+    corpus (pairs -> CC -> survivorship on latest-crawl records), (b) a
+    cluster that grew across batches carries a CLOSED earlier version,
+    (c) a cluster id absorbed by a cross-batch merge (or superseded by a
+    smaller-hash member) is closed, never left dangling open, and (d) a
+    re-crawl with no new pairs still versions its cluster's golden
+    record."""
+    from berkeley_entity_spark.operators.clustering import connected_components
+    from berkeley_entity_spark.operators.dedup import minhash_band_buckets
+    from berkeley_entity_spark.operators.survivorship import golden_records
+    from berkeley_entity_spark.streaming.ingest import (
+        start_golden_scd2_stream,
+    )
+
+    t1 = "quantum harbor lighthouse meridian obelisk paradox quarry riverbed sandstone timber"
+    t2 = "quantum harbor lighthouse meridian obelisk paradox quarry riverbed sandstone granite"
+    t3 = "completely different words entirely unrelated content spanning another topic altogether"
+    drops = [
+        [("a1", t1, 100), ("a2", t1, 101), ("c1", t3, 102)],
+        [("b1", t2, 200), ("b2", t2, 201), ("c2", t3, 202)],
+        # re-crawl of c1: longer text + newer ts, same near-dup cluster
+        [("c1", t3 + " refreshed crawl body", 300), ("d1", "lone unpaired page with unique text", 301)],
+    ]
+    root = str(tmp_path / "g_pages")
+    # ONE file per drop + maxFilesPerTrigger=1 makes microbatch boundaries
+    # equal drop boundaries, so the version assertions below are exact
+    for rows in drops:
+        _ts_pages(spark, rows).coalesce(1).write.mode("append").parquet(root)
+
+    dirs = {k: str(tmp_path / k) for k in
+            ("state", "pairs", "assign", "pstore", "golden", "ckpt")}
+    q = start_golden_scd2_stream(
+        spark, root, dirs["state"], dirs["pairs"], dirs["assign"],
+        dirs["pstore"], dirs["golden"], dirs["ckpt"],
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    hist = spark.read.parquet(dirs["golden"])
+    last = hist.agg(F.max("batch_id")).collect()[0][0]
+    hist = hist.where(F.col("batch_id") == last).drop("batch_id")
+    open_rows = hist.where(F.col("valid_to").isNull())
+    closed_rows = hist.where(F.col("valid_to").isNotNull()).collect()
+
+    # (a) open rows == batch golden records over the full final corpus
+    latest = (
+        spark.read.parquet(root)
+        .groupBy("url")
+        .agg(F.max_by(F.struct("warc_ts", "text", "lang"), "warc_ts").alias("r"))
+        .select("url", "r.warc_ts", "r.text", "r.lang")
+        .localCheckpoint(eager=True)
+    )
+    docs = latest.select(F.col("url").alias("doc_id"), "text")
+    b = minhash_band_buckets(docs)
+    pairs = (
+        b.toDF("id_a", "bucket")
+        .join(b.toDF("id_b", "bucket"), "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(F.xxhash64("id_a").alias("u"), F.xxhash64("id_b").alias("v"))
+        .distinct()
+    )
+    comp = connected_components(pairs).toDF("h", "cluster_id")
+    assign = (
+        latest.select("url", F.xxhash64("url").alias("h"))
+        .join(comp, "h", "left")
+        .select("url", F.coalesce("cluster_id", "h").alias("cluster_id"))
+    )
+    want = {
+        tuple(r) for r in golden_records(latest, assign).collect()
+    }
+    got = {
+        tuple(r)
+        for r in open_rows.select(
+            "cluster_id", "n_members", "n_langs", "canonical_url",
+            "latest_url", "latest_ts", "best_text", "lang_majority",
+        ).collect()
+    }
+    assert got == want and len(got) == 3  # abt-cluster, c-cluster, d1
+
+    # (b)+(d): the c cluster has >= 2 closed versions (batch-2 growth,
+    # batch-3 re-crawl which added no new cluster member)
+    c_cluster = [
+        r for r in closed_rows if r["canonical_url"] in ("c1", "c2")
+    ]
+    assert len(c_cluster) >= 2
+    ns = sorted(r["n_members"] for r in c_cluster)
+    assert ns[0] == 1 and ns[-1] == 2  # singleton version then pair version
+    # the re-crawl version bump: two closed rows with n_members == 2 or the
+    # open row's best_text reflects the refreshed crawl
+    open_c = [r for r in open_rows.collect() if r["canonical_url"] in ("c1", "c2")]
+    assert open_c[0]["best_text"].endswith("refreshed crawl body")
+
+    # (c) no dangling open version of the pre-merge a-cluster: among open
+    # rows exactly one covers {a1,a2,b1,b2} (n_members 4) and none of the
+    # closed a-versions (n_members 2) are still open
+    ab_open = [r for r in open_rows.collect() if r["n_members"] == 4]
+    assert len(ab_open) == 1
+    ab_closed = [
+        r for r in closed_rows
+        if r["canonical_url"] in ("a1", "a2") and r["n_members"] == 2
+    ]
+    assert ab_closed, "batch-1 a-cluster version must be closed"
+    open_ids = {r["cluster_id"] for r in open_rows.collect()}
+    for r in ab_closed:
+        assert (
+            r["cluster_id"] not in open_ids
+            or r["cluster_id"] == ab_open[0]["cluster_id"]
+        )
