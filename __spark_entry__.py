@@ -1848,6 +1848,18 @@ def q_dedup_report(spark, sf_dir):
     )
 
 
+def q_cluster_terms(spark, sf_dir):
+    """Characteristic terms per cluster (textstats.cluster_terms, the
+    BERTopic c-TF-IDF): 40 deterministic pseudo-clusters over documents,
+    top-3 terms each by (tf/n_c) * ln(1 + A/f_t) — ranked on the rounded
+    score with a term tie-break so the DuckDB replay is exact."""
+    from berkeley_entity_spark.operators.textstats import cluster_terms
+
+    d = _t(spark, sf_dir, "documents")
+    assign = d.select("doc_id", (F.col("doc_id") % 40).alias("cluster_id"))
+    return cluster_terms(d.select("doc_id", "text"), assign, top_k=3)
+
+
 def _golden_inputs(spark, sf_dir):
     """Deterministic web-page-shaped records + near-dup cluster assignment
     for q_golden_record: the dup-injected corpus gains a url (host from
@@ -2196,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": q_weighted_sample,
         "q_scd2": q_scd2,
         "q_dedup_report": q_dedup_report,
+        "q_cluster_terms": q_cluster_terms,
         "q_mention_props": q_mention_props,
         "q_entity_consensus": q_entity_consensus,
         "q_conll_roundtrip": q_conll_roundtrip,
@@ -4845,6 +4858,23 @@ WHERE e.cbs * nu.cw >= nu.sw OR e.cbs * nv.cw >= nv.sw
     out["q_weighted_sample"] = _WEIGHTED_SAMPLE_ORACLE
     out["q_scd2"] = _SCD2_ORACLE
     out["q_dedup_report"] = _dedup_report_oracle()
+    out["q_cluster_terms"] = f"""
+WITH toks AS (SELECT doc_id % 40 AS cluster_id, unnest({TOKQ}) AS term
+              FROM documents),
+tc AS (SELECT cluster_id, term, count(*) AS n_tc FROM toks GROUP BY 1, 2),
+nc AS (SELECT cluster_id, sum(n_tc) AS n_c FROM tc GROUP BY 1),
+ft AS (SELECT term, sum(n_tc) AS f_t FROM tc GROUP BY 1),
+a AS (SELECT sum(n_c) * 1.0 / count(*) AS _a FROM nc),
+scored AS (SELECT tc.cluster_id, tc.term, tc.n_tc,
+                  round(tc.n_tc * 1.0 / nc.n_c
+                        * ln(1.0 + a._a / ft.f_t), 6) AS score
+           FROM tc JOIN nc USING (cluster_id) JOIN ft USING (term), a)
+SELECT cluster_id, CAST(rn AS INTEGER) AS rank, term, n_tc, score FROM (
+  SELECT cluster_id, term, n_tc, score,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY score DESC, term ASC) AS rn
+  FROM scored) WHERE rn <= 3
+"""
     out["q_fs_em"] = _fs_em_oracle(n_iter=5)
     out["q_blocking_metrics"] = _blocking_metrics_oracle()
     out["q_fs_tf"] = _fs_tf_oracle(n_iter=5)

@@ -189,3 +189,44 @@ def test_lm_perplexity_hand_computed(spark):
     assert abs(out[2].cross_entropy - round(ce2, 6)) < 1e-9
     assert abs(out[2].perplexity - round(math.exp(ce2), 6)) < 1e-6
     assert out[1].n_tokens == 4 and out[2].n_tokens == 4
+
+
+def test_cluster_terms_ctfidf_hand_computed(spark):
+    """c-TF-IDF on a 2-cluster toy corpus vs hand arithmetic."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from berkeley_entity_spark.operators.textstats import cluster_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "dog dog dog cat"),
+        ],
+        "doc_id long, text string",
+    )
+    assign = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "doc_id long, cluster_id long"
+    )
+    got = {
+        (r["cluster_id"], r["rank"]): (r["term"], r["n_tc"], r["score"])
+        for r in cluster_terms(docs, assign, top_k=2).collect()
+    }
+    # cluster 0: n_c=5 (apple x3, banana, cherry); cluster 1: n_c=4
+    # A = 9/2 = 4.5; f: apple 3, banana 1, cherry 1, dog 3, cat 1
+    s = lambda tc, nc, ft: round(tc / nc * math.log(1 + 4.5 / ft), 6)  # noqa: E731
+    assert got[(0, 1)] == ("apple", 3, s(3, 5, 3))
+    # banana/cherry tie at 1/5*ln(1+4.5) -> banana first (term asc)
+    assert got[(0, 2)] == ("banana", 1, s(1, 5, 1))
+    assert got[(1, 1)] == ("dog", 3, s(3, 4, 3))
+    assert got[(1, 2)] == ("cat", 1, s(1, 4, 1))
+    # partitioning invariance
+    got2 = {
+        (r["cluster_id"], r["rank"]): (r["term"], r["n_tc"], r["score"])
+        for r in cluster_terms(
+            docs.repartition(7), assign.repartition(3), top_k=2
+        ).collect()
+    }
+    assert got2 == got
