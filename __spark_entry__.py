@@ -1860,6 +1860,65 @@ def q_cluster_terms(spark, sf_dir):
     return cluster_terms(d.select("doc_id", "text"), assign, top_k=3)
 
 
+_NAME_FIRSTS = ("john", "mary", "wei", "aisha", "carlos", "yuki", "ola", "sven")
+_NAME_LASTS = (
+    "smith", "garcia", "chen", "okafor", "novak", "tanaka",
+    "kim", "ali", "brown", "lee", "patel",
+)
+
+
+def _messy_names(spark, sf_dir):
+    """Deterministic messy person names over documents: six variant shapes
+    per doc_id residue (honorific + middle initial + suffix; comma form;
+    all caps; credential suffix; ragged whitespace; comma form with a
+    trailing suffix after a second comma)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    fn = F.element_at(
+        F.array(*[F.lit(x) for x in _NAME_FIRSTS]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    ln = F.element_at(
+        F.array(*[F.lit(x) for x in _NAME_LASTS]),
+        (F.col("doc_id") % 11 + 1).cast("int"),
+    )
+    v = F.col("doc_id") % 6
+    name = (
+        F.when(v == 0, F.concat(F.lit("Dr. "), fn, F.lit(" A. "), ln, F.lit(" Jr.")))
+        .when(v == 1, F.concat(ln, F.lit(", "), fn))
+        .when(v == 2, F.upper(F.concat(fn, F.lit(" "), ln)))
+        .when(v == 3, F.concat(F.lit("Prof. "), fn, F.lit(" "), ln, F.lit(" PhD")))
+        .when(v == 4, F.concat(F.lit("  "), fn, F.lit("   "), ln, F.lit("  ")))
+        .otherwise(F.concat(ln, F.lit(", "), fn, F.lit(" b, III")))
+    )
+    return d.select("doc_id", name.alias("name"))
+
+
+def q_name_standardize(spark, sf_dir):
+    """Person-name standardization (linkage.standardize_person_names;
+    Christen 2012 ch.3 preprocessing): honorific/suffix stripping, comma
+    reorder, part extraction — all codegen array expressions with an
+    exact DuckDB replay, proving both engines derive the SAME comparison
+    key from messy name variants."""
+    from berkeley_entity_spark.operators.linkage import standardize_person_names
+
+    return standardize_person_names(_messy_names(spark, sf_dir))
+
+
+def q_cluster_diff(spark, sf_dir):
+    """Per-cluster error decomposition (evaluate.cluster_diff): purity,
+    majority gold entity, and the pure/merged/split/merged+split audit
+    label for every predicted cluster — the drill-down behind the
+    B3/MUC/CEAF aggregates, over the same lang-vs-source partitions as
+    q_bcubed."""
+    from berkeley_entity_spark.evaluate import cluster_diff
+
+    d = _t(spark, sf_dir, "documents")
+    return cluster_diff(
+        d.select(F.col("doc_id").alias("mention_id"), F.col("lang").alias("cluster_id")),
+        d.select(F.col("doc_id").alias("mention_id"), F.col("source").alias("entity_id")),
+    )
+
+
 def _golden_inputs(spark, sf_dir):
     """Deterministic web-page-shaped records + near-dup cluster assignment
     for q_golden_record: the dup-injected corpus gains a url (host from
@@ -2209,6 +2268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2": q_scd2,
         "q_dedup_report": q_dedup_report,
         "q_cluster_terms": q_cluster_terms,
+        "q_name_standardize": q_name_standardize,
+        "q_cluster_diff": q_cluster_diff,
         "q_mention_props": q_mention_props,
         "q_entity_consensus": q_entity_consensus,
         "q_conll_roundtrip": q_conll_roundtrip,
@@ -3746,6 +3807,104 @@ GROUP BY 1
 """
 
 
+def _name_standardize_oracle() -> str:
+    """SQL replay of q_name_standardize: the messy-name synthesis and the
+    full standardizer chain (lowercase/strip periods, first-comma
+    reorder, residual commas to spaces, two unrolled leading-honorific
+    drops, the guarded anywhere suffix filter, part extraction)."""
+    from berkeley_entity_spark.operators.linkage import (
+        _GEN_SUFFIXES,
+        _HONORIFICS,
+    )
+
+    firsts = ", ".join(f"'{x}'" for x in _NAME_FIRSTS)
+    lasts = ", ".join(f"'{x}'" for x in _NAME_LASTS)
+    hon = ", ".join(f"'{x}'" for x in _HONORIFICS)
+    suf = ", ".join(f"'{x}'" for x in _GEN_SUFFIXES)
+    drops = ""
+    tok = "t0"
+    for i in (1, 2):
+        drops += (
+            f", d{i} AS (SELECT doc_id, CASE WHEN len({tok}) >= 2 AND "
+            f"list_contains([{hon}], list_extract({tok}, 1)) "
+            f"THEN list_slice({tok}, 2, len({tok})) ELSE {tok} END AS t{i}, "
+            f"name FROM d{i - 1})\n"
+        )
+        tok = f"t{i}"
+    drops += (
+        f", d4 AS (SELECT doc_id, CASE WHEN len(list_filter({tok}, "
+        f"x -> NOT list_contains([{suf}], x))) >= 1 "
+        f"THEN list_filter({tok}, x -> NOT list_contains([{suf}], x)) "
+        f"ELSE {tok} END AS t4, name FROM d{i})\n"
+    )
+    tok = "t4"
+    return f"""
+WITH base AS (SELECT doc_id,
+    list_extract([{firsts}], CAST(doc_id % 8 + 1 AS INTEGER)) AS fn,
+    list_extract([{lasts}], CAST(doc_id % 11 + 1 AS INTEGER)) AS ln,
+    doc_id % 6 AS v
+  FROM documents),
+names AS (SELECT doc_id,
+    CASE WHEN v = 0 THEN 'Dr. ' || fn || ' A. ' || ln || ' Jr.'
+         WHEN v = 1 THEN ln || ', ' || fn
+         WHEN v = 2 THEN upper(fn || ' ' || ln)
+         WHEN v = 3 THEN 'Prof. ' || fn || ' ' || ln || ' PhD'
+         WHEN v = 4 THEN '  ' || fn || '   ' || ln || '  '
+         ELSE ln || ', ' || fn || ' b, III' END AS name
+  FROM base),
+raw AS (SELECT doc_id, name,
+               regexp_replace(lower(trim(name)), '\\.', '', 'g') AS r
+        FROM names),
+cm AS (SELECT doc_id, name,
+              regexp_replace(
+                CASE WHEN strpos(r, ',') > 0
+                     THEN trim(substr(r, strpos(r, ',') + 1))
+                          || ' ' || trim(substr(r, 1, strpos(r, ',') - 1))
+                     ELSE r END, ',', ' ', 'g') AS c
+       FROM raw),
+d0 AS (SELECT doc_id, name,
+              list_filter(regexp_split_to_array(c, ' +'), x -> x <> '') AS t0
+       FROM cm)
+{drops}
+SELECT doc_id, name,
+       array_to_string({tok}, ' ') AS name_std,
+       CASE WHEN len({tok}) >= 2 THEN list_extract({tok}, 1) END AS name_first,
+       CASE WHEN len({tok}) >= 3
+            THEN array_to_string(list_slice({tok}, 2, len({tok}) - 1), ' ')
+       END AS name_middle,
+       CASE WHEN len({tok}) >= 1
+            THEN list_extract({tok}, len({tok})) END AS name_last
+FROM d4
+"""
+
+
+_CLUSTER_DIFF_ORACLE = """
+WITH j AS (SELECT doc_id, lang AS cluster_id, source AS entity_id FROM documents),
+cells AS (SELECT cluster_id, entity_id, count(*) AS n_ce FROM j GROUP BY 1, 2),
+nc AS (SELECT cluster_id, CAST(sum(n_ce) AS BIGINT) AS n_members,
+              count(*) AS n_entities
+       FROM cells GROUP BY 1),
+maj AS (SELECT cluster_id, entity_id AS majority_entity, n_ce AS _maj_n FROM (
+          SELECT cluster_id, entity_id, n_ce,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY n_ce DESC, entity_id ASC) AS rn
+          FROM cells) WHERE rn = 1),
+se AS (SELECT entity_id AS majority_entity,
+              count(*) AS entity_n_clusters
+       FROM cells GROUP BY 1)
+SELECT nc.cluster_id, nc.n_members, nc.n_entities, maj.majority_entity,
+       round(maj._maj_n * 1.0 / nc.n_members, 6) AS purity,
+       se.entity_n_clusters,
+       CASE WHEN nc.n_entities > 1 AND se.entity_n_clusters > 1 THEN 'merged+split'
+            WHEN nc.n_entities > 1 THEN 'merged'
+            WHEN se.entity_n_clusters > 1 THEN 'split'
+            ELSE 'pure' END AS status
+FROM nc
+JOIN maj USING (cluster_id)
+JOIN se USING (majority_entity)
+"""
+
+
 def _cohesion_oracle(bands: int = 4, rows: int = 2) -> str:
     """SQL replay of q_cluster_cohesion: the shared minhash-LSH + closure
     prefix, cluster assignment (canonical = min member, singletons =
@@ -4858,6 +5017,8 @@ WHERE e.cbs * nu.cw >= nu.sw OR e.cbs * nv.cw >= nv.sw
     out["q_weighted_sample"] = _WEIGHTED_SAMPLE_ORACLE
     out["q_scd2"] = _SCD2_ORACLE
     out["q_dedup_report"] = _dedup_report_oracle()
+    out["q_name_standardize"] = _name_standardize_oracle()
+    out["q_cluster_diff"] = _CLUSTER_DIFF_ORACLE
     out["q_cluster_terms"] = f"""
 WITH toks AS (SELECT doc_id % 40 AS cluster_id, unnest({TOKQ}) AS term
               FROM documents),

@@ -696,3 +696,57 @@ def wikification_prf1(pred: DataFrame, gold: DataFrame) -> DataFrame:
         nil[0].alias("precision_nil"), nil[1].alias("recall_nil"),
         nil[2].alias("f1_nil"),
     )
+
+
+def cluster_diff(
+    pred: DataFrame, gold: DataFrame, key: str = "mention_id"
+) -> DataFrame:
+    """Per-cluster error decomposition — WHERE the clustering disagrees
+    with gold, not just how much (the drill-down behind the B3/MUC/CEAF
+    aggregates): for every predicted cluster,
+
+      (cluster_id, n_members, n_entities, majority_entity, purity,
+       entity_n_clusters, status)
+
+    majority_entity = the gold entity owning most members (ties to the
+    smallest entity id); purity = its share; entity_n_clusters = how many
+    predicted clusters that entity is scattered across.  status is the
+    audit label: 'pure' (one entity, entity in one cluster), 'merged'
+    (cluster holds >1 entity), 'split' (single-entity cluster but the
+    entity continues elsewhere), 'merged+split' (both).
+
+    Same intersection-cells reduction as B3/CEAF (never per-mention
+    rows); three small aggregations + two joins."""
+    j = pred.select(key, "cluster_id").join(gold.select(key, "entity_id"), key)
+    cells = j.groupBy("cluster_id", "entity_id").agg(
+        F.count(F.lit(1)).alias("n_ce")
+    )
+    nc = cells.groupBy("cluster_id").agg(
+        F.sum("n_ce").alias("n_members"),
+        F.count(F.lit(1)).alias("n_entities"),
+        F.min_by(
+            "entity_id", F.struct((-F.col("n_ce")).alias("_n"), F.col("entity_id"))
+        ).alias("majority_entity"),
+        F.max("n_ce").alias("_maj_n"),
+    )
+    se = cells.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("entity_n_clusters")
+    )
+    out = nc.join(
+        se.withColumnRenamed("entity_id", "majority_entity"), "majority_entity"
+    )
+    merged = F.col("n_entities") > 1
+    split = F.col("entity_n_clusters") > 1
+    return out.select(
+        "cluster_id",
+        "n_members",
+        "n_entities",
+        "majority_entity",
+        F.round(F.col("_maj_n") / F.col("n_members"), 6).alias("purity"),
+        "entity_n_clusters",
+        F.when(merged & split, F.lit("merged+split"))
+        .when(merged, F.lit("merged"))
+        .when(split, F.lit("split"))
+        .otherwise(F.lit("pure"))
+        .alias("status"),
+    )

@@ -314,3 +314,83 @@ def fs_link_tf(
     ]
     params = fs_em_params(pats, n_iter=n_iter)
     return fs_tf_adjusted(recs, pairs, params)
+
+
+# ------------------------------------------------------- name standardizer
+
+_HONORIFICS = ("mr", "mrs", "ms", "dr", "prof", "sir", "rev", "hon", "mx")
+_GEN_SUFFIXES = ("jr", "sr", "ii", "iii", "iv", "esq", "phd", "md")
+
+
+def _drop_edge_tokens(toks: Column, words: tuple[str, ...], leading: bool) -> Column:
+    """Drop up to two leading (or trailing) tokens drawn from `words` —
+    positional, so a surname that happens to spell an honorific ('Sir
+    Alex' vs the surname 'Sirs') is only dropped at the edge.  Pure
+    array expressions; unrolled twice (no recursion in codegen)."""
+    wl = F.array(*[F.lit(w) for w in words])
+    for _ in range(2):
+        edge = F.element_at(toks, 1 if leading else -1)
+        hit = F.array_contains(wl, edge) & (F.size(toks) >= 2)
+        toks = F.when(
+            hit,
+            F.slice(toks, 2, F.size(toks) - 1)
+            if leading
+            else F.slice(toks, 1, F.size(toks) - 1),
+        ).otherwise(toks)
+    return toks
+
+
+def standardize_person_names(
+    df: DataFrame, name_col: str = "name"
+) -> DataFrame:
+    """Deterministic person-name standardization — the record-linkage
+    preprocessing pass (Christen 2012 ch. 3) that turns 'Smith, Dr. John
+    A. Jr.' and 'john a smith' into the same comparison key:
+
+      1. lowercase, strip periods, collapse whitespace;
+      2. 'last, first...' comma form reordered to 'first... last'
+         (first comma only);
+      3. up to two LEADING honorifics dropped (mr/mrs/ms/dr/prof/...);
+      4. generational/credential suffix tokens (jr/sr/ii/iii/iv/esq/
+         phd/md) dropped at ANY position — the comma reorder moves them
+         mid-name ('Garcia, Mary, III' -> 'mary iii garcia'), and unlike
+         honorifics these tokens are unambiguous; a name that is ONLY
+         suffix tokens is left intact;
+      5. parts: first = first token (NULL if single-token), last = last
+         token, middle = everything between.
+
+    Everything is whole-stage-codegen array expressions with an exact
+    DuckDB replay (list_slice/list_extract mirror slice/element_at), so
+    the standardizer itself is oracle-checkable — the property that lets
+    a pipeline PROVE two engines block on the same key.  Adds columns:
+    (name_std, name_first, name_middle, name_last)."""
+    raw = F.regexp_replace(F.lower(F.trim(F.col(name_col))), r"\.", "")
+    # 'last, first...' -> 'first... last' on the FIRST comma (instr/substr
+    # only — DuckDB has no substring_index); any further commas become
+    # spaces before tokenization
+    pos = F.instr(raw, ",")
+    comma = F.when(
+        pos > 0,
+        F.concat(
+            F.trim(F.substring(raw, pos + 1, F.length(raw))),
+            F.lit(" "),
+            F.trim(F.substring(raw, F.lit(1), pos - 1)),
+        ),
+    ).otherwise(raw)
+    comma = F.regexp_replace(comma, ",", " ")
+    toks = F.filter(F.split(comma, " +"), lambda t: t != "")
+    toks = _drop_edge_tokens(toks, _HONORIFICS, leading=True)
+    sufl = F.array(*[F.lit(w) for w in _GEN_SUFFIXES])
+    desuf = F.filter(toks, lambda t: ~F.array_contains(sufl, t))
+    toks = F.when(F.size(desuf) >= 1, desuf).otherwise(toks)
+    n = F.size(toks)
+    return df.withColumns(
+        {
+            "name_std": F.array_join(toks, " "),
+            "name_first": F.when(n >= 2, F.element_at(toks, 1)),
+            "name_middle": F.when(
+                n >= 3, F.array_join(F.slice(toks, 2, n - 2), " ")
+            ),
+            "name_last": F.when(n >= 1, F.element_at(toks, -1)),
+        }
+    )

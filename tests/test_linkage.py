@@ -138,3 +138,55 @@ def test_hot_block_stays_capped(spark):
     )
     n = fs_comparison_vectors(fs_gate_records(docs), max_block=48).count()
     assert 0 < n <= 48 * 47 // 2
+
+
+def test_standardize_person_names_rules(spark):
+    from berkeley_entity_spark.operators.linkage import (
+        standardize_person_names,
+    )
+
+    rows = [
+        ("Dr. John A. Smith Jr.",),
+        ("Smith, John",),
+        ("MR JOHN SMITH",),
+        ("  mary   jane   garcia  ",),
+        ("Garcia, Mary b, III",),
+        ("prof dr wei chen phd md",),  # two leading + two trailing drops
+        ("Cher",),  # single token: first NULL, last = token
+        ("sir",),  # honorific alone survives (never emptied)
+    ]
+    df = spark.createDataFrame(rows, "name string")
+    got = {
+        r["name"]: (
+            r["name_std"], r["name_first"], r["name_middle"], r["name_last"]
+        )
+        for r in standardize_person_names(df).collect()
+    }
+    assert got["Dr. John A. Smith Jr."] == ("john a smith", "john", "a", "smith")
+    assert got["Smith, John"] == ("john smith", "john", None, "smith")
+    assert got["MR JOHN SMITH"] == ("john smith", "john", None, "smith")
+    assert got["  mary   jane   garcia  "] == (
+        "mary jane garcia", "mary", "jane", "garcia",
+    )
+    assert got["Garcia, Mary b, III"] == ("mary b garcia", "mary", "b", "garcia")
+    # suffix-only name survives the guarded filter
+
+    assert got["prof dr wei chen phd md"] == ("wei chen", "wei", None, "chen")
+    assert got["Cher"] == ("cher", None, None, "cher")
+    assert got["sir"] == ("sir", None, None, "sir")
+
+
+def test_standardize_unifies_variants_to_one_key(spark):
+    from berkeley_entity_spark.operators.linkage import (
+        standardize_person_names,
+    )
+
+    variants = [
+        ("Dr. John Smith",), ("Smith, John",), ("JOHN SMITH",),
+        ("john smith phd",), (" john  smith ",),
+    ]
+    df = spark.createDataFrame(variants, "name string")
+    keys = {
+        r["name_std"] for r in standardize_person_names(df).collect()
+    }
+    assert keys == {"john smith"}

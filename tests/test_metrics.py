@@ -271,3 +271,36 @@ def test_agreement_single_pred_cluster(spark):
     assert got["homogeneity"] == pytest.approx(0.0)
     assert got["v_measure"] == pytest.approx(0.0)
     assert got["ari"] == pytest.approx(0.0)  # adjusted: chance-level
+
+
+def test_cluster_diff_statuses(spark):
+    from berkeley_entity_spark.evaluate import cluster_diff
+
+    # gold: E1={a,b,c,d}, E2={e,f}; pred: C1={a,b}, C2={c,d,e}, C3={f}
+    pred, gold = frames(
+        spark,
+        [["a", "b"], ["c", "d", "e"], ["f"]],
+        [["a", "b", "c", "d"], ["e", "f"]],
+    )
+    got = {r["cluster_id"]: r for r in cluster_diff(pred, gold).collect()}
+    # C1: one entity (E1=0) but E1 spans C1+C2 -> split
+    assert got[0]["status"] == "split" and got[0]["purity"] == 1.0
+    assert got[0]["entity_n_clusters"] == 2
+    # C2: two entities AND majority E1 spans 2 clusters -> merged+split
+    assert got[1]["status"] == "merged+split"
+    assert got[1]["majority_entity"] == 0 and abs(got[1]["purity"] - 2 / 3) < 1e-6
+    # C3: one entity (E2=1) but E2 spans C2+C3 -> split
+    assert got[2]["status"] == "split"
+
+
+def test_cluster_diff_pure_and_merge_tiebreak(spark):
+    from berkeley_entity_spark.evaluate import cluster_diff
+
+    pred, gold = frames(
+        spark, [["a", "b"], ["c", "d"]], [["a", "b"], ["c"], ["d"]]
+    )
+    got = {r["cluster_id"]: r for r in cluster_diff(pred, gold).collect()}
+    assert got[0]["status"] == "pure" and got[0]["purity"] == 1.0
+    # C2 holds entities 1 and 2, 1 member each -> tie, min entity id wins
+    assert got[1]["status"] == "merged" and got[1]["majority_entity"] == 1
+    assert got[1]["purity"] == 0.5
