@@ -2216,6 +2216,31 @@ def q_pr_curve(spark, sf_dir):
     )
 
 
+def q_review_queue(spark, sf_dir):
+    """Clerical-review labeling queue (Fellegi-Sunter three-way rule):
+    a deterministic 10-pair sample per posterior decile over the
+    FS-scored candidate pairs, ordered by seeded md5 hash — the
+    posterior-band stratified queue a human-labeling budget is spent
+    through.  Two-phase salted top-k, so no task ever sorts a full
+    band (linkage.review_queue)."""
+    from berkeley_entity_spark.operators.linkage import fs_link, review_queue
+
+    scored = fs_link(_t(spark, sf_dir, "documents"), max_block=48)
+    return review_queue(scored, per_band=10, lower=0.2, upper=0.8)
+
+
+def q_crawl_drift(spark, sf_dir):
+    """Crawl-snapshot drift monitor: Population Stability Index of every
+    snapshot vs its predecessor over length-bin and language histograms
+    (operators/drift.py) — the distribution-level alarm that decides
+    when a 10^12-page corpus must be re-extracted/re-linked.  One
+    map-side-combining corpus scan; everything downstream is
+    |snapshots| x |bins| histogram algebra."""
+    from berkeley_entity_spark.operators.drift import drift_psi
+
+    return drift_psi(_t(spark, sf_dir, "documents"), snapshot_col="source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_lineitem_agg": q_lineitem_agg,
@@ -2301,6 +2326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_blocking_metrics": q_blocking_metrics,
         "q_fs_tf": q_fs_tf,
         "q_pr_curve": q_pr_curve,
+        "q_review_queue": q_review_queue,
+        "q_crawl_drift": q_crawl_drift,
         "q_xdistrib": q_xdistrib,
         "q_ner_tags": q_ner_tags,
         "q_er_pipeline": q_er_pipeline,
@@ -2485,6 +2512,69 @@ SELECT p_match AS threshold, n_pairs, tp, fp,
        round(tp / (tp + fp), 6) AS precision,
        round(tp / n_gold, 6) AS recall
 FROM base
+"""
+
+
+def _review_queue_oracle() -> str:
+    """q_review_queue replay: the full q_fs_em oracle as a nested-WITH
+    subquery, then posterior-decile banding and the seeded-md5
+    deterministic per-band top-10 (the two-phase salted top-k composes
+    to exactly this single-window answer)."""
+    return f"""
+WITH scored AS ({_fs_em_oracle(n_iter=5)}),
+banded AS (SELECT id_a, id_b, p_match,
+                  CAST(least(floor(p_match * 10), 9) AS INTEGER) AS band,
+                  md5('11|' || id_a::VARCHAR || '|' || id_b::VARCHAR) AS h
+           FROM scored),
+ranked AS (SELECT band, id_a, id_b, p_match,
+                  CAST(row_number() OVER (PARTITION BY band
+                       ORDER BY h, id_a, id_b) AS INTEGER) AS rn
+           FROM banded)
+SELECT band, rn, id_a, id_b, p_match,
+       CASE WHEN p_match >= 0.8 THEN 'link'
+            WHEN p_match < 0.2 THEN 'nonlink'
+            ELSE 'review' END AS decision
+FROM ranked WHERE rn <= 10
+"""
+
+
+def _crawl_drift_oracle() -> str:
+    """q_crawl_drift replay: the same dense-grid + Laplace-smoothed PSI
+    histogram algebra as operators/drift.py, consecutive snapshots by
+    lexicographic rank."""
+    return """
+WITH base AS (SELECT source AS snapshot,
+                     CAST(least(floor(n_chars / 200), 7) AS VARCHAR) AS len_bin,
+                     lang
+              FROM documents),
+long AS (SELECT snapshot, 'len' AS feature, len_bin AS bin FROM base
+         UNION ALL SELECT snapshot, 'lang', lang FROM base),
+hist AS (SELECT snapshot, feature, bin, count(*) AS cnt
+         FROM long GROUP BY 1, 2, 3),
+snaps AS (SELECT snapshot,
+                 row_number() OVER (ORDER BY snapshot) - 1 AS idx
+          FROM (SELECT DISTINCT snapshot FROM hist)),
+dom AS (SELECT DISTINCT feature, bin FROM hist),
+grid AS (SELECT s.snapshot, s.idx, d.feature, d.bin
+         FROM snaps s CROSS JOIN dom d),
+filled AS (SELECT g.snapshot, g.idx, g.feature, g.bin,
+                  coalesce(h.cnt, 0) AS cnt
+           FROM grid g LEFT JOIN hist h
+             ON g.snapshot = h.snapshot AND g.feature = h.feature
+            AND g.bin = h.bin),
+tot AS (SELECT snapshot, feature, sum(cnt) AS total, count(*) AS nbins
+        FROM filled GROUP BY 1, 2),
+prop AS (SELECT f.snapshot, f.idx, f.feature, f.bin, t.total,
+                (f.cnt + 0.5) / (t.total + 0.5 * t.nbins) AS p
+         FROM filled f JOIN tot t
+           ON f.snapshot = t.snapshot AND f.feature = t.feature)
+SELECT c.snapshot AS snapshot, c.feature AS feature,
+       CAST(max(c.total) AS BIGINT) AS n_docs,
+       round(sum((c.p - q.p) * ln(c.p / q.p)), 6) AS psi,
+       round(sum((c.p - q.p) * ln(c.p / q.p)), 6) > 0.25 AS drifted
+FROM prop c JOIN prop q
+  ON c.idx = q.idx + 1 AND c.feature = q.feature AND c.bin = q.bin
+GROUP BY 1, 2
 """
 
 
@@ -5040,6 +5130,8 @@ SELECT cluster_id, CAST(rn AS INTEGER) AS rank, term, n_tc, score FROM (
     out["q_blocking_metrics"] = _blocking_metrics_oracle()
     out["q_fs_tf"] = _fs_tf_oracle(n_iter=5)
     out["q_pr_curve"] = _pr_curve_oracle()
+    out["q_review_queue"] = _review_queue_oracle()
+    out["q_crawl_drift"] = _crawl_drift_oracle()
     out["q_bpe_merges"] = _bpe_oracle(n_merges=6, top_words=2000)
     out["q_bpe_encode"] = _bpe_encode_oracle(n_merges=6, top_words=2000)
     qc = _quality_clf_oracle()

@@ -394,3 +394,75 @@ def standardize_person_names(
             "name_last": F.when(n >= 1, F.element_at(toks, -1)),
         }
     )
+
+
+# --------------------------------------------------- clerical-review queue
+
+def review_queue(
+    scored: DataFrame,
+    per_band: int = 10,
+    lower: float = 0.2,
+    upper: float = 0.8,
+    seed: str = "11",
+    n_salt: int = 32,
+) -> DataFrame:
+    """Posterior-band stratified labeling queue over scored candidate
+    pairs — the clerical-review stage of the Fellegi-Sunter three-way
+    decision rule (link / review / non-link, F&S 1969 §3; the same queue
+    Splink's `labelling` workflow and fastLink's `getMatches` review band
+    feed).  A human-labeling budget is spent best when it is spread
+    across the posterior range (calibration bins) rather than
+    concentrated where the model is already confident, so the queue
+    takes a DETERMINISTIC per_band-pair sample from each posterior
+    decile, ordered by a seeded md5 hash of the pair key — reproducible
+    under any partitioning and any engine, unlike rand()-based sampling.
+
+    Scale shape: band counts are a map-side-combining groupBy; the
+    per-band sample is the repo-standard two-phase top-k (salted local
+    top-per_band per (band, salt), then a final window over
+    <= per_band * n_salt survivors per band), so no task ever sorts a
+    full band even when one posterior value covers half the corpus.
+
+    Output: (band, rn, id_a, id_b, p_match, decision) where decision is
+    the three-way rule at (lower, upper) — the queue keeps link/non-link
+    rows too (spot-check strata), but the review band is where labels
+    are spent.
+    """
+    h = F.md5(
+        F.concat(
+            F.lit(seed + "|"),
+            F.col("id_a").cast("string"),
+            F.lit("|"),
+            F.col("id_b").cast("string"),
+        )
+    )
+    d = scored.select(
+        "id_a",
+        "id_b",
+        "p_match",
+        F.least(F.floor(F.col("p_match") * 10), F.lit(9)).cast("int").alias("band"),
+        h.alias("_h"),
+    )
+    salt = F.pmod(F.xxhash64("id_a", "id_b"), F.lit(n_salt))
+    w1 = Window.partitionBy("band", salt).orderBy("_h", "id_a", "id_b")
+    survivors = d.withColumn("_rn1", F.row_number().over(w1)).where(
+        F.col("_rn1") <= per_band
+    )
+    w2 = Window.partitionBy("band").orderBy("_h", "id_a", "id_b")
+    dec = (
+        F.when(F.col("p_match") >= upper, F.lit("link"))
+        .when(F.col("p_match") < lower, F.lit("nonlink"))
+        .otherwise(F.lit("review"))
+    )
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= per_band)
+        .select(
+            "band",
+            F.col("rn").cast("int").alias("rn"),
+            "id_a",
+            "id_b",
+            "p_match",
+            dec.alias("decision"),
+        )
+    )

@@ -190,3 +190,57 @@ def test_standardize_unifies_variants_to_one_key(spark):
         r["name_std"] for r in standardize_person_names(df).collect()
     }
     assert keys == {"john smith"}
+
+
+# ------------------------------------------------------ review queue
+
+def _scored(spark, rows):
+    return spark.createDataFrame(
+        rows, "id_a long, id_b long, g_name int, g_tok int, p_match double, is_match boolean"
+    )
+
+
+def test_review_queue_caps_hot_band(spark):
+    from berkeley_entity_spark.operators.linkage import review_queue
+
+    # 500 pairs all at the same posterior (one gamma pattern covering
+    # half a corpus — the hot-band case): the queue must stay at
+    # per_band rows, deterministically chosen
+    rows = [(i, i + 100000, 2, 1, 0.43, False) for i in range(500)]
+    rows += [(i, i + 100000, 0, 0, 0.97, True) for i in range(1000, 1003)]
+    out = review_queue(_scored(spark, rows), per_band=10).collect()
+    by_band = {}
+    for r in out:
+        by_band.setdefault(r["band"], []).append(r)
+    assert len(by_band[4]) == 10          # hot band capped
+    assert len(by_band[9]) == 3           # small band kept whole
+    assert [r["rn"] for r in sorted(by_band[4], key=lambda r: r["rn"])] == list(range(1, 11))
+    assert all(r["decision"] == "review" for r in by_band[4])
+    assert all(r["decision"] == "link" for r in by_band[9])
+
+
+def test_review_queue_partition_invariant(spark):
+    from berkeley_entity_spark.operators.linkage import review_queue
+
+    rows = [
+        (i, i + 7, (i % 3), (i % 2), round(0.05 + (i % 19) * 0.05, 2), False)
+        for i in range(300)
+    ]
+    d = _scored(spark, rows)
+    a = sorted(map(tuple, review_queue(d, per_band=5).collect()))
+    b = sorted(map(tuple, review_queue(d.repartition(11, "id_b"), per_band=5).collect()))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_review_queue_three_way_decision_boundaries(spark):
+    from berkeley_entity_spark.operators.linkage import review_queue
+
+    rows = [
+        (1, 2, 0, 0, 0.19, False),   # nonlink (strict <0.2)
+        (3, 4, 0, 0, 0.20, False),   # review (inclusive lower)
+        (5, 6, 1, 1, 0.79, False),   # review
+        (7, 8, 2, 1, 0.80, True),    # link (inclusive upper)
+    ]
+    out = {(r["id_a"]): r["decision"] for r in review_queue(_scored(spark, rows)).collect()}
+    assert out == {1: "nonlink", 3: "review", 5: "review", 7: "link"}
