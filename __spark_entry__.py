@@ -2229,6 +2229,67 @@ def q_review_queue(spark, sf_dir):
     return review_queue(scored, per_band=10, lower=0.2, upper=0.8)
 
 
+def _gold_dup_pairs(docs):
+    """The synth corpus's re-derivable duplicate-pair gold standard over
+    the FS gate records: base/exact/near triangles per eligible doc
+    (same construction q_pr_curve inlines)."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    elig = docs.where(F.size(toks) >= 5).select("doc_id")
+    return (
+        elig.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 100000).alias("id_b"),
+        )
+        .unionByName(
+            elig.select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 200000).alias("id_b"),
+            )
+        )
+        .unionByName(
+            elig.select(
+                (F.col("doc_id") + 100000).alias("id_a"),
+                (F.col("doc_id") + 200000).alias("id_b"),
+            )
+        )
+    )
+
+
+def q_expected_f1(spark, sf_dir):
+    """Unsupervised operating-point selection: expected precision /
+    recall / F1 per candidate threshold from the FS scorer's OWN
+    posteriors (Splink's match-weight threshold diagnostic; zero labels
+    touched).  The cumulative windows run over the <= |gamma patterns|
+    distinct-posterior table, never over pairs
+    (linkage.fs_expected_f1)."""
+    from berkeley_entity_spark.operators.linkage import fs_expected_f1, fs_link
+
+    return fs_expected_f1(fs_link(_t(spark, sf_dir, "documents"), max_block=48))
+
+
+def q_calibration(spark, sf_dir):
+    """Scorer calibration audit: posterior-decile reliability bins with
+    ECE + Brier score against the re-derived gold dup pairs — the check
+    that the posterior a clerical queue or expected-F1 threshold trusts
+    means what it says (linkage.calibration_report)."""
+    from berkeley_entity_spark.operators.linkage import calibration_report, fs_link
+
+    docs = _t(spark, sf_dir, "documents")
+    return calibration_report(fs_link(docs, max_block=48), _gold_dup_pairs(docs))
+
+
+def q_dup_estimate(spark, sf_dir):
+    """Chapman capture-recapture estimate of the corpus's TOTAL
+    duplicate-pair count from two blocking passes (first-token vs
+    soundex-class) — the 'how many dups does NO single pass see' audit
+    (linkage.dup_estimate_capture_recapture)."""
+    from berkeley_entity_spark.operators.linkage import (
+        dup_estimate_capture_recapture,
+    )
+
+    return dup_estimate_capture_recapture(_t(spark, sf_dir, "documents"))
+
+
 def q_crawl_drift(spark, sf_dir):
     """Crawl-snapshot drift monitor: Population Stability Index of every
     snapshot vs its predecessor over length-bin and language histograms
@@ -2327,6 +2388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fs_tf": q_fs_tf,
         "q_pr_curve": q_pr_curve,
         "q_review_queue": q_review_queue,
+        "q_expected_f1": q_expected_f1,
+        "q_calibration": q_calibration,
+        "q_dup_estimate": q_dup_estimate,
         "q_crawl_drift": q_crawl_drift,
         "q_xdistrib": q_xdistrib,
         "q_ner_tags": q_ner_tags,
@@ -2536,6 +2600,135 @@ SELECT band, rn, id_a, id_b, p_match,
             ELSE 'review' END AS decision
 FROM ranked WHERE rn <= 10
 """
+
+
+def _expected_f1_oracle() -> str:
+    """q_expected_f1 replay: the full q_fs_em oracle nested, then the
+    zero-label expected-confusion algebra over the distinct-posterior
+    sufficient-statistics table (E[TP](t) = sum_{p>=t} p, etc.) with the
+    same raw-value precision/recall feeding the rounded F1, and `best`
+    compared on the ROUNDED exp_f1 exactly as the Spark column is."""
+    return f"""
+WITH scored AS ({_fs_em_oracle(n_iter=5)}),
+byp AS (SELECT p_match, count(*)::BIGINT AS n_pairs,
+               count(*) * p_match AS sum_p
+        FROM scored GROUP BY 1),
+cum AS (SELECT p_match AS threshold, n_pairs,
+               sum(sum_p) OVER w AS exp_tp,
+               sum(n_pairs) OVER w - sum(sum_p) OVER w AS exp_fp,
+               sum(sum_p) OVER () - sum(sum_p) OVER w AS exp_fn,
+               sum(sum_p) OVER () AS _m,
+               sum(n_pairs) OVER w AS _cum_n
+        FROM byp WINDOW w AS (ORDER BY p_match DESC)),
+fin AS (SELECT threshold, n_pairs,
+               round(exp_tp, 6) AS exp_tp,
+               round(exp_fp, 6) AS exp_fp,
+               round(exp_fn, 6) AS exp_fn,
+               round(exp_tp / _cum_n, 6) AS exp_precision,
+               round(exp_tp / _m, 6) AS exp_recall,
+               round(2 * (exp_tp / _cum_n) * (exp_tp / _m)
+                     / ((exp_tp / _cum_n) + (exp_tp / _m)), 6) AS exp_f1
+        FROM cum)
+SELECT threshold, n_pairs, exp_tp, exp_fp, exp_fn,
+       exp_precision, exp_recall, exp_f1,
+       exp_f1 = max(exp_f1) OVER () AS best
+FROM fin
+"""
+
+
+def _calibration_oracle(n_bins: int = 10) -> str:
+    """q_calibration replay: scored pairs labeled against the re-derived
+    gold, sufficient statistics grouped on the <= 2*|gamma| (p_match, y)
+    table, then per-decile reliability bins + windowed ECE / Brier —
+    every float reduction over the bounded table, mirroring
+    linkage.calibration_report expression for expression."""
+    return f"""
+WITH scored AS ({_fs_em_oracle(n_iter=5)}),
+gtok AS (SELECT doc_id, {TOKQ} AS toks FROM documents),
+gelig AS (SELECT doc_id FROM gtok WHERE len(toks) >= 5),
+gold AS (SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM gelig
+         UNION ALL SELECT doc_id, doc_id + 200000 FROM gelig
+         UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM gelig),
+labeled AS (SELECT s.p_match,
+                   CASE WHEN g.id_a IS NOT NULL THEN 1 ELSE 0 END AS y
+            FROM scored s LEFT JOIN gold g
+              ON s.id_a = g.id_a AND s.id_b = g.id_b),
+suff AS (SELECT p_match, y, count(*)::BIGINT AS c
+         FROM labeled GROUP BY 1, 2),
+per AS (SELECT CAST(least(floor(p_match * {n_bins}), {n_bins - 1}) AS INTEGER)
+                 AS band,
+               sum(c)::BIGINT AS n_pairs,
+               sum(c * p_match) AS _sp,
+               CAST(sum(c * y) AS BIGINT) AS _pos,
+               sum(c * pow(p_match - y, 2)) AS _sse
+        FROM suff GROUP BY 1),
+fin AS (SELECT band, n_pairs, _sp / n_pairs AS mean_p,
+               _pos / n_pairs AS frac_pos, _sse
+        FROM per)
+SELECT band, n_pairs,
+       round(mean_p, 6) AS mean_p,
+       round(frac_pos, 6) AS frac_pos,
+       round(abs(mean_p - frac_pos), 6) AS gap,
+       round(sum(n_pairs * abs(mean_p - frac_pos)) OVER ()
+             / sum(n_pairs) OVER (), 6) AS ece,
+       round(sum(_sse) OVER () / sum(n_pairs) OVER (), 6) AS brier
+FROM fin
+"""
+
+
+def _dup_estimate_oracle(max_block: int = 48, max_block_phonetic: int = 64) -> str:
+    """q_dup_estimate replay: pass 1 = the _fs_pairs_cte blocked pairs at
+    g_name >= 1; pass 2 = the soundex-class chain (same translate +
+    quantifier-only regexp pipeline as _phonetic_oracle) over the gate
+    records, capped, self-joined, filtered by the same levenshtein
+    agreement band; overlap by pair-key join; Chapman's corrected
+    two-list estimator on the three counts."""
+    collapse = "cc1"
+    for d in "0123456":
+        collapse = f"regexp_replace({collapse}, '{d}{{2,}}', '{d}', 'g')"
+    return (
+        f"WITH {_fs_pairs_cte()},\n"
+        + f"""
+p1 AS (SELECT id_a, id_b FROM pairs WHERE g_name >= 1),
+k0 AS (SELECT rec_id, name,
+              list_extract(string_split(name, ' '), 1) AS first
+       FROM recs),
+k1 AS (SELECT rec_id, name, first,
+              regexp_replace(
+                translate(first, 'abcdefghijklmnopqrstuvwxyz',
+                          '01230129022455012623019202'),
+                '9', '', 'g') AS cc1
+       FROM k0
+       WHERE regexp_matches(substr(first, 1, 1), '^[a-z]$')),
+k2 AS (SELECT rec_id, name, first, {collapse} AS cc2 FROM k1),
+keyed AS (SELECT rec_id, name,
+                 upper(substr(first, 1, 1))
+                   || rpad(substr(regexp_replace(substr(cc2, 2), '0', '', 'g'),
+                                  1, 3), 3, '0') AS block_key
+          FROM k2),
+pcap AS (SELECT rec_id, name, block_key FROM (
+           SELECT rec_id, name, block_key,
+                  row_number() OVER (PARTITION BY block_key
+                                     ORDER BY rec_id) AS rn
+           FROM keyed) WHERE rn <= {max_block_phonetic}),
+p2 AS (SELECT a.rec_id AS id_a, b.rec_id AS id_b
+       FROM pcap a JOIN pcap b
+         ON a.block_key = b.block_key AND a.rec_id < b.rec_id
+       WHERE (CASE WHEN a.name = b.name THEN 2
+                   WHEN 10 * levenshtein(a.name, b.name)
+                        <= 3 * greatest(length(a.name), length(b.name)) THEN 1
+                   ELSE 0 END) >= 1),
+cnt1 AS (SELECT count(*)::BIGINT AS n_pass1 FROM p1),
+cnt2 AS (SELECT count(*)::BIGINT AS n_pass2 FROM p2),
+ov AS (SELECT count(*)::BIGINT AS overlap
+       FROM p1 JOIN p2 ON p1.id_a = p2.id_a AND p1.id_b = p2.id_b),
+ng AS (SELECT count(*)::BIGINT * 3 AS n_gold FROM elig)
+SELECT n_pass1, n_pass2, overlap,
+       round((n_pass1 + 1) * (n_pass2 + 1) / (overlap + 1) - 1, 6)
+         AS chapman_est,
+       n_gold::BIGINT AS n_gold
+FROM cnt1, cnt2, ov, ng"""
+    )
 
 
 def _crawl_drift_oracle() -> str:
@@ -5131,6 +5324,9 @@ SELECT cluster_id, CAST(rn AS INTEGER) AS rank, term, n_tc, score FROM (
     out["q_fs_tf"] = _fs_tf_oracle(n_iter=5)
     out["q_pr_curve"] = _pr_curve_oracle()
     out["q_review_queue"] = _review_queue_oracle()
+    out["q_expected_f1"] = _expected_f1_oracle()
+    out["q_calibration"] = _calibration_oracle()
+    out["q_dup_estimate"] = _dup_estimate_oracle()
     out["q_crawl_drift"] = _crawl_drift_oracle()
     out["q_bpe_merges"] = _bpe_oracle(n_merges=6, top_words=2000)
     out["q_bpe_encode"] = _bpe_encode_oracle(n_merges=6, top_words=2000)

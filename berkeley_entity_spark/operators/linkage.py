@@ -56,6 +56,9 @@ __all__ = [
     "fs_tf_adjusted",
     "fs_link",
     "fs_link_tf",
+    "fs_expected_f1",
+    "calibration_report",
+    "dup_estimate_capture_recapture",
 ]
 
 # exact decimal literals shared with the SQL oracle (1e-6 and 0.000001
@@ -464,5 +467,185 @@ def review_queue(
             "id_b",
             "p_match",
             dec.alias("decision"),
+        )
+    )
+
+
+# ------------------------------------------- threshold selection (no labels)
+
+def fs_expected_f1(scored: DataFrame) -> DataFrame:
+    """Unsupervised threshold selection from the model's OWN posteriors
+    (the Splink `threshold from match weight` diagnostic): treating each
+    pair's posterior p_i as its match probability, the expected confusion
+    counts at threshold t are
+
+        E[TP](t) = sum_{p_i >= t} p_i      E[FP](t) = sum_{p_i >= t} (1-p_i)
+        E[FN](t) = M - E[TP](t),  M = sum_i p_i
+
+    so expected precision / recall / F1 are computable with ZERO labels —
+    the curve a production linker picks its operating point from before
+    any clerical labels exist (the labeled counterpart is q_pr_curve).
+
+    Scale shape: the FS posterior is a pure function of the gamma
+    pattern, so the groupBy("p_match") sufficient-statistics table has at
+    most |gamma space| rows (6 here) — the cumulative windows run over
+    THAT, never over pairs, and sum(n * p) per group is an exact product,
+    not a float reduction over the corpus.
+
+    Output: one row per candidate threshold (distinct posterior) with
+    (threshold, n_pairs, exp_tp, exp_fp, exp_fn, exp_precision,
+    exp_recall, exp_f1, best) — `best` flags the expected-F1 argmax.
+    """
+    by = scored.groupBy("p_match").agg(F.count(F.lit(1)).alias("n_pairs"))
+    by = by.withColumn("sum_p", F.col("n_pairs") * F.col("p_match"))
+    w = Window.orderBy(F.col("p_match").desc())
+    tot = Window.partitionBy()
+    cum = by.select(
+        F.col("p_match").alias("threshold"),
+        "n_pairs",
+        F.sum("sum_p").over(w).alias("exp_tp"),
+        (F.sum("n_pairs").over(w) - F.sum("sum_p").over(w)).alias("exp_fp"),
+        (F.sum("sum_p").over(tot) - F.sum("sum_p").over(w)).alias("exp_fn"),
+        F.sum("sum_p").over(tot).alias("_m"),
+        (F.sum("n_pairs").over(w)).alias("_cum_n"),
+    )
+    prec = F.col("exp_tp") / F.col("_cum_n")
+    rec = F.col("exp_tp") / F.col("_m")
+    f1 = F.round(2 * prec * rec / (prec + rec), 6)
+    out = cum.select(
+        "threshold",
+        "n_pairs",
+        F.round("exp_tp", 6).alias("exp_tp"),
+        F.round("exp_fp", 6).alias("exp_fp"),
+        F.round("exp_fn", 6).alias("exp_fn"),
+        F.round(prec, 6).alias("exp_precision"),
+        F.round(rec, 6).alias("exp_recall"),
+        f1.alias("exp_f1"),
+    )
+    return out.withColumn(
+        "best", F.col("exp_f1") == F.max("exp_f1").over(Window.partitionBy())
+    )
+
+
+# --------------------------------------------------- scorer calibration
+
+def calibration_report(scored: DataFrame, gold: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Reliability diagram + ECE + Brier score of the pairwise scorer
+    against labeled pairs — the check that the posterior a clerical
+    queue, an expected-F1 threshold, or a downstream fusion step trusts
+    MEANS what it says (a miscalibrated 0.9 breaks all three).
+
+    Per posterior-decile bin: n_pairs, mean predicted posterior, observed
+    positive fraction, |gap|; globally (repeated per row, both engines
+    hash it identically): ECE = sum_b (n_b/N)*|mean_p_b - frac_pos_b| and
+    the Brier score sum_i (p_i - y_i)^2 / N.
+
+    Scale shape: the only corpus-sized step is the gold LEFT JOIN and a
+    groupBy over (p_match, y) — at most 2*|gamma space| rows — so every
+    float reduction (mean_p, ECE, Brier) runs over that bounded table via
+    exact count*value products, never a float sum over pairs.
+    """
+    labeled = scored.join(
+        gold.select("id_a", "id_b").withColumn("y", F.lit(1)),
+        ["id_a", "id_b"],
+        "left",
+    ).select("p_match", F.coalesce("y", F.lit(0)).alias("y"))
+    g = labeled.groupBy("p_match", "y").agg(F.count(F.lit(1)).alias("c"))
+    band = F.least(F.floor(F.col("p_match") * n_bins), F.lit(n_bins - 1)).cast("int")
+    per = g.groupBy(band.alias("band")).agg(
+        F.sum("c").alias("n_pairs"),
+        F.sum(F.col("c") * F.col("p_match")).alias("_sp"),
+        F.sum(F.col("c") * F.col("y")).alias("_pos"),
+        F.sum(F.col("c") * F.pow(F.col("p_match") - F.col("y"), 2)).alias("_sse"),
+    )
+    tot = Window.partitionBy()
+    mean_p = F.col("_sp") / F.col("n_pairs")
+    frac_pos = F.col("_pos") / F.col("n_pairs")
+    n_all = F.sum("n_pairs").over(tot)
+    return per.select(
+        "band",
+        "n_pairs",
+        F.round(mean_p, 6).alias("mean_p"),
+        F.round(frac_pos, 6).alias("frac_pos"),
+        F.round(F.abs(mean_p - frac_pos), 6).alias("gap"),
+        F.round(
+            F.sum(F.col("n_pairs") * F.abs(mean_p - frac_pos)).over(tot) / n_all, 6
+        ).alias("ece"),
+        F.round(F.sum("_sse").over(tot) / n_all, 6).alias("brier"),
+    )
+
+
+# ------------------------------------- capture-recapture dup-count estimate
+
+def dup_estimate_capture_recapture(
+    documents: DataFrame,
+    max_block: int = 48,
+    max_block_phonetic: int = 64,
+) -> DataFrame:
+    """Chapman capture-recapture estimate of the TOTAL duplicate-pair
+    count from two blocking passes — the standard audit for "how many
+    duplicates does the corpus hold that NO single blocking pass sees"
+    (Lincoln-Petersen / Chapman; the two-list estimator census and ER
+    surveys use).  Capture lists: the duplicate-predicate pairs
+    (g_name >= 1, the levenshtein agreement band) surfaced by (1) the
+    capped first-token blocker and (2) the capped soundex-class phonetic
+    blocker, both over the same gate records; overlap by pair-key join.
+
+        N_hat = (n1+1)(n2+1)/(m+1) - 1        (Chapman's correction)
+
+    The independence assumption is approximate here — both passes key on
+    the first token, so the estimate is a LOWER-bound-leaning diagnostic,
+    which is exactly how a dedup scorecard consumes it.
+
+    Scale shape: two capped blocking passes (bounded fan-out), one name
+    lookup join for the phonetic pass's gammas, one pair-key equi-join
+    for the overlap, three scalar aggregates.  Output: one row
+    (n_pass1, n_pass2, overlap, chapman_est, n_gold)."""
+    from berkeley_entity_spark.operators.blocking import phonetic_pairs
+
+    recs = fs_gate_records(documents)
+    p1 = (
+        fs_comparison_vectors(recs, max_block=max_block)
+        .where(F.col("g_name") >= 1)
+        .select("id_a", "id_b")
+    )
+
+    cand2 = phonetic_pairs(
+        recs, id_col="rec_id", name_col="name", max_block=max_block_phonetic
+    )
+    ra = recs.select(F.col("rec_id").alias("id_a"), F.col("name").alias("_na"))
+    rb = recs.select(F.col("rec_id").alias("id_b"), F.col("name").alias("_nb"))
+    na, nb = F.col("_na"), F.col("_nb")
+    g_name2 = (
+        F.when(na == nb, F.lit(2))
+        .when(
+            10 * F.levenshtein(na, nb) <= 3 * F.greatest(F.length(na), F.length(nb)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    p2 = (
+        cand2.join(ra, "id_a").join(rb, "id_b")
+        .where(g_name2 >= 1)
+        .select("id_a", "id_b")
+    )
+    both = p1.join(p2, ["id_a", "id_b"])
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n_gold = documents.where(F.size(toks) >= 5).count() * 3
+    n1 = p1.agg(F.count(F.lit(1)).alias("n")).withColumnRenamed("n", "n_pass1")
+    n2 = p2.agg(F.count(F.lit(1)).alias("n")).withColumnRenamed("n", "n_pass2")
+    m = both.agg(F.count(F.lit(1)).alias("n")).withColumnRenamed("n", "overlap")
+    est = (
+        (F.col("n_pass1") + 1) * (F.col("n_pass2") + 1) / (F.col("overlap") + 1) - 1
+    )
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(m)
+        .select(
+            "n_pass1",
+            "n_pass2",
+            "overlap",
+            F.round(est, 6).alias("chapman_est"),
+            F.lit(n_gold).cast("long").alias("n_gold"),
         )
     )

@@ -244,3 +244,67 @@ def test_review_queue_three_way_decision_boundaries(spark):
     ]
     out = {(r["id_a"]): r["decision"] for r in review_queue(_scored(spark, rows)).collect()}
     assert out == {1: "nonlink", 3: "review", 5: "review", 7: "link"}
+
+
+def test_expected_f1_hand_computed(spark):
+    from berkeley_entity_spark.operators.linkage import fs_expected_f1
+
+    # two posterior levels: 2 pairs at 0.9, 3 pairs at 0.1
+    rows = [(1, 2, 2, 1, 0.9, True), (3, 4, 2, 1, 0.9, True),
+            (5, 6, 0, 0, 0.1, False), (7, 8, 0, 0, 0.1, False),
+            (9, 10, 0, 0, 0.1, False)]
+    out = {r["threshold"]: r for r in fs_expected_f1(_scored(spark, rows)).collect()}
+    # M = 2*0.9 + 3*0.1 = 2.1
+    # at t=0.9: E[TP]=1.8, E[FP]=0.2, E[FN]=0.3, P=0.9, R=1.8/2.1
+    hi = out[0.9]
+    assert abs(hi["exp_tp"] - 1.8) < 1e-9
+    assert abs(hi["exp_fp"] - 0.2) < 1e-9
+    assert abs(hi["exp_fn"] - 0.3) < 1e-9
+    assert abs(hi["exp_precision"] - 0.9) < 1e-9
+    assert abs(hi["exp_recall"] - round(1.8 / 2.1, 6)) < 1e-6
+    # at t=0.1 everything is linked: E[TP]=M, recall 1
+    lo = out[0.1]
+    assert abs(lo["exp_tp"] - 2.1) < 1e-9
+    assert abs(lo["exp_recall"] - 1.0) < 1e-9
+    # exactly one best row, and it carries the max exp_f1
+    best = [r for r in out.values() if r["best"]]
+    assert len(best) == 1
+    assert best[0]["exp_f1"] == max(r["exp_f1"] for r in out.values())
+
+
+def test_calibration_perfect_and_miscalibrated(spark):
+    from berkeley_entity_spark.operators.linkage import calibration_report
+
+    # perfectly calibrated at one bin: 10 pairs at p=0.8, 8 of them gold
+    rows = [(i, i + 1000, 2, 1, 0.8, True) for i in range(10)]
+    gold = spark.createDataFrame(
+        [(i, i + 1000) for i in range(8)], "id_a long, id_b long"
+    )
+    out = calibration_report(_scored(spark, rows), gold).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["band"] == 8 and r["n_pairs"] == 10
+    assert abs(r["mean_p"] - 0.8) < 1e-9 and abs(r["frac_pos"] - 0.8) < 1e-9
+    assert r["gap"] == 0.0 and r["ece"] == 0.0
+    # Brier: 8 positives at gap 0.2, 2 negatives at gap 0.8
+    assert abs(r["brier"] - (8 * 0.04 + 2 * 0.64) / 10) < 1e-6
+    # miscalibrated: same predictions, zero gold
+    empty_gold = spark.createDataFrame([], "id_a long, id_b long")
+    r2 = calibration_report(_scored(spark, rows), empty_gold).collect()[0]
+    assert abs(r2["frac_pos"]) < 1e-9 and abs(r2["gap"] - 0.8) < 1e-9
+    assert abs(r2["ece"] - 0.8) < 1e-9
+
+
+def test_dup_estimate_shape_and_bounds(spark):
+    from berkeley_entity_spark.operators.linkage import (
+        dup_estimate_capture_recapture,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    r = dup_estimate_capture_recapture(docs).collect()[0]
+    # both passes surface pairs; overlap is bounded by each list
+    assert r["n_pass1"] > 0 and r["n_pass2"] > 0
+    assert 0 <= r["overlap"] <= min(r["n_pass1"], r["n_pass2"])
+    # Chapman estimate is >= the larger single list minus rounding
+    assert r["chapman_est"] >= max(r["n_pass1"], r["n_pass2"]) - 1
+    assert r["n_gold"] > 0
