@@ -2290,6 +2290,27 @@ def q_dup_estimate(spark, sf_dir):
     return dup_estimate_capture_recapture(_t(spark, sf_dir, "documents"))
 
 
+def q_match_weights(spark, sf_dir):
+    """FS model explainability table: per-comparison-level m / u / Bayes
+    factor / log2 match weight plus the lambda prior row (Splink's
+    m_u_parameters chart data) — where a degenerate comparison level
+    (m ~ u) is diagnosed (linkage.match_weights_report)."""
+    from berkeley_entity_spark.operators.linkage import match_weights_report
+
+    return match_weights_report(_t(spark, sf_dir, "documents"), max_block=48)
+
+
+def q_blocking_cascade(spark, sf_dir):
+    """Multi-pass blocking audit: per-pass candidate volume, novel-pair
+    contribution, and cumulative gold recall across the first-token /
+    sorted-neighborhood / phonetic cascade — the table a blocking
+    configuration is tuned from (linkage.blocking_cascade_report)."""
+    from berkeley_entity_spark.operators.linkage import blocking_cascade_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return blocking_cascade_report(docs, _gold_dup_pairs(docs))
+
+
 def q_crawl_drift(spark, sf_dir):
     """Crawl-snapshot drift monitor: Population Stability Index of every
     snapshot vs its predecessor over length-bin and language histograms
@@ -2391,6 +2412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_expected_f1": q_expected_f1,
         "q_calibration": q_calibration,
         "q_dup_estimate": q_dup_estimate,
+        "q_match_weights": q_match_weights,
+        "q_blocking_cascade": q_blocking_cascade,
         "q_crawl_drift": q_crawl_drift,
         "q_xdistrib": q_xdistrib,
         "q_ner_tags": q_ner_tags,
@@ -2728,6 +2751,111 @@ SELECT n_pass1, n_pass2, overlap,
          AS chapman_est,
        n_gold::BIGINT AS n_gold
 FROM cnt1, cnt2, ov, ng"""
+    )
+
+
+def _match_weights_oracle(n_iter: int = 5) -> str:
+    """q_match_weights replay: the unrolled FS-EM chain, then a
+    6-row unpivot of the final parameter vector p{n} with the same
+    m/u -> Bayes-factor -> log2 arithmetic on the 12-digit-rounded
+    values both engines share."""
+    return (
+        f"WITH {_fs_pairs_cte()},\n"
+        + _fs_em_ctes(n_iter)
+        + f""",
+raw AS (
+  SELECT 'prior' AS comparison, -1 AS gamma_level, lam AS m, 1.0 - lam AS u
+  FROM p{n_iter}
+  UNION ALL SELECT 'name', 0, mn0, un0 FROM p{n_iter}
+  UNION ALL SELECT 'name', 1, mn1, un1 FROM p{n_iter}
+  UNION ALL SELECT 'name', 2, mn2, un2 FROM p{n_iter}
+  UNION ALL SELECT 'tok', 0, mt0, ut0 FROM p{n_iter}
+  UNION ALL SELECT 'tok', 1, mt1, ut1 FROM p{n_iter})
+SELECT comparison, CAST(gamma_level AS INTEGER) AS gamma_level,
+       round(m, 6) AS m, round(u, 6) AS u,
+       round(m / u, 6) AS bayes_factor,
+       round(log2(m / u), 6) AS log2_weight
+FROM raw"""
+    )
+
+
+def _blocking_cascade_oracle(
+    window: int = 3, max_block_phonetic: int = 64
+) -> str:
+    """q_blocking_cascade replay: pass 1 = the _fs_pairs_cte blocked
+    pairs; pass 2 = first-char-sharded sorted neighborhood (rank band
+    <= window, least/greatest normalized); pass 3 = the soundex-class
+    chain; then per-pass volume / novelty / cumulative-union recall
+    against the re-derived gold triangles."""
+    collapse = "cc1"
+    for d in "0123456":
+        collapse = f"regexp_replace({collapse}, '{d}{{2,}}', '{d}', 'g')"
+    return (
+        f"WITH {_fs_pairs_cte()},\n"
+        + f"""
+p1 AS (SELECT id_a, id_b FROM pairs),
+snm AS (SELECT rec_id, name, substr(name, 1, 1) AS letter,
+               row_number() OVER (PARTITION BY substr(name, 1, 1)
+                                  ORDER BY name, rec_id) AS rn
+        FROM recs),
+p2 AS (SELECT DISTINCT least(a.rec_id, b.rec_id) AS id_a,
+                       greatest(a.rec_id, b.rec_id) AS id_b
+       FROM snm a JOIN snm b
+         ON a.letter = b.letter AND b.rn - a.rn BETWEEN 1 AND {window}),
+k0 AS (SELECT rec_id, name,
+              list_extract(string_split(name, ' '), 1) AS first
+       FROM recs),
+k1 AS (SELECT rec_id, name, first,
+              regexp_replace(
+                translate(first, 'abcdefghijklmnopqrstuvwxyz',
+                          '01230129022455012623019202'),
+                '9', '', 'g') AS cc1
+       FROM k0
+       WHERE regexp_matches(substr(first, 1, 1), '^[a-z]$')),
+k2 AS (SELECT rec_id, first, {collapse} AS cc2 FROM k1),
+keyed AS (SELECT rec_id,
+                 upper(substr(first, 1, 1))
+                   || rpad(substr(regexp_replace(substr(cc2, 2), '0', '', 'g'),
+                                  1, 3), 3, '0') AS block_key
+          FROM k2),
+pcap AS (SELECT rec_id, block_key FROM (
+           SELECT rec_id, block_key,
+                  row_number() OVER (PARTITION BY block_key
+                                     ORDER BY rec_id) AS rn
+           FROM keyed) WHERE rn <= {max_block_phonetic}),
+p3 AS (SELECT a.rec_id AS id_a, b.rec_id AS id_b
+       FROM pcap a JOIN pcap b
+         ON a.block_key = b.block_key AND a.rec_id < b.rec_id),
+gold AS (SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM elig
+         UNION ALL SELECT doc_id, doc_id + 200000 FROM elig
+         UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM elig),
+u2 AS (SELECT id_a, id_b FROM p1 UNION SELECT id_a, id_b FROM p2),
+u3 AS (SELECT id_a, id_b FROM u2 UNION SELECT id_a, id_b FROM p3),
+ng AS (SELECT count(*)::BIGINT AS n FROM gold)
+SELECT CAST(1 AS INTEGER) AS pass_id, 'first_token' AS "pass",
+       (SELECT count(*) FROM p1)::BIGINT AS n_pairs,
+       (SELECT count(*) FROM p1)::BIGINT AS n_new,
+       (SELECT count(*) FROM p1)::BIGINT AS cum_pairs,
+       round((SELECT count(*) FROM p1 JOIN gold USING (id_a, id_b))
+             / (SELECT n FROM ng), 6) AS recall_cum
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'sorted_neighborhood',
+       (SELECT count(*) FROM p2)::BIGINT,
+       (SELECT count(*) FROM p2 WHERE NOT EXISTS
+          (SELECT 1 FROM p1
+           WHERE p1.id_a = p2.id_a AND p1.id_b = p2.id_b))::BIGINT,
+       (SELECT count(*) FROM u2)::BIGINT,
+       round((SELECT count(*) FROM u2 JOIN gold USING (id_a, id_b))
+             / (SELECT n FROM ng), 6)
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'phonetic',
+       (SELECT count(*) FROM p3)::BIGINT,
+       (SELECT count(*) FROM p3 WHERE NOT EXISTS
+          (SELECT 1 FROM u2
+           WHERE u2.id_a = p3.id_a AND u2.id_b = p3.id_b))::BIGINT,
+       (SELECT count(*) FROM u3)::BIGINT,
+       round((SELECT count(*) FROM u3 JOIN gold USING (id_a, id_b))
+             / (SELECT n FROM ng), 6)"""
     )
 
 
@@ -5327,6 +5455,8 @@ SELECT cluster_id, CAST(rn AS INTEGER) AS rank, term, n_tc, score FROM (
     out["q_expected_f1"] = _expected_f1_oracle()
     out["q_calibration"] = _calibration_oracle()
     out["q_dup_estimate"] = _dup_estimate_oracle()
+    out["q_match_weights"] = _match_weights_oracle()
+    out["q_blocking_cascade"] = _blocking_cascade_oracle()
     out["q_crawl_drift"] = _crawl_drift_oracle()
     out["q_bpe_merges"] = _bpe_oracle(n_merges=6, top_words=2000)
     out["q_bpe_encode"] = _bpe_encode_oracle(n_merges=6, top_words=2000)

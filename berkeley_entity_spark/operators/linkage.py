@@ -59,6 +59,8 @@ __all__ = [
     "fs_expected_f1",
     "calibration_report",
     "dup_estimate_capture_recapture",
+    "match_weights_report",
+    "blocking_cascade_report",
 ]
 
 # exact decimal literals shared with the SQL oracle (1e-6 and 0.000001
@@ -649,3 +651,132 @@ def dup_estimate_capture_recapture(
             F.lit(n_gold).cast("long").alias("n_gold"),
         )
     )
+
+
+# ---------------------------------------------------- match-weight report
+
+def match_weights_report(
+    documents: DataFrame, max_block: int = 48, n_iter: int = N_ITER
+) -> DataFrame:
+    """Per-comparison-level parameter table of the trained FS model —
+    m, u, Bayes factor m/u, and log2 match weight per gamma level, plus
+    the lambda prior row (Splink's `m_u_parameters_chart` /
+    match-weights waterfall data): the explainability surface a reviewer
+    reads to see WHY a posterior is what it is, and the first place a
+    degenerate comparison (m ~ u, weight ~ 0) shows up.
+
+    Scale shape: EM runs on the bounded pattern-count sufficient
+    statistics (<= 6 rows collected) exactly as fs_link does; the report
+    itself is a 6-row literal frame — no corpus-sized work beyond the
+    one blocked-pairs aggregation."""
+    pairs = fs_comparison_vectors(fs_gate_records(documents), max_block=max_block)
+    pats = [
+        (r["g_name"], r["g_tok"], r["n"])
+        for r in pairs.groupBy("g_name", "g_tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: <= 3*2 pattern rows regardless of corpus size
+    ]
+    params = fs_em_params(pats, n_iter=n_iter)
+    rows = [("prior", -1, params["lam"], 1.0 - params["lam"])]
+    rows += [("name", l, params["m_n"][l], params["u_n"][l]) for l in range(3)]
+    rows += [("tok", l, params["m_t"][l], params["u_t"][l]) for l in range(2)]
+    df = documents.sparkSession.createDataFrame(
+        rows, "comparison string, gamma_level int, m double, u double"
+    )
+    bf = F.col("m") / F.col("u")
+    return df.select(
+        "comparison",
+        "gamma_level",
+        F.round("m", 6).alias("m"),
+        F.round("u", 6).alias("u"),
+        F.round(bf, 6).alias("bayes_factor"),
+        F.round(F.log2(bf), 6).alias("log2_weight"),
+    )
+
+
+# ------------------------------------------------- blocking-cascade audit
+
+def blocking_cascade_report(
+    documents: DataFrame,
+    gold: DataFrame,
+    window: int = 3,
+    max_block: int = 48,
+    max_block_phonetic: int = 64,
+    prefix_len: int = 1,
+) -> DataFrame:
+    """Multi-pass blocking audit (Splink's cumulative-comparisons-
+    per-blocking-rule analysis): for each pass of the cascade —
+    (1) capped first-token equality, (2) prefix-sharded sorted
+    neighborhood, (3) capped soundex-class phonetic — the candidate-pair
+    count, the NEW pairs no earlier pass surfaced, the cumulative pair
+    volume, and cumulative gold-pair recall.  This is the table a
+    blocking configuration is tuned from: a pass whose n_new is ~0 is
+    pure cost; recall_cum flat across a pass means its key adds nothing.
+
+    Scale shape: every pass is hot-key-bounded (row_number caps on the
+    equality passes; the SNM rank band emits <= `window` pairs per
+    record).  The SNM shard key is the first `prefix_len` chars of the
+    name — each shard sorts independently (production sizes prefix_len
+    up so no shard outgrows a task; 1 here so the DuckDB oracle replays
+    it verbatim).  Pass stats are scalar aggregates unioned into a
+    3-row frame; nothing is collected."""
+    from berkeley_entity_spark.operators.blocking import phonetic_pairs
+
+    recs = fs_gate_records(documents)
+    p1 = fs_comparison_vectors(recs, max_block=max_block).select("id_a", "id_b")
+
+    shard = F.substring(F.col("name"), 1, prefix_len).alias("letter")
+    rn = F.row_number().over(
+        Window.partitionBy("letter").orderBy("name", "rec_id")
+    )
+    ranked = recs.select("rec_id", "name", shard).withColumn("rn", rn)
+    a, b = ranked.alias("a"), ranked.alias("b")
+    p2 = (
+        a.join(
+            b,
+            (F.col("a.letter") == F.col("b.letter"))
+            & (F.col("b.rn") - F.col("a.rn")).between(1, window),
+        )
+        .select(
+            F.least("a.rec_id", "b.rec_id").alias("id_a"),
+            F.greatest("a.rec_id", "b.rec_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    p3 = phonetic_pairs(
+        recs, id_col="rec_id", name_col="name", max_block=max_block_phonetic
+    ).select("id_a", "id_b")
+
+    gold = gold.select("id_a", "id_b")
+    n_gold = gold.agg(F.count(F.lit(1)).alias("n_gold"))
+
+    out = None
+    seen = None
+    for pass_id, (name, p) in enumerate(
+        [("first_token", p1), ("sorted_neighborhood", p2), ("phonetic", p3)], 1
+    ):
+        new = p if seen is None else p.join(seen, ["id_a", "id_b"], "left_anti")
+        seen = p if seen is None else seen.unionByName(p).distinct()
+        row = (
+            p.agg(F.count(F.lit(1)).alias("n_pairs"))
+            .crossJoin(new.agg(F.count(F.lit(1)).alias("n_new")))
+            .crossJoin(seen.agg(F.count(F.lit(1)).alias("cum_pairs")))
+            .crossJoin(
+                seen.join(gold, ["id_a", "id_b"]).agg(
+                    F.count(F.lit(1)).alias("cum_gold_hits")
+                )
+            )
+            .crossJoin(n_gold)
+            .select(
+                F.lit(pass_id).cast("int").alias("pass_id"),
+                F.lit(name).alias("pass"),
+                "n_pairs",
+                "n_new",
+                "cum_pairs",
+                F.round(F.col("cum_gold_hits") / F.col("n_gold"), 6).alias(
+                    "recall_cum"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

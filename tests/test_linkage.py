@@ -308,3 +308,59 @@ def test_dup_estimate_shape_and_bounds(spark):
     # Chapman estimate is >= the larger single list minus rounding
     assert r["chapman_est"] >= max(r["n_pass1"], r["n_pass2"]) - 1
     assert r["n_gold"] > 0
+
+
+def test_match_weights_report_discriminates(spark):
+    from berkeley_entity_spark.operators.linkage import match_weights_report
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} a{i} b{i} c{i} d{i} e{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    rows = {(r["comparison"], r["gamma_level"]): r
+            for r in match_weights_report(docs).collect()}
+    assert set(rows) == {("prior", -1), ("name", 0), ("name", 1),
+                         ("name", 2), ("tok", 0), ("tok", 1)}
+    # exact-name agreement is evidence FOR a match, disagreement AGAINST
+    assert rows[("name", 2)]["log2_weight"] > 0
+    assert rows[("name", 0)]["log2_weight"] < 0
+    # bayes factor tracks m/u (report columns are 6-digit-rounded views
+    # of the 12-digit params the factor is computed from -> relative cmp)
+    r = rows[("name", 2)]
+    assert abs(r["bayes_factor"] - r["m"] / r["u"]) / r["bayes_factor"] < 1e-5
+    # prior row carries lam and 1-lam
+    pr = rows[("prior", -1)]
+    assert abs(pr["m"] + pr["u"] - 1.0) < 1e-9
+
+
+def test_blocking_cascade_monotone_and_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from berkeley_entity_spark.operators.linkage import blocking_cascade_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    elig = docs.where(F.size(toks) >= 5).select("doc_id")
+    gold = (
+        elig.select(F.col("doc_id").alias("id_a"),
+                    (F.col("doc_id") + 100000).alias("id_b"))
+        .unionByName(elig.select(F.col("doc_id").alias("id_a"),
+                                 (F.col("doc_id") + 200000).alias("id_b")))
+        .unionByName(elig.select((F.col("doc_id") + 100000).alias("id_a"),
+                                 (F.col("doc_id") + 200000).alias("id_b")))
+    )
+    out = sorted(blocking_cascade_report(docs, gold).collect(),
+                 key=lambda r: r["pass_id"])
+    assert [r["pass"] for r in out] == [
+        "first_token", "sorted_neighborhood", "phonetic"]
+    # cumulative volume and recall are monotone non-decreasing
+    for prev, cur in zip(out, out[1:]):
+        assert cur["cum_pairs"] >= prev["cum_pairs"]
+        assert cur["recall_cum"] >= prev["recall_cum"]
+    # novelty is bounded by pass volume; cum accounting is consistent
+    for r in out:
+        assert 0 <= r["n_new"] <= r["n_pairs"]
+    assert out[0]["n_new"] == out[0]["n_pairs"] == out[0]["cum_pairs"]
+    assert out[-1]["cum_pairs"] == sum(r["n_new"] for r in out)
+    # the first-token pass alone already finds most derived gold dups
+    assert out[0]["recall_cum"] > 0.5
