@@ -2311,6 +2311,20 @@ def q_blocking_cascade(spark, sf_dir):
     return blocking_cascade_report(docs, _gold_dup_pairs(docs))
 
 
+def q_one_to_one(spark, sf_dir):
+    """One-to-one match assignment (iterative mutual-best / locally
+    dominant edge matching) over the FS-scored pairs — the at-most-one-
+    partner constraint a cross-source linkage needs where transitive
+    closure would wrongly pool records (linkage.one_to_one_matches)."""
+    from berkeley_entity_spark.operators.linkage import (
+        fs_link,
+        one_to_one_matches,
+    )
+
+    scored = fs_link(_t(spark, sf_dir, "documents"), max_block=48)
+    return one_to_one_matches(scored, rounds=3)
+
+
 def q_crawl_drift(spark, sf_dir):
     """Crawl-snapshot drift monitor: Population Stability Index of every
     snapshot vs its predecessor over length-bin and language histograms
@@ -2414,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_estimate": q_dup_estimate,
         "q_match_weights": q_match_weights,
         "q_blocking_cascade": q_blocking_cascade,
+        "q_one_to_one": q_one_to_one,
         "q_crawl_drift": q_crawl_drift,
         "q_xdistrib": q_xdistrib,
         "q_ner_tags": q_ner_tags,
@@ -2856,6 +2871,55 @@ SELECT CAST(3 AS INTEGER), 'phonetic',
        (SELECT count(*) FROM u3)::BIGINT,
        round((SELECT count(*) FROM u3 JOIN gold USING (id_a, id_b))
              / (SELECT n FROM ng), 6)"""
+    )
+
+
+def _one_to_one_oracle(rounds: int = 3, min_score: float = 0.5) -> str:
+    """q_one_to_one replay: the FS-EM scored pairs, then `rounds`
+    unrolled mutual-best iterations — endpoint incidence, rank-1 per
+    node under the (p_match DESC, id_a, id_b) total order, edges
+    nominated by BOTH endpoints accepted, matched nodes removed from
+    the residual — exactly the Spark loop's per-round dataflow."""
+    # MATERIALIZED hints are load-bearing: every round references the
+    # prior round's CTEs multiple times, and default CTE inlining makes
+    # the expansion exponential in `rounds` (observed as a DuckDB OOM).
+    ctes = [
+        f"e1 AS MATERIALIZED (SELECT id_a, id_b, p_match FROM scored"
+        f" WHERE p_match >= {min_score})"
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""i{r} AS (SELECT id_a AS node, id_a, id_b, p_match FROM e{r}
+       UNION ALL SELECT id_b, id_a, id_b, p_match FROM e{r})"""
+        )
+        ctes.append(
+            f"""b{r} AS (SELECT node, id_a, id_b, p_match FROM (
+         SELECT *, row_number() OVER (PARTITION BY node
+                    ORDER BY p_match DESC, id_a, id_b) AS rk
+         FROM i{r}) WHERE rk = 1)"""
+        )
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+       SELECT id_a, id_b, p_match, CAST({r} AS INTEGER) AS match_round
+       FROM b{r} GROUP BY id_a, id_b, p_match HAVING count(*) = 2)"""
+        )
+        ctes.append(
+            f"""n{r} AS MATERIALIZED (
+       SELECT id_a AS node FROM m{r} UNION SELECT id_b FROM m{r})"""
+        )
+        if r < rounds:
+            ctes.append(
+                f"""e{r + 1} AS MATERIALIZED (
+       SELECT e.id_a, e.id_b, e.p_match FROM e{r} e
+       WHERE NOT EXISTS (SELECT 1 FROM n{r} WHERE n{r}.node = e.id_a)
+         AND NOT EXISTS (SELECT 1 FROM n{r} WHERE n{r}.node = e.id_b))"""
+            )
+    body = ",\n".join(ctes)
+    sel = "\nUNION ALL ".join(
+        f"SELECT * FROM m{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        f"WITH scored AS MATERIALIZED ({_fs_em_oracle(n_iter=5)}),\n{body}\n{sel}"
     )
 
 
@@ -5457,6 +5521,7 @@ SELECT cluster_id, CAST(rn AS INTEGER) AS rank, term, n_tc, score FROM (
     out["q_dup_estimate"] = _dup_estimate_oracle()
     out["q_match_weights"] = _match_weights_oracle()
     out["q_blocking_cascade"] = _blocking_cascade_oracle()
+    out["q_one_to_one"] = _one_to_one_oracle()
     out["q_crawl_drift"] = _crawl_drift_oracle()
     out["q_bpe_merges"] = _bpe_oracle(n_merges=6, top_words=2000)
     out["q_bpe_encode"] = _bpe_encode_oracle(n_merges=6, top_words=2000)

@@ -61,6 +61,7 @@ __all__ = [
     "dup_estimate_capture_recapture",
     "match_weights_report",
     "blocking_cascade_report",
+    "one_to_one_matches",
 ]
 
 # exact decimal literals shared with the SQL oracle (1e-6 and 0.000001
@@ -780,3 +781,74 @@ def blocking_cascade_report(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ------------------------------------------------ one-to-one assignment
+
+def one_to_one_matches(
+    scored: DataFrame,
+    rounds: int = 3,
+    min_score: float = 0.5,
+) -> DataFrame:
+    """One-to-one match assignment over scored candidate pairs — the
+    constraint a cross-source linkage needs (each record links to AT
+    MOST one partner; transitive closure is wrong there because two
+    sources' records must pair off, not pool).  Algorithm: iterative
+    locally-dominant-edge (mutual-best) matching — each round, every
+    node nominates its best eligible edge (score DESC, id_a, id_b — a
+    total order, so ties are deterministic) and an edge is accepted iff
+    BOTH endpoints nominated it; matched nodes drop out and the next
+    round runs on the residual graph.  With distinct weights this
+    reproduces the sequential greedy matching exactly (Preis's
+    locally-dominant edge argument); `rounds` is fixed and small
+    because each round matches every locally-dominant edge in parallel
+    — the classic distributed-matching result is O(log n) expected
+    rounds, and degree-bounded blocked candidates converge in 2-3.
+
+    Scale shape: per round, one endpoint-explode (2|E| rows), one
+    row_number window partitioned BY NODE (degree-bounded by the
+    blocking caps, never a global sort), one groupBy(edge) mutual
+    check, two anti-joins; localCheckpoint per round cuts lineage
+    exactly as the CC loop does.  No collect, no Python.
+
+    Output: (id_a, id_b, p_match, match_round) — accepted matches only.
+    """
+    edges = scored.where(F.col("p_match") >= F.lit(min_score)).select(
+        "id_a", "id_b", "p_match"
+    )
+    accepted = None
+    for rnd in range(1, rounds + 1):
+        edges = edges.localCheckpoint(eager=True)
+        inc = edges.select(
+            F.col("id_a").alias("node"), "id_a", "id_b", "p_match"
+        ).unionByName(
+            edges.select(F.col("id_b").alias("node"), "id_a", "id_b", "p_match")
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("p_match").desc(), "id_a", "id_b"
+        )
+        best = inc.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+        mutual = (
+            best.groupBy("id_a", "id_b", "p_match")
+            .agg(F.count(F.lit(1)).alias("n_ends"))
+            .where(F.col("n_ends") == 2)
+            .select(
+                "id_a",
+                "id_b",
+                "p_match",
+                F.lit(rnd).cast("int").alias("match_round"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        accepted = mutual if accepted is None else accepted.unionByName(mutual)
+        matched_nodes = (
+            mutual.select(F.col("id_a").alias("node"))
+            .unionByName(mutual.select(F.col("id_b").alias("node")))
+            .distinct()
+        )
+        edges = edges.join(
+            matched_nodes.withColumnRenamed("node", "id_a"), "id_a", "left_anti"
+        ).join(
+            matched_nodes.withColumnRenamed("node", "id_b"), "id_b", "left_anti"
+        ).select("id_a", "id_b", "p_match")
+    return accepted

@@ -364,3 +364,57 @@ def test_blocking_cascade_monotone_and_bounded(spark):
     assert out[-1]["cum_pairs"] == sum(r["n_new"] for r in out)
     # the first-token pass alone already finds most derived gold dups
     assert out[0]["recall_cum"] > 0.5
+
+
+def test_one_to_one_greedy_matching_semantics(spark):
+    from berkeley_entity_spark.operators.linkage import one_to_one_matches
+
+    # chain a-b-c-d with the strongest edge in the middle: greedy takes
+    # bc and leaves a,d unmatched (their only edges touch matched nodes)
+    rows = [(1, 2, 0, 0, 0.9, True), (2, 3, 0, 0, 0.95, True),
+            (3, 4, 0, 0, 0.9, True)]
+    got = [(r["id_a"], r["id_b"], r["match_round"])
+           for r in one_to_one_matches(_scored(spark, rows)).collect()]
+    assert got == [(2, 3, 1)]
+    # two disjoint edges both match in round 1
+    rows = [(1, 2, 0, 0, 0.9, True), (3, 4, 0, 0, 0.8, True)]
+    got = sorted((r["id_a"], r["id_b"], r["match_round"])
+                 for r in one_to_one_matches(_scored(spark, rows)).collect())
+    assert got == [(1, 2, 1), (3, 4, 1)]
+    # second-round pickup: path a-b-c-d-e, weights make bc win round 1,
+    # then de becomes locally dominant in round 2
+    rows = [(1, 2, 0, 0, 0.7, True), (2, 3, 0, 0, 0.95, True),
+            (3, 4, 0, 0, 0.9, True), (4, 5, 0, 0, 0.8, True)]
+    got = sorted((r["id_a"], r["id_b"], r["match_round"])
+                 for r in one_to_one_matches(_scored(spark, rows)).collect())
+    assert got == [(2, 3, 1), (4, 5, 2)]
+    # ties resolved deterministically by (id_a, id_b): star 1-{2,3} at
+    # equal weight matches (1,2)
+    rows = [(1, 2, 0, 0, 0.9, True), (1, 3, 0, 0, 0.9, True)]
+    got = [(r["id_a"], r["id_b"]) for r in
+           one_to_one_matches(_scored(spark, rows)).collect()]
+    assert got == [(1, 2)]
+    # min_score filter drops sub-threshold edges entirely
+    rows = [(1, 2, 0, 0, 0.4, False)]
+    assert one_to_one_matches(_scored(spark, rows)).count() == 0
+
+
+def test_one_to_one_each_node_at_most_once(spark):
+    from berkeley_entity_spark.operators.linkage import (
+        fs_link,
+        one_to_one_matches,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = one_to_one_matches(fs_link(docs, max_block=48)).collect()
+    assert out
+    nodes = [r["id_a"] for r in out] + [r["id_b"] for r in out]
+    assert len(nodes) == len(set(nodes))
+    # partition invariance: same matching regardless of input layout
+    scored = fs_link(docs, max_block=48)
+    a = sorted((r["id_a"], r["id_b"]) for r in out)
+    b = sorted(
+        (r["id_a"], r["id_b"])
+        for r in one_to_one_matches(scored.repartition(13, "id_b")).collect()
+    )
+    assert a == b
