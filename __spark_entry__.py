@@ -2325,6 +2325,16 @@ def q_one_to_one(spark, sf_dir):
     return one_to_one_matches(scored, rounds=3)
 
 
+def q_block_profile(spark, sf_dir):
+    """Block-size skew audit per blocking key type: key cardinality,
+    hottest block + its record share, and uncapped-vs-capped candidate
+    pair volume — the report a 100 TB blocking pass is sized from
+    (linkage.block_size_profile)."""
+    from berkeley_entity_spark.operators.linkage import block_size_profile
+
+    return block_size_profile(_t(spark, sf_dir, "documents"))
+
+
 def q_crawl_drift(spark, sf_dir):
     """Crawl-snapshot drift monitor: Population Stability Index of every
     snapshot vs its predecessor over length-bin and language histograms
@@ -2429,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_match_weights": q_match_weights,
         "q_blocking_cascade": q_blocking_cascade,
         "q_one_to_one": q_one_to_one,
+        "q_block_profile": q_block_profile,
         "q_crawl_drift": q_crawl_drift,
         "q_xdistrib": q_xdistrib,
         "q_ner_tags": q_ner_tags,
@@ -2920,6 +2931,56 @@ def _one_to_one_oracle(rounds: int = 3, min_score: float = 0.5) -> str:
     )
     return (
         f"WITH scored AS MATERIALIZED ({_fs_em_oracle(n_iter=5)}),\n{body}\n{sel}"
+    )
+
+
+def _block_profile_oracle(
+    max_block: int = 48, max_block_phonetic: int = 64
+) -> str:
+    """q_block_profile replay: first-token and soundex key-cardinality
+    tables over the gate records, then the scalar skew aggregates with
+    integer-exact pair arithmetic (k*(k-1)//2) and explicit BIGINT
+    casts (DuckDB sums widen to HUGEINT)."""
+    collapse = "cc1"
+    for d in "0123456":
+        collapse = f"regexp_replace({collapse}, '{d}{{2,}}', '{d}', 'g')"
+
+    def row(src: str, key_type: str, cap: int) -> str:
+        return f"""SELECT '{key_type}' AS key_type,
+       count(*)::BIGINT AS n_keys,
+       CAST(sum(k) AS BIGINT) AS n_records,
+       CAST(max(k) AS BIGINT) AS max_block_size,
+       CAST(sum((k * (k - 1)) // 2) AS BIGINT) AS est_pairs_uncapped,
+       CAST(sum((least(k, {cap}) * (least(k, {cap}) - 1)) // 2) AS BIGINT)
+         AS est_pairs_capped,
+       round(max(k) / sum(k), 6) AS top_share
+FROM {src}"""
+
+    return (
+        f"WITH {_fs_pairs_cte()},\n"
+        + f"""
+fsz AS (SELECT string_split(name, ' ')[1] AS key, count(*)::BIGINT AS k
+        FROM recs GROUP BY 1),
+k0 AS (SELECT rec_id, name,
+              list_extract(string_split(name, ' '), 1) AS first
+       FROM recs),
+k1 AS (SELECT rec_id, first,
+              regexp_replace(
+                translate(first, 'abcdefghijklmnopqrstuvwxyz',
+                          '01230129022455012623019202'),
+                '9', '', 'g') AS cc1
+       FROM k0
+       WHERE regexp_matches(substr(first, 1, 1), '^[a-z]$')),
+k2 AS (SELECT rec_id, first, {collapse} AS cc2 FROM k1),
+keyed AS (SELECT rec_id,
+                 upper(substr(first, 1, 1))
+                   || rpad(substr(regexp_replace(substr(cc2, 2), '0', '', 'g'),
+                                  1, 3), 3, '0') AS key
+          FROM k2),
+ssz AS (SELECT key, count(*)::BIGINT AS k FROM keyed GROUP BY 1)
+{row('fsz', 'first_token', max_block)}
+UNION ALL
+{row('ssz', 'soundex', max_block_phonetic)}"""
     )
 
 
@@ -5522,6 +5583,7 @@ SELECT cluster_id, CAST(rn AS INTEGER) AS rank, term, n_tc, score FROM (
     out["q_match_weights"] = _match_weights_oracle()
     out["q_blocking_cascade"] = _blocking_cascade_oracle()
     out["q_one_to_one"] = _one_to_one_oracle()
+    out["q_block_profile"] = _block_profile_oracle()
     out["q_crawl_drift"] = _crawl_drift_oracle()
     out["q_bpe_merges"] = _bpe_oracle(n_merges=6, top_words=2000)
     out["q_bpe_encode"] = _bpe_encode_oracle(n_merges=6, top_words=2000)

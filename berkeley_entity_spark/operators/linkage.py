@@ -62,6 +62,7 @@ __all__ = [
     "match_weights_report",
     "blocking_cascade_report",
     "one_to_one_matches",
+    "block_size_profile",
 ]
 
 # exact decimal literals shared with the SQL oracle (1e-6 and 0.000001
@@ -852,3 +853,59 @@ def one_to_one_matches(
             matched_nodes.withColumnRenamed("node", "id_b"), "id_b", "left_anti"
         ).select("id_a", "id_b", "p_match")
     return accepted
+
+
+# ------------------------------------------------- block-size skew audit
+
+def block_size_profile(
+    documents: DataFrame,
+    max_block: int = 48,
+    max_block_phonetic: int = 64,
+) -> DataFrame:
+    """Block-size distribution audit per blocking key type — the FIRST
+    report a 100 TB blocking run is sized from: how many keys, the
+    hottest block, the share of records it holds (head-domain skew), and
+    the candidate-pair volume the key would generate uncapped vs under
+    the production row_number cap.  est_pairs_uncapped >> est_pairs_capped
+    on a key type is exactly the signature that the cap (or a finer key)
+    is load-bearing.
+
+    Scale shape: one groupBy(key) per key type (map-side combining
+    count), then a scalar aggregate over the key-cardinality table;
+    integer-exact pair arithmetic (k*(k-1) DIV 2).  Output: one row per
+    key type."""
+    from berkeley_entity_spark.operators.blocking import soundex_key_col
+
+    recs = fs_gate_records(documents)
+    toks = F.filter(F.split(F.col("name"), " "), lambda t: t != "")
+    ft = recs.select(F.element_at(toks, 1).alias("key"))
+    sx = recs.select(soundex_key_col("name").alias("key")).where(
+        F.col("key").isNotNull()
+    )
+
+    def prof(keyed: DataFrame, key_type: str, cap: int) -> DataFrame:
+        sizes = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("k"))
+        kc = F.least(F.col("k"), F.lit(cap))
+        agg = sizes.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("k").alias("n_records"),
+            F.max("k").alias("max_block_size"),
+            F.sum((F.col("k") * (F.col("k") - 1) / 2).cast("long")).alias(
+                "est_pairs_uncapped"
+            ),
+            F.sum((kc * (kc - 1) / 2).cast("long")).alias("est_pairs_capped"),
+            F.round(F.max("k") / F.sum("k"), 6).alias("top_share"),
+        )
+        return agg.select(
+            F.lit(key_type).alias("key_type"),
+            "n_keys",
+            "n_records",
+            "max_block_size",
+            "est_pairs_uncapped",
+            "est_pairs_capped",
+            "top_share",
+        )
+
+    return prof(ft, "first_token", max_block).unionByName(
+        prof(sx, "soundex", max_block_phonetic)
+    )

@@ -418,3 +418,29 @@ def test_one_to_one_each_node_at_most_once(spark):
         for r in one_to_one_matches(scored.repartition(13, "id_b")).collect()
     )
     assert a == b
+
+
+def test_block_size_profile_hand_computed(spark):
+    from berkeley_entity_spark.operators.linkage import block_size_profile
+
+    # 3 eligible docs sharing the block token 'hot' -> 9 gate records in
+    # one first-token block (base+exact+near all start with 'hot')
+    docs = spark.createDataFrame(
+        [(i, f"hot a{i} b{i} c{i} d{i}") for i in range(3)],
+        "doc_id long, text string",
+    )
+    rows = {r["key_type"]: r for r in block_size_profile(docs).collect()}
+    ft = rows["first_token"]
+    assert ft["n_keys"] == 1 and ft["n_records"] == 9
+    assert ft["max_block_size"] == 9 and ft["top_share"] == 1.0
+    assert ft["est_pairs_uncapped"] == 9 * 8 // 2
+    # cap 48 > 9 so capped == uncapped here; with cap 2 it drops to 1
+    assert ft["est_pairs_capped"] == ft["est_pairs_uncapped"]
+    capped = {
+        r["key_type"]: r
+        for r in block_size_profile(docs, max_block=2).collect()
+    }
+    assert capped["first_token"]["est_pairs_capped"] == 1
+    # soundex: all records key to the same H3xx code -> same shape
+    sx = rows["soundex"]
+    assert sx["n_keys"] == 1 and sx["n_records"] == 9
