@@ -68,7 +68,14 @@ def _spark(cpus: int | None = None, shuffle: int | None = None):
     from berkeley_entity_spark.session import get_spark
 
     master = f"local[{cpus}]" if cpus else None
-    s = get_spark(app_name="bes-bench", master=master, shuffle_partitions=shuffle or 32)
+    s = get_spark(
+        app_name="bes-bench",
+        master=master,
+        shuffle_partitions=shuffle or 32,
+        # keep stdout clean for the driver's JSON-line parse (round-4
+        # lesson: BENCH_r04.json came back parsed:null)
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     s.sparkContext.setLogLevel("ERROR")
     return s
 
@@ -337,7 +344,35 @@ def main() -> None:
             lo, hi = 4, 16
         print(json.dumps(run_scaling(n, (lo, hi), reps)))
     else:
-        print(json.dumps(run_headline()))
+        # Driver contract: ONE short JSON line on stdout, nothing else.
+        # Round-4 lesson: the driver keeps only a tail window of stdout, so
+        # the old multi-KB line (jobs_stages + min2 + embedded soak) got its
+        # head truncated -> BENCH_r04.json parsed:null.  Fix twice over:
+        # (1) dup stdout away so any stray JVM/py write lands on stderr and
+        # only the final JSON goes to the real fd 1; (2) print a COMPACT
+        # line (metric/value/unit/queries/sf) and file the full detail
+        # under BENCH/headline_full.json.
+        real_stdout = os.dup(1)
+        os.dup2(2, 1)
+        try:
+            full = run_headline()
+        finally:
+            os.dup2(real_stdout, 1)
+            os.close(real_stdout)
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "headline_full.json"), "w") as f:
+            json.dump(full, f, indent=1)
+        compact = {
+            "metric": full["metric"],
+            "value": full["value"],
+            "unit": full["unit"],
+            "queries": full["queries"],
+            "sf": full["sf"],
+            "total_min2": full["total_min2"],
+            "spin_calibration_sec": full["spin_calibration_sec"],
+        }
+        sys.stdout.write(json.dumps(compact) + "\n")
+        sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -55,8 +55,14 @@ def snapshot_histograms(
     len_bin = F.least(
         F.floor(F.col("n_chars") / len_bin_width), F.lit(n_len_bins - 1)
     ).cast("string")
+    # NULL bins (NULL lang / NULL n_chars) are coalesced to a sentinel:
+    # plain equality in the dense-grid and predecessor joins never matches
+    # NULL, so without this a shift in the NULL share would silently drop
+    # out of the histogram mass and be invisible to the PSI alarm
     base = documents.select(
-        F.col(snapshot_col).alias("snapshot"), len_bin.alias("_len"), "lang"
+        F.col(snapshot_col).alias("snapshot"),
+        F.coalesce(len_bin, F.lit("<NULL>")).alias("_len"),
+        F.coalesce(F.col("lang"), F.lit("<NULL>")).alias("lang"),
     )
     long = base.select(
         "snapshot", F.lit("len").alias("feature"), F.col("_len").alias("bin")

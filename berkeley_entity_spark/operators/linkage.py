@@ -788,8 +788,9 @@ def blocking_cascade_report(
 
 def one_to_one_matches(
     scored: DataFrame,
-    rounds: int = 3,
+    rounds: int | None = None,
     min_score: float = 0.5,
+    max_rounds: int = 16,
 ) -> DataFrame:
     """One-to-one match assignment over scored candidate pairs — the
     constraint a cross-source linkage needs (each record links to AT
@@ -806,20 +807,35 @@ def one_to_one_matches(
     — the classic distributed-matching result is O(log n) expected
     rounds, and degree-bounded blocked candidates converge in 2-3.
 
+    rounds=None (default) loops until the residual edge set is EMPTY
+    (capped at max_rounds) — a long score-decreasing chain needs one
+    round per link, so a fixed small round count can silently leave
+    matchable edges unmatched.  Passing an explicit `rounds` keeps the
+    fixed-round semantics (the SQL-replayable mode q_one_to_one's
+    unrolled DuckDB oracle pins), still early-stopping once the residual
+    is empty and WARNING with the residual edge count if the cap
+    truncates an incomplete matching.
+
     Scale shape: per round, one endpoint-explode (2|E| rows), one
     row_number window partitioned BY NODE (degree-bounded by the
     blocking caps, never a global sort), one groupBy(edge) mutual
     check, two anti-joins; localCheckpoint per round cuts lineage
-    exactly as the CC loop does.  No collect, no Python.
+    exactly as the CC loop does.  The only driver action is one scalar
+    count per round on the (already-materialized) residual.
 
     Output: (id_a, id_b, p_match, match_round) — accepted matches only.
     """
+    import warnings
+
+    cap = max_rounds if rounds is None else rounds
     edges = scored.where(F.col("p_match") >= F.lit(min_score)).select(
         "id_a", "id_b", "p_match"
     )
     accepted = None
-    for rnd in range(1, rounds + 1):
+    for rnd in range(1, cap + 1):
         edges = edges.localCheckpoint(eager=True)
+        if edges.isEmpty():
+            break
         inc = edges.select(
             F.col("id_a").alias("node"), "id_a", "id_b", "p_match"
         ).unionByName(
@@ -852,6 +868,18 @@ def one_to_one_matches(
         ).join(
             matched_nodes.withColumnRenamed("node", "id_b"), "id_b", "left_anti"
         ).select("id_a", "id_b", "p_match")
+    residual = edges.count()
+    if residual:
+        warnings.warn(
+            f"one_to_one_matches: {residual} residual edges left unmatched "
+            f"after {cap} rounds (incomplete matching — raise "
+            f"{'max_rounds' if rounds is None else 'rounds'})",
+            stacklevel=2,
+        )
+    if accepted is None:  # no candidate edge survived min_score
+        accepted = edges.select(
+            "id_a", "id_b", "p_match", F.lit(0).cast("int").alias("match_round")
+        ).limit(0)
     return accepted
 
 
@@ -885,15 +913,17 @@ def block_size_profile(
 
     def prof(keyed: DataFrame, key_type: str, cap: int) -> DataFrame:
         sizes = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("k"))
-        kc = F.least(F.col("k"), F.lit(cap))
         agg = sizes.agg(
             F.count(F.lit(1)).alias("n_keys"),
             F.sum("k").alias("n_records"),
             F.max("k").alias("max_block_size"),
-            F.sum((F.col("k") * (F.col("k") - 1) / 2).cast("long")).alias(
-                "est_pairs_uncapped"
-            ),
-            F.sum((kc * (kc - 1) / 2).cast("long")).alias("est_pairs_capped"),
+            # integer-exact k*(k-1) DIV 2 (bigint all the way) — the
+            # double-division-then-truncate form loses exactness past
+            # 2^53, which a 100 TB hot block can reach
+            F.sum(F.expr("k * (k - 1) DIV 2")).alias("est_pairs_uncapped"),
+            F.sum(
+                F.expr(f"least(k, {cap}) * (least(k, {cap}) - 1) DIV 2")
+            ).alias("est_pairs_capped"),
             F.round(F.max("k") / F.sum("k"), 6).alias("top_share"),
         )
         return agg.select(

@@ -182,9 +182,14 @@ def _dedup_batch(
         )
         pairs = pairs.unionByName(cross)
         # state-side cap: only bucket rows that still fit under
-        # max_bucket are appended (first-arrival order)
+        # max_bucket are appended (first-arrival order).  Re-crawled docs
+        # (golden/SCD2 streams re-ingest changed urls) are anti-joined
+        # away first: without this a re-ingested doc appends a SECOND
+        # (doc_id, bucket) membership row, inflating bucket occupancy
+        # toward max_bucket and re-emitting its cross pairs every batch.
+        fresh = b.join(state, ["doc_id", "bucket"], "left_anti")
         new_state = (
-            b.join(cnt, "bucket", "left")
+            fresh.join(cnt, "bucket", "left")
             .withColumn("_rn", F.row_number().over(wb))
             .where(F.coalesce(F.col("_n"), F.lit(0)) + F.col("_rn") <= max_bucket)
             .select("doc_id", "bucket")
