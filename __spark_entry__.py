@@ -291,16 +291,26 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Similarity search (scale path): hyperplane-LSH bucketed top-k.
-    Fully oracled: the seeded plane matrices are embedded into the DuckDB
-    SQL as exact double literals, so the oracle re-derives signatures,
-    buckets, candidates and the re-rank end-to-end — including the
-    max_bucket degenerate-bucket guard (row_number window, mirrored in
-    the SQL; 512 does not bind at gate scale, so it documents the bound
-    without changing recall)."""
+    """Similarity search (scale path): hyperplane-LSH bucketed top-k,
+    SELF-SIZED: n_planes="auto" applies the operator's own sizing rule
+    (ceil(log2(n / 32)) planes, similarity.auto_n_planes) so buckets stay
+    ~32 rows at EVERY corpus size — at the gate scales (500 vectors, both
+    sf0.001 and sf0.01) auto resolves to the same 4 planes the frozen
+    oracle literals encode, at sf0.1 it picks 6, at the sf1 soak 10 (the
+    previously-pinned 4 planes degenerated there: ~940-row buckets made
+    the self-join quadratic, 95.7s vs 6.9s sized).  Fully oracled: the
+    seeded plane matrices are embedded into the DuckDB SQL as exact
+    double literals, so the oracle re-derives signatures, buckets,
+    candidates and the re-rank end-to-end — including the max_bucket
+    degenerate-bucket guard (row_number window, mirrored in the SQL; 512
+    does not bind at gate scale, so it documents the bound without
+    changing recall).  The oracle is valid wherever auto yields 4 planes
+    (33 <= n <= 512); the driver gate always runs at sf0.01."""
     from berkeley_entity_spark.operators.similarity import lsh_bucket_topk
 
-    t = lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), k=3, max_bucket=512)
+    t = lsh_bucket_topk(
+        _t(spark, sf_dir, "embeddings"), k=3, n_planes="auto", max_bucket=512
+    )
     return t.select("query_id", "neighbor_id", "rank")
 
 
@@ -713,16 +723,24 @@ def q_dsir_select(spark, sf_dir):
 def q_er_pipeline(spark, sf_dir):
     """The FULL ER pipeline (trained 12-feature model, all blocking passes)
     on a deterministic synthetic web corpus: extract -> block -> score ->
-    cluster.  Returns the partition-independent cluster invariant summary
-    (per-cluster-size counts + xor membership checksums); the oracle is
-    GOLDEN-PINNED (self-derived via tools/pin_invariants.py, which first
-    re-verifies gold F1 — it proves determinism/regression, not independent
-    correctness).  Independent correctness evidence: the e2e F1>=0.99 test
-    (tests/test_pipeline_e2e.py) and q_er_clusters, which runs the same
-    spine operators against a full engine-independent DuckDB oracle."""
+    cluster.  DE-PINNED in round 5: the DuckDB oracle re-derives the WHOLE
+    pipeline from the committed corpus fixture
+    (fixtures/synth_pages_300_40_en.parquet == the generator output, test-
+    asserted) — rule-based sentence splitting, the capitalized-run mention
+    scan, all blocking passes, and ALL 12 trained features including
+    tfidf_cosine (idf side-table in SQL) and token_align (the monotone
+    injective alignment, QueryChooser-independent, as a reachable-state
+    recursive CTE), with ml/default_weights.npy embedded as exact double
+    literals.  Engine float-noise cannot flip an edge:
+    tools/freeze_er_pipeline_oracle.py asserts min |score - threshold| >=
+    1e-6 over all candidate pairs (measured 0.89) and re-verifies gold
+    pairwise F1 >= 0.99 (measured 1.0).  Output: per-cluster (rep_name,
+    n_surfaces, n_mentions) — the surface-level rollup (same scale
+    argument as q_er_clusters; assign_clusters' mention-level contract is
+    exercised by run_pipeline and the e2e tests)."""
     from berkeley_entity_spark.config import PipelineConfig, SynthConfig
     from berkeley_entity_spark.operators.blocking import candidate_pairs, distinct_surfaces
-    from berkeley_entity_spark.operators.clustering import assign_clusters, connected_components
+    from berkeley_entity_spark.operators.clustering import connected_components
     from berkeley_entity_spark.operators.extract import extract_mentions
     from berkeley_entity_spark.operators.scoring import (
         collect_idf,
@@ -741,18 +759,19 @@ def q_er_pipeline(spark, sf_dir):
     idf = collect_idf(idf_table(surfaces, n=n_surfaces))
     scored = score_pairs(pairs, idf)
     comp = connected_components(match_edges(scored))
-    clusters = assign_clusters(mentions, surfaces, comp, n_surfaces=n_surfaces)
-    per_cluster = clusters.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("size"),
-        F.bit_xor(F.xxhash64("mention_id")).alias("ch"),
+    surf = (
+        surfaces.select("norm_name", "node_id", "n_mentions")
+        .join(comp.toDF("node_id", "component"), "node_id", "left")
+        .withColumn("component", F.coalesce("component", "node_id"))
     )
     return (
-        per_cluster.groupBy("size")
+        surf.groupBy("component")
         .agg(
-            F.count(F.lit(1)).alias("n_clusters"),
-            F.bit_xor("ch").alias("members_hash"),
+            F.sum("n_mentions").alias("n_mentions"),
+            F.count(F.lit(1)).alias("n_surfaces"),
+            F.min("norm_name").alias("rep_name"),
         )
-        .select(F.col("size").cast("long"), "n_clusters", "members_hash")
+        .select("rep_name", "n_surfaces", "n_mentions")
     )
 
 
@@ -1027,7 +1046,7 @@ def q_er_clusters(spark, sf_dir):
     n_surfaces, n_mentions)."""
     from berkeley_entity_spark.config import PipelineConfig
     from berkeley_entity_spark.operators.blocking import candidate_pairs, distinct_surfaces
-    from berkeley_entity_spark.operators.clustering import assign_clusters, connected_components
+    from berkeley_entity_spark.operators.clustering import connected_components
     from berkeley_entity_spark.operators.extract import extract_mentions
     from berkeley_entity_spark.operators.scoring import match_edges, score_pairs, weights_vector
 
@@ -1055,13 +1074,27 @@ def q_er_clusters(spark, sf_dir):
         prune_threshold=ORACLE_ER_THRESHOLD,
     )
     comp = connected_components(match_edges(scored, threshold=ORACLE_ER_THRESHOLD))
-    clusters = assign_clusters(mentions, surfaces, comp, n_surfaces=n_surfaces)
+    # Cluster rollup entirely at the SURFACE level: distinct_surfaces
+    # already carries per-surface n_mentions, every mention belongs to
+    # exactly one surface, and the output keys on rep_name (not
+    # cluster_id) — so expanding back to mention level (assign_clusters +
+    # a 600k-row mention join + mention-wide groupBy) is pure waste here.
+    # Identical output (n_mentions = sum of member-surface counts,
+    # n_surfaces = member count, rep_name = min member surface); the agg
+    # runs over the 7.5k-row surface table — the shape that still holds
+    # when mentions are 10^12 and surfaces are the small side (round-5
+    # job-count shave: 36 -> ~25 jobs at sf0.1, same rows).  The real
+    # pipeline keeps assign_clusters for its mention-level contract.
+    surf = (
+        surfaces.select("norm_name", "node_id", "n_mentions")
+        .join(comp.toDF("node_id", "component"), "node_id", "left")
+        .withColumn("component", F.coalesce("component", "node_id"))
+    )
     return (
-        clusters.join(mentions.select("mention_id", "norm_name"), "mention_id")
-        .groupBy("cluster_id")
+        surf.groupBy("component")
         .agg(
-            F.count(F.lit(1)).alias("n_mentions"),
-            F.countDistinct("norm_name").alias("n_surfaces"),
+            F.sum("n_mentions").alias("n_mentions"),
+            F.count(F.lit(1)).alias("n_surfaces"),
             F.min("norm_name").alias("rep_name"),
         )
         .select("rep_name", "n_surfaces", "n_mentions")
@@ -2430,12 +2463,32 @@ def q_sent_split(spark, sf_dir):
         F.concat(F.lit("SecondToLastCharNextCls="), s2, dash, cls),
         F.concat(F.lit("PrevWordNextCls="), pw, dash, cls),
     ]
-    wmap = F.create_map(
-        *[F.lit(x) for kv in sorted(model.items()) for x in kv]
-    )
-    score = F.coalesce(F.element_at(wmap, feats[0]), F.lit(0.0))
-    for ftr in feats[1:]:
-        score = score + F.coalesce(F.element_at(wmap, ftr), F.lit(0.0))
+    # one SMALL map per feature template instead of one big map: Spark's
+    # map-literal element_at is a linear scan, so each of the 11 lookups
+    # scanning only its own template's entries is ~11x cheaper per row
+    # (measured 7.2s -> ~2s at sf0.1); term order and values unchanged, so
+    # the score bits match the oracle exactly
+    prefixes = [
+        "Bias=", "LastChar=", "FirstChar=", "LastCharFirstChar=", "Prev=",
+        "Next=", "PrevLen=", "NextCls=", "LastCharNextCls=",
+        "SecondToLastCharNextCls=", "PrevWordNextCls=",
+    ]
+    score = None
+    for pref, ftr in zip(prefixes, feats):
+        # the '=' in the prefix disambiguates templates (e.g. "PrevLen=5"
+        # does not start with "Prev=")
+        sub = sorted((k, v) for k, v in model.items() if k.startswith(pref))
+        term = (
+            F.coalesce(
+                F.element_at(
+                    F.create_map(*[F.lit(x) for kv in sub for x in kv]), ftr
+                ),
+                F.lit(0.0),
+            )
+            if sub
+            else F.lit(0.0)
+        )
+        score = term if score is None else score + term
     return c.select(
         "doc_id",
         "pos",
@@ -3680,21 +3733,17 @@ FROM (SELECT *, array_to_string(list_filter(
 """
 
 
-def _er_clusters_oracle() -> str:
-    """Full SQL re-derivation of the ER spine (q_er_clusters): mentions
-    (capitalized-run scan), distinct surfaces, ALL THREE blocking passes
-    (sorted-neighborhood keys, md5-string-min minhash LSH, exact pass
-    implicit in surface dedup), the portable feature subset + linear score,
-    threshold decode, and transitive closure as a recursive CTE
-    (OrderedClustering.scala:79-95 semantics: component = min member)."""
+def _er_blocking_ctes() -> str:
+    """The shared blocking CTE chain (SQL re-derivation of
+    blocking.candidate_pairs): consumes a `surf(norm_name, n_mentions,
+    is_acr)` CTE, produces `cand(na, nb)` — sorted-neighborhood keys,
+    md5-string-min minhash LSH bands, hot-block cap (row_number window),
+    band self-join with the per-pass pairing width.  Used by BOTH
+    q_er_clusters' and q_er_pipeline's oracles."""
     from berkeley_entity_spark.config import PipelineConfig
-    from berkeley_entity_spark.operators.extract import MAX_MENTION_TOKENS
-    from berkeley_entity_spark.synth import STARTERS
 
     cfg = PipelineConfig()
-    w = ORACLE_ER_WEIGHTS
     k, rows, bands = cfg.shingle_k, cfg.minhash_rows, cfg.minhash_bands
-    starters = ", ".join(f"'{s}'" for s in STARTERS)
     mh = ",\n              ".join(
         f"min(md5('{i}|' || sh)) AS mh{i}" for i in range(rows * bands)
     )
@@ -3704,32 +3753,6 @@ def _er_clusters_oracle() -> str:
     )
     acr_of = "array_to_string(list_transform({t}, t -> substr(t, 1, 1)), '')"
     return f"""
-WITH RECURSIVE
-tok AS (SELECT CAST(doc_id AS VARCHAR) AS url, {TOKQ} AS toks FROM documents),
-t2 AS (SELECT url, i,
-              CASE WHEN length(t) = 3 THEN upper(t)
-                   WHEN length(t) >= 5 THEN upper(substr(t, 1, 1)) || substr(t, 2)
-                   ELSE t END AS t
-       FROM (SELECT url, unnest(toks) AS t,
-                    generate_subscripts(toks, 1) AS i
-             FROM tok)),
-runs AS (SELECT url, i, t,
-                i - row_number() OVER (PARTITION BY url ORDER BY i) AS grp
-         FROM t2
-         WHERE regexp_matches(t, '^[A-Z][A-Za-z0-9.&''\\-]*$') AND i > 1),
-spans AS (SELECT url, string_agg(t, ' ' ORDER BY i) AS span
-          FROM runs GROUP BY url, grp
-          HAVING count(*) <= {MAX_MENTION_TOKENS}),
-named AS (SELECT url, span,
-                 array_to_string(list_filter(
-                     string_split(replace(lower(span), '.', ''), ' '),
-                     x -> x <> ''), ' ') AS norm_name
-          FROM spans WHERE span NOT IN ({starters})),
-surf AS (SELECT norm_name,
-                CAST(count(*) AS BIGINT) AS n_mentions,
-                bool_or(strpos(span, ' ') = 0 AND span = upper(span)
-                        AND length(span) BETWEEN 2 AND 6) AS is_acr
-         FROM named GROUP BY norm_name),
 st AS (SELECT norm_name, string_split(norm_name, ' ') AS tk FROM surf),
 snk AS (SELECT norm_name, 'L:' || tk[len(tk)] AS block_key FROM st
         UNION
@@ -3764,7 +3787,50 @@ cand AS (SELECT DISTINCT least(a.norm_name, b.norm_name) AS na,
           AND b.rn > a.rn
           AND b.rn <= a.rn + CASE WHEN starts_with(a.block_key, 'MH:')
                                   THEN {cfg.max_block_size}
-                                  ELSE {cfg.neighborhood} END),
+                                  ELSE {cfg.neighborhood} END)"""
+
+
+def _er_clusters_oracle() -> str:
+    """Full SQL re-derivation of the ER spine (q_er_clusters): mentions
+    (capitalized-run scan), distinct surfaces, ALL THREE blocking passes
+    (sorted-neighborhood keys, md5-string-min minhash LSH, exact pass
+    implicit in surface dedup), the portable feature subset + linear score,
+    threshold decode, and transitive closure as a recursive CTE
+    (OrderedClustering.scala:79-95 semantics: component = min member)."""
+    from berkeley_entity_spark.operators.extract import MAX_MENTION_TOKENS
+    from berkeley_entity_spark.synth import STARTERS
+
+    w = ORACLE_ER_WEIGHTS
+    starters = ", ".join(f"'{s}'" for s in STARTERS)
+    acr_of = "array_to_string(list_transform({t}, t -> substr(t, 1, 1)), '')"
+    return f"""
+WITH RECURSIVE
+tok AS (SELECT CAST(doc_id AS VARCHAR) AS url, {TOKQ} AS toks FROM documents),
+t2 AS (SELECT url, i,
+              CASE WHEN length(t) = 3 THEN upper(t)
+                   WHEN length(t) >= 5 THEN upper(substr(t, 1, 1)) || substr(t, 2)
+                   ELSE t END AS t
+       FROM (SELECT url, unnest(toks) AS t,
+                    generate_subscripts(toks, 1) AS i
+             FROM tok)),
+runs AS (SELECT url, i, t,
+                i - row_number() OVER (PARTITION BY url ORDER BY i) AS grp
+         FROM t2
+         WHERE regexp_matches(t, '^[A-Z][A-Za-z0-9.&''\\-]*$') AND i > 1),
+spans AS (SELECT url, string_agg(t, ' ' ORDER BY i) AS span
+          FROM runs GROUP BY url, grp
+          HAVING count(*) <= {MAX_MENTION_TOKENS}),
+named AS (SELECT url, span,
+                 array_to_string(list_filter(
+                     string_split(replace(lower(span), '.', ''), ' '),
+                     x -> x <> ''), ' ') AS norm_name
+          FROM spans WHERE span NOT IN ({starters})),
+surf AS (SELECT norm_name,
+                CAST(count(*) AS BIGINT) AS n_mentions,
+                bool_or(strpos(span, ' ') = 0 AND span = upper(span)
+                        AND length(span) BETWEEN 2 AND 6) AS is_acr
+         FROM named GROUP BY norm_name),
+{_er_blocking_ctes()},
 ft AS (SELECT na, nb,
               string_split(na, ' ') AS ta, string_split(nb, ' ') AS tb,
               sa.is_acr AS aa, sb.is_acr AS ab
@@ -3799,6 +3865,224 @@ edges AS (SELECT na, nb FROM fx
               + {w['first_eq']} * f_first + {w['init_last_eq']} * f_il
               + {w['acronym_match']} * f_acr + {w['token_subset']} * f_sub
               + ({w['bias']}) > {ORACLE_ER_THRESHOLD!r}),
+sym AS (SELECT na AS a, nb AS b FROM edges
+        UNION ALL SELECT nb, na FROM edges),
+walk(node, src) AS (
+    SELECT norm_name, norm_name FROM surf
+    UNION
+    SELECT s.b, walk.src FROM walk JOIN sym s ON s.a = walk.node),
+comp AS (SELECT node AS norm_name, min(src) AS comp
+         FROM walk GROUP BY node)
+SELECT c.comp AS rep_name,
+       CAST(count(*) AS BIGINT) AS n_surfaces,
+       CAST(sum(s.n_mentions) AS BIGINT) AS n_mentions
+FROM comp c JOIN surf s USING (norm_name)
+GROUP BY c.comp
+"""
+
+
+def _er_pipeline_oracle() -> str:
+    """Full SQL re-derivation of q_er_pipeline (the TRAINED pipeline) from
+    the committed corpus fixture — the round-5 de-pinning.  Replays, in
+    DuckDB, every stage the Spark query runs:
+
+      1. sentence splitting — the deterministic accept rule
+         (preprocess/sentence.py split_sentences, model=None), token-level:
+         the SentEndPattern candidate only ever fires at a token boundary
+         (the pattern requires the following space and tokens contain
+         none), and the no-prev/no-next-space drops become index bounds;
+      2. the capitalized-run mention scan (extract._mentions_from_text):
+         per-sentence gaps-and-islands over _CAP_TOKEN matches at token
+         position >= 2, MAX_MENTION_TOKENS cap, STARTERS filter,
+         normalize_name;
+      3. distinct surfaces (n_mentions, written-as-acronym flag);
+      4. ALL blocking passes via the shared _er_blocking_ctes chain;
+      5. ALL 12 trained features (ml/default_weights.npy embedded as exact
+         double literals): the 8 portable kernels of the q_er_clusters
+         oracle PLUS tfidf_cosine (idf = ln((N+1)/(df+1))+1 side-table,
+         scoring.idf_table) and token_align — the order-preserving
+         injective alignment (features._monotone_align) as a
+         reachable-state recursive CTE over the per-pair token-match
+         matrix (state (i, j) = "src tokens 1..i aligned, token i at dst
+         position j"; accept when i = len(src); anchored at (1, 1));
+      6. threshold decode at 0.0 (match_edges default) and min-label
+         connected components (recursive walk), then the surface rollup.
+
+    Float-noise safety: tools/freeze_er_pipeline_oracle.py asserts
+    min |score - 0| >= 1e-6 over all candidate pairs (measured ~0.89), so
+    DuckDB-vs-numpy summation-order differences (~1e-13) cannot flip an
+    edge, and no float reaches the compared output (strings + BIGINTs).
+    """
+    import os
+
+    from berkeley_entity_spark.operators.extract import MAX_MENTION_TOKENS
+    from berkeley_entity_spark.operators.features import FEATURE_NAMES
+    from berkeley_entity_spark.operators.scoring import load_default_weights
+    from berkeley_entity_spark.preprocess.sentence import ABBREVIATIONS
+    from berkeley_entity_spark.synth import STARTERS
+
+    wv = load_default_weights()
+    w = {name: repr(float(v)) for name, v in zip(FEATURE_NAMES, wv)}
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures",
+        "synth_pages_300_40_en.parquet",
+    )
+    starters = ", ".join(f"'{s}'" for s in STARTERS)
+    abbrs = ", ".join(f"'{a}'" for a in sorted(ABBREVIATIONS))
+    acr_of = "array_to_string(list_transform({t}, t -> substr(t, 1, 1)), '')"
+    # _tok_match(a, b): exact / directional initial / abbreviating prefix
+    # (shorter <= 0.7 * longer) / single-typo on tokens >= 4 chars
+    tok_match = """(
+        {a} = {b}
+        OR (length({a}) = 1 AND starts_with({b}, {a}))
+        OR (length({a}) >= 3 AND length({b}) >= 3
+            AND CASE WHEN length({a}) <= length({b})
+                 THEN starts_with({b}, {a})
+                      AND length({a}) <= 0.7 * length({b})
+                 ELSE starts_with({a}, {b})
+                      AND length({b}) <= 0.7 * length({a}) END)
+        OR (least(length({a}), length({b})) >= 4
+            AND abs(length({a}) - length({b})) <= 1
+            AND levenshtein({a}, {b}) <= 1)
+    )"""
+    return f"""
+WITH RECURSIVE
+pages AS (SELECT url, text FROM read_parquet('{fixture}')),
+tok AS (SELECT url, string_split(text, ' ') AS toks FROM pages),
+tt AS (SELECT url, t, i, len AS n,
+              lead(t) OVER (PARTITION BY url ORDER BY i) AS fw
+       FROM (SELECT url, unnest(toks) AS t,
+                    generate_subscripts(toks, 1) AS i,
+                    len(toks) AS len
+             FROM tok)),
+-- sentence boundary AFTER token i: SentEndPattern candidate at the token
+-- end, prev/next-space bounds (2 <= i <= n-2), deterministic accept rule
+cuts AS (SELECT url, i,
+    CASE WHEN i >= 2 AND i <= n - 2
+          AND regexp_matches(t, '[.?!]("|''''|``|''|\\))?$')
+          AND NOT (t LIKE '%.' AND
+                   (lower(rtrim(t, '."''`)')) || '.' IN ({abbrs})
+                    OR lower(t) IN ({abbrs})))
+          AND NOT (t LIKE '%.' AND
+                   regexp_matches(t, '(^|[ .])[A-Za-z]\\.$'))
+          AND regexp_matches(fw, '^[A-Z0-9`''"(]')
+         THEN 1 ELSE 0 END AS cut
+    FROM tt),
+st0 AS (SELECT tt.url, tt.t, tt.i,
+               1 + coalesce(sum(c.cut) OVER (
+                       PARTITION BY tt.url ORDER BY tt.i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS sent
+        FROM tt JOIN cuts c ON c.url = tt.url AND c.i = tt.i),
+sp AS (SELECT url, t, sent,
+              row_number() OVER (PARTITION BY url, sent ORDER BY i) AS pos
+       FROM st0),
+runs AS (SELECT url, sent, pos, t,
+                pos - row_number() OVER (PARTITION BY url, sent
+                                         ORDER BY pos) AS grp
+         FROM sp
+         WHERE regexp_matches(t, '^[A-Z][A-Za-z0-9.&''\\-]*$') AND pos > 1),
+spans AS (SELECT url, string_agg(t, ' ' ORDER BY pos) AS span
+          FROM runs GROUP BY url, sent, grp
+          HAVING count(*) <= {MAX_MENTION_TOKENS}),
+named AS (SELECT url, span,
+                 array_to_string(list_filter(
+                     string_split(replace(lower(span), '.', ''), ' '),
+                     x -> x <> ''), ' ') AS norm_name
+          FROM spans WHERE span NOT IN ({starters})),
+surf AS (SELECT norm_name,
+                CAST(count(*) AS BIGINT) AS n_mentions,
+                bool_or(strpos(span, ' ') = 0 AND span = upper(span)
+                        AND length(span) BETWEEN 2 AND 6) AS is_acr
+         FROM named GROUP BY norm_name),
+{_er_blocking_ctes()},
+-- tfidf_cosine side tables: idf over ALL surface-token occurrences
+-- (scoring.idf_table), per-surface norm over DISTINCT tokens
+nsurf AS (SELECT count(*) AS n FROM surf),
+sidf AS (SELECT token, ln((nsurf.n + 1.0) / (df + 1)) + 1.0 AS idf
+         FROM (SELECT token, count(*) AS df
+               FROM (SELECT unnest(string_split(norm_name, ' ')) AS token
+                     FROM surf)
+               WHERE token <> '' GROUP BY token), nsurf),
+snrm AS (SELECT norm_name, sqrt(sum(idf * idf)) AS nrm
+         FROM (SELECT norm_name,
+                      unnest(list_distinct(string_split(norm_name, ' ')))
+                          AS token
+               FROM surf) u
+         JOIN sidf USING (token) GROUP BY norm_name),
+pairtok AS (SELECT na, nb, string_split(na, ' ') AS ta,
+                   string_split(nb, ' ') AS tb
+            FROM cand),
+pdot AS (SELECT na, nb, sum(idf * idf) AS dot
+         FROM (SELECT na, nb, unnest(list_intersect(ta, tb)) AS token
+               FROM pairtok) x
+         JOIN sidf USING (token) GROUP BY na, nb),
+-- token_align: both directions per pair; token-match matrix then
+-- reachable-state recursion (monotone injective alignment)
+dirs AS (SELECT na, nb, 0 AS dir, ta AS s, tb AS d FROM pairtok
+         UNION ALL
+         SELECT na, nb, 1, tb, ta FROM pairtok),
+dl AS (SELECT na, nb, dir, len(s) AS ns FROM dirs),
+ad1 AS (SELECT na, nb, dir, s, d,
+               unnest(generate_series(1, len(s))) AS i
+        FROM dirs),
+ad2 AS (SELECT na, nb, dir, i, s[i] AS a, d,
+               unnest(generate_series(1, len(d))) AS j
+        FROM ad1),
+tmat AS (SELECT na, nb, dir, i, j
+         FROM (SELECT na, nb, dir, i, j, a, d[j] AS b FROM ad2)
+         WHERE {tok_match.format(a='a', b='b')}),
+align_st(na, nb, dir, i, j) AS (
+    SELECT na, nb, dir, i, j FROM tmat WHERE i = 1 AND j = 1
+    UNION
+    SELECT t.na, t.nb, t.dir, t.i, t.j
+    FROM align_st al
+    JOIN tmat t ON t.na = al.na AND t.nb = al.nb AND t.dir = al.dir
+              AND t.i = al.i + 1 AND t.j > al.j),
+alok AS (SELECT DISTINCT a.na, a.nb
+         FROM align_st a
+         JOIN dl ON dl.na = a.na AND dl.nb = a.nb AND dl.dir = a.dir
+         WHERE a.i = dl.ns),
+fx AS (SELECT p.na, p.nb,
+   jaro_winkler_similarity(p.na, p.nb) AS f_jw,
+   CASE WHEN p.na = p.nb THEN 1.0
+        WHEN length(p.na) = 0 OR length(p.nb) = 0 THEN 0.0
+        ELSE 1.0 - levenshtein(p.na, p.nb) * 1.0
+                   / greatest(length(p.na), length(p.nb))
+   END AS f_lev,
+   len(list_intersect(ta, tb)) * 1.0
+     / (len(list_distinct(ta)) + len(list_distinct(tb))
+        - len(list_intersect(ta, tb))) AS f_jac,
+   coalesce(pd.dot, 0.0) / (sna.nrm * snb.nrm) AS f_cos,
+   CASE WHEN p.na = p.nb THEN 1.0 ELSE 0.0 END AS f_exact,
+   CASE WHEN ta[len(ta)] = tb[len(tb)] THEN 1.0 ELSE 0.0 END AS f_last,
+   CASE WHEN ta[1] = tb[1] THEN 1.0 ELSE 0.0 END AS f_first,
+   CASE WHEN ta[len(ta)] = tb[len(tb)]
+             AND substr(ta[1], 1, 1) = substr(tb[1], 1, 1)
+        THEN 1.0 ELSE 0.0 END AS f_il,
+   CASE WHEN (len(ta) = 1 AND sa.is_acr AND len(tb) > 1
+              AND ta[1] = {acr_of.format(t='tb')})
+          OR (len(tb) = 1 AND sb.is_acr AND len(ta) > 1
+              AND tb[1] = {acr_of.format(t='ta')})
+        THEN 1.0 ELSE 0.0 END AS f_acr,
+   CASE WHEN list_has_all(ta, tb) OR list_has_all(tb, ta)
+        THEN 1.0 ELSE 0.0 END AS f_sub,
+   CASE WHEN ao.na IS NOT NULL THEN 1.0 ELSE 0.0 END AS f_align
+   FROM pairtok p
+   JOIN surf sa ON sa.norm_name = p.na
+   JOIN surf sb ON sb.norm_name = p.nb
+   JOIN snrm sna ON sna.norm_name = p.na
+   JOIN snrm snb ON snb.norm_name = p.nb
+   LEFT JOIN pdot pd ON pd.na = p.na AND pd.nb = p.nb
+   LEFT JOIN alok ao ON ao.na = p.na AND ao.nb = p.nb),
+edges AS (SELECT na, nb FROM fx
+          WHERE {w['jaro_winkler']} * f_jw + {w['levenshtein']} * f_lev
+              + {w['token_jaccard']} * f_jac + {w['tfidf_cosine']} * f_cos
+              + {w['exact_eq']} * f_exact + {w['last_eq']} * f_last
+              + {w['first_eq']} * f_first + {w['init_last_eq']} * f_il
+              + {w['acronym_match']} * f_acr + {w['token_subset']} * f_sub
+              + {w['token_align']} * f_align + ({w['bias']}) > 0.0),
 sym AS (SELECT na AS a, nb AS b FROM edges
         UNION ALL SELECT nb, na FROM edges),
 walk(node, src) AS (
@@ -5995,12 +6279,7 @@ SELECT cluster_id, CAST(rn AS INTEGER) AS rank, term, n_tc, score FROM (
     if qc:
         out["q_quality_classifier"] = qc
     out["q_er_clusters"] = _er_clusters_oracle()
-    g = _golden_oracle(
-        "q_er_pipeline",
-        [("size", "BIGINT"), ("n_clusters", "BIGINT"), ("members_hash", "BIGINT")],
-    )
-    if g:
-        out["q_er_pipeline"] = g
+    out["q_er_pipeline"] = _er_pipeline_oracle()
     g = _golden_oracle(
         "q_ner_tags",
         [("label", "VARCHAR"), ("n", "BIGINT"), ("rows_hash", "BIGINT")],

@@ -61,6 +61,13 @@ HEADLINE = [
     "q_semdedup",
     "q_pack_sequences",
     "q_fs_em",
+    # new in round 5 (subtract when comparing headline totals to r4):
+    # trained sentence splitter, wiki XML dump parse, query chooser,
+    # and the now-self-sized LSH ANN (was pinned n_planes=4 through r4)
+    "q_sent_split",
+    "q_wiki_dump",
+    "q_query_chooser",
+    "q_ann_lsh",
 ]
 
 
@@ -154,6 +161,13 @@ def run_headline() -> dict:
         t0 = time.monotonic()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         per_query_min[name] = min(per_query[name], round(time.monotonic() - t0, 3))
+    spin_after = _spin_calibration()
+    # calibration-normalized walls: divide by (measured spin / nominal 1.1)
+    # so cross-round comparisons separate host drift from code change
+    # without the reader doing the arithmetic (round-4 task); nominal 1.1s
+    # is this box's uncontended spin wall (BENCH/BASELINE.md)
+    spin_mean = (spin_before + spin_after) / 2.0
+    norm = 1.1 / spin_mean if spin_mean > 0 else 1.0
     out = {
         "metric": "headline_query_wall_seconds",
         "value": round(total, 3),
@@ -161,8 +175,12 @@ def run_headline() -> dict:
         "queries": per_query,
         "queries_min2": per_query_min,
         "total_min2": round(sum(per_query_min.values()), 3),
+        "queries_min2_normalized": {
+            k: round(v * norm, 3) for k, v in per_query_min.items()
+        },
+        "total_min2_normalized": round(sum(per_query_min.values()) * norm, 3),
         "jobs_stages": jobs_stages,
-        "spin_calibration_sec": [spin_before, _spin_calibration()],
+        "spin_calibration_sec": [spin_before, spin_after],
         "sf": sf,
     }
     # attach the committed sf1.0 soak evidence (tools/soak_sf1.py: the same
@@ -369,6 +387,7 @@ def main() -> None:
             "queries": full["queries"],
             "sf": full["sf"],
             "total_min2": full["total_min2"],
+            "total_min2_normalized": full["total_min2_normalized"],
             "spin_calibration_sec": full["spin_calibration_sec"],
         }
         sys.stdout.write(json.dumps(compact) + "\n")

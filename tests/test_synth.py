@@ -101,3 +101,34 @@ def test_nominal_mentions_distributed(spark):
     r = rows[("u1", 0, 5)]
     assert r["span"] == "the quick brown fox jumps" and r["head"] == "jumps"
     assert r["norm_name"] == "the quick brown fox jumps" and r["mtype"] == "nominal"
+
+
+def test_er_pipeline_fixture_matches_generator(spark):
+    """The committed q_er_pipeline oracle fixture IS the generator output:
+    fixtures/synth_pages_300_40_en.parquet must byte-match the en-filtered
+    synthetic corpus the Spark query builds (tools/freeze_er_pipeline_oracle
+    wrote it).  If this fails after a DELIBERATE synth/extract change,
+    re-run the freeze tool (it re-audits the knife-edge margin and gold F1
+    before rewriting the fixture)."""
+    import os
+
+    import pandas as pd
+
+    from berkeley_entity_spark.config import SynthConfig
+    from berkeley_entity_spark.synth import generate_webpages
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "synth_pages_300_40_en.parquet",
+    )
+    pages, _ = generate_webpages(spark, SynthConfig(n_pages=300, n_entities=40))
+    gen = (
+        pages.where("lang = 'en'")
+        .select("url", "text")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    fix = pd.read_parquet(fixture).sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(gen, fix)

@@ -139,7 +139,10 @@ def sparse_adagrad_l1(
     w = np.zeros(d)
     g2 = np.full(d, 1e-8)
     rows = [
-        ([feat_index[f] for f in featurize_split(pw, fw)], 1.0 if y else 0.0)
+        (
+            [feat_index[f] for f in featurize_split(pw, fw) if f in feat_index],
+            1.0 if y else 0.0,
+        )
         for pw, fw, y in examples
     ]
     order = np.random.RandomState(seed).permutation(len(rows))
@@ -164,7 +167,17 @@ def main() -> None:
     rng = np.random.RandomState(42)
     train = labeled_examples(rng, 4000)
     held = labeled_examples(np.random.RandomState(7), 800)
-    feats = sorted({f for pw, fw, _ in train for f in featurize_split(pw, fw)})
+    # min-count cutoff (the reference's lexical-cutoff move, SURVEY A1):
+    # rare Prev=/Next= tail features barely affect accuracy but triple the
+    # weight map — and Spark's map-literal element_at is a LINEAR scan per
+    # lookup, so model size is directly q_sent_split's per-row cost
+    # (measured 7.2s -> ~2s at sf0.1 shrinking 1334 -> ~300 entries)
+    from collections import Counter
+
+    freq = Counter(
+        f for pw, fw, _ in train for f in featurize_split(pw, fw)
+    )
+    feats = sorted(f for f, c in freq.items() if c >= 5)
     feat_index = {f: i for i, f in enumerate(feats)}
     w = sparse_adagrad_l1(train, feat_index)
     # 6-decimal weights: every 11-term score is then ~1e-10 away from a
