@@ -2788,6 +2788,86 @@ WHERE rn = 1
 """
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC/1.0 container roundtrip (ISO 28500 — Common Crawl's native
+    format, the shape the north-star corpus actually arrives in): render
+    the documents corpus into 8 deterministic WARC files (url-hash
+    sharding, in-file url order, Content-Length-framed records), then
+    parse the bytes back record-by-record.  The DuckDB oracle re-derives
+    every parsed field directly from the source table (record_id =
+    md5(url), payload_len = utf-8 octet length, text identity), so any
+    framing/header/byte-count infidelity in EITHER direction breaks the
+    match."""
+    from berkeley_entity_spark.sources.warc import parse_warc, render_warc
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    return parse_warc(render_warc(d, n_files=8)).select(
+        "url", "record_id", "payload_len", "text"
+    )
+
+
+def q_domain_pagerank(spark, sf_dir):
+    """Weighted domain-graph PageRank (webgraph.pagerank — Brin & Page
+    1998, uniform teleport + dangling-mass redistribution, 5 fixed
+    iterations): a deterministic 3-links-per-page anchor graph over the
+    corpus's 20 source domains plus one sink-only domain ('src20' never
+    links out, exercising the dangling path), collapsed to weighted
+    domain edges (THE corpus-sized step — one map-side-combining groupBy)
+    and iterated broadcast-side on the bounded graph.  The DuckDB oracle
+    unrolls all 5 iterations as CTEs (the FS-EM precedent), so the whole
+    rank trajectory is re-derived, nothing pinned."""
+    from berkeley_entity_spark.operators.webgraph import (
+        domain_link_edges,
+        pagerank,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    dsts = [
+        F.concat(
+            F.lit("src"),
+            ((F.col("doc_id") * 7 + F.lit(k)) % 21).cast("string"),
+        )
+        for k in (1, 2, 3)
+    ]
+    links = d.select(
+        F.col("source").alias("src_domain"),
+        F.explode(F.array(*dsts)).alias("dst_domain"),
+    )
+    return pagerank(
+        domain_link_edges(links), iterations=5, damping=0.85, weight_col="w"
+    )
+
+
+def q_containment(spark, sf_dir):
+    """Asymmetric shingle-containment near-dup join
+    (dedup.containment_pairs — Broder 1997's containment measure, the
+    quote/mirror detector Jaccard structurally misses): the corpus plus a
+    synthetic 12-token quote of every 5th doc (id + 1,000,000), single-
+    sided prefix-filtered candidate join, exact cold-intersection verify.
+    Every quote is caught at containment 1.0 while its Jaccard vs the
+    full doc is far below any useful threshold.  Full DuckDB oracle
+    replays shingling, the df cap, and both directional ratios."""
+    from berkeley_entity_spark.operators.dedup import containment_pairs, tokens_col
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    quotes = base.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(tokens_col(), 1, 12), " ").alias("text"),
+    )
+    p = containment_pairs(
+        base.unionByName(quotes), n=3, threshold=0.7, max_ngram_df=500
+    )
+    return p.select(
+        "id_a",
+        "id_b",
+        "inter",
+        F.round("cont_a_in_b", 6).alias("cont_a_in_b"),
+        F.round("cont_b_in_a", 6).alias("cont_b_in_a"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness gate samples
     the FIRST 50 entries only (round-4 finding), so the least-proven queries
@@ -2899,10 +2979,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2": q_scd2,
         "q_dedup_report": q_dedup_report,
         "q_cluster_terms": q_cluster_terms,
+        # --- round-5 additions (outside the driver's 50-query window;
+        #     gate-mimicked by tools/check_oracles.py like slots 51-100) ---
+        "q_warc_roundtrip": q_warc_roundtrip,
+        "q_domain_pagerank": q_domain_pagerank,
+        "q_containment": q_containment,
     }
 
 
 # ------------------------------------------------------------------- oracles
+_WARC_ROUNDTRIP_ORACLE = """
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       md5(CAST(doc_id AS VARCHAR)) AS record_id,
+       octet_length(encode(text)) AS payload_len,
+       text
+FROM documents
+"""
+
+
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled-CTE replay of q_domain_pagerank: link synthesis, weighted
+    edge aggregation, and every rank iteration (contrib join + dangling
+    mass + teleport) re-derived in SQL — the FS-EM unrolled-oracle
+    precedent.  MATERIALIZED on the shared CTEs: default inlining would
+    re-expand edges/nodes once per iteration."""
+    ctes = [
+        """links AS MATERIALIZED (
+  SELECT source AS src, 'src' || CAST((doc_id * 7 + k) % 21 AS VARCHAR) AS dst
+  FROM documents, unnest([1, 2, 3]) AS t(k)
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+  FROM links WHERE src <> dst GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outw AS MATERIALIZED (SELECT src, sum(w) AS out_w FROM edges GROUP BY 1),
+r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(r.rank * e.w / o.out_w) AS contrib
+  FROM edges e JOIN outw o USING (src) JOIN r{p} r ON r.node = e.src
+  GROUP BY 1
+),
+d{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.rank), 0) AS dm
+  FROM r{p} r LEFT JOIN outw o ON o.src = r.node WHERE o.src IS NULL
+),
+r{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         (1 - {damping}) / nn.n
+           + {damping} * (coalesce(c.contrib, 0) + dd.dm / nn.n) AS rank
+  FROM nodes LEFT JOIN c{i} c USING (node), d{i} dd, nn
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iters}"
+    )
+
+
+def _containment_oracle(
+    n: int = 3, threshold: float = 0.7, max_df: int = 500
+) -> str:
+    """Full replay of q_containment: quote synthesis, shingling, the
+    df cap, all shared-cold-ngram pair intersections, and both
+    directional containment ratios (cold intersection / FULL distinct-
+    shingle size, mirroring the operator's semantics)."""
+    return f"""
+WITH quotes AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(list_slice({TOKQ}, 1, 12), ' ') AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM quotes),
+tok AS (SELECT doc_id, {TOKQ} AS toks FROM docs),
+sh AS (SELECT doc_id,
+       CASE WHEN len(toks) >= {n}
+            THEN list_transform(generate_series(1, len(toks) - {n - 1}),
+                                i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))
+            ELSE [array_to_string(toks, ' ')] END AS shingles
+       FROM tok),
+dn AS (SELECT DISTINCT doc_id, unnest(shingles) AS ngram FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dn GROUP BY doc_id),
+hot AS (SELECT ngram FROM dn GROUP BY ngram HAVING count(*) > {max_df}),
+cold AS (SELECT * FROM dn WHERE ngram NOT IN (SELECT ngram FROM hot)),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM cold a JOIN cold b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+       round(inter * 1.0 / sa.sz, 6) AS cont_a_in_b,
+       round(inter * 1.0 / sb.sz, 6) AS cont_b_in_a
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest(inter * 1.0 / sa.sz, inter * 1.0 / sb.sz) >= {threshold}
+"""
+
+
 def _fs_pairs_cte() -> str:
     """Shared CTE prefix for the Fellegi-Sunter oracles: gate records
     (base + exact-dup + last-token-dropped near-dup), capped first-token
@@ -6296,4 +6470,7 @@ SELECT cluster_id, CAST(rn AS INTEGER) AS rank, term, n_tc, score FROM (
     )
     if g:
         out["q_joint_entity"] = g
+    out["q_warc_roundtrip"] = _WARC_ROUNDTRIP_ORACLE
+    out["q_domain_pagerank"] = _pagerank_oracle(iters=5, damping=0.85)
+    out["q_containment"] = _containment_oracle(n=3, threshold=0.7, max_df=500)
     return out

@@ -767,3 +767,98 @@ def bloom_contaminated_docs(
     return documents.select("doc_id", text_col).mapInPandas(
         gen, "doc_id long, n_grams long, n_maybe_grams long"
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_ngram_df: int = 500,
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT join: every pair where either doc's
+    cold-shingle set is >= `threshold` contained in the intersection —
+    containment(A->B) = |A∩B| / |A| (Broder 1997's second resemblance
+    measure).  Jaccard misses exactly the pairs this catches: a page
+    QUOTED or MIRRORED inside a much larger page has high containment but
+    arbitrarily low Jaccard (the union is dominated by the big doc), and
+    quote/mirror detection is a standard Common-Crawl dedup pass that
+    ngram_jaccard_pairs cannot express.
+
+    Candidate generation is the SINGLE-SIDED prefix filter (the
+    containment/overlap variant of PPJoin's prefix principle): a
+    qualifying pair needs |A∩B| >= ceil(θ·min(szc_a, szc_b)); order each
+    doc's cold shingles by the global (df asc, ngram) total order and take
+    its first floor((1-θ)·szc)+1 as the prefix — if the MIN side's
+    intersection requirement holds, its prefix must hit the OTHER DOC'S
+    FULL posting list (single-sided: only one side shortens, so the
+    filter is lossless without knowing which side is smaller — every
+    pair is probed from both directions and normalized).  The float
+    guard (+1e-9 before floor) only lengthens prefixes.  Join volume per
+    cold ngram is prefix_postings x full_postings, bounded by the df cap
+    exactly as in ngram_jaccard_pairs.
+
+    Semantics mirror ngram_jaccard_pairs: intersections count COLD
+    shingles only (hot shingles — df > max_ngram_df — carry no pair
+    signal and would be quadratic), denominators count the doc's FULL
+    distinct-shingle set; the DuckDB oracle replays both choices.
+
+    Output: (id_a, id_b, inter, cont_a_in_b, cont_b_in_a) for pairs with
+    greatest(cont_a_in_b, cont_b_in_a) >= threshold.
+    """
+    dn = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(n, text_col))).alias("ngram"),
+    ).persist()
+    dn.count()
+    sizes = dn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    df_tab = dn.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
+    cold = dn.join(df_tab.where(F.col("df") <= max_ngram_df), "ngram")
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("ngram"))
+    ranked = cold.select(
+        "doc_id",
+        "ngram",
+        F.row_number().over(wdoc).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("szc"),
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.floor((1.0 - threshold) * F.col("szc") + 1e-9) + 1
+    ).select("doc_id", "ngram")
+    cand = (
+        prefix.alias("p")
+        .join(
+            cold.select("doc_id", "ngram").alias("f"),
+            (F.col("p.ngram") == F.col("f.ngram"))
+            & (F.col("p.doc_id") != F.col("f.doc_id")),
+        )
+        .select(
+            F.least(F.col("p.doc_id"), F.col("f.doc_id")).alias("id_a"),
+            F.greatest(F.col("p.doc_id"), F.col("f.doc_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    docsets = cold.groupBy("doc_id").agg(F.collect_list("ngram").alias("arr"))
+    inter = (
+        cand.join(docsets.toDF("id_a", "arr_a"), "id_a")
+        .join(docsets.toDF("id_b", "arr_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("inter"),
+        )
+    )
+    return (
+        inter.join(sizes.toDF("id_a", "sz_a"), "id_a")
+        .join(sizes.toDF("id_b", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("bigint").alias("inter"),
+            (F.col("inter") / F.col("sz_a")).alias("cont_a_in_b"),
+            (F.col("inter") / F.col("sz_b")).alias("cont_b_in_a"),
+        )
+        .where(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a"))
+            >= F.lit(threshold)
+        )
+    )
