@@ -154,10 +154,19 @@ def _dedup_batch(
         state = sess.read.parquet(state_dir).select("doc_id", "bucket")
         has_state = True
     except Exception as e:
-        # only a MISSING state dir means "first batch"; any other read
-        # failure must fail the batch (silently treating it as empty
-        # would permanently drop that batch's cross pairs)
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+        # a MISSING state dir means "first batch"; an EXISTING dir with no
+        # parquet footers (UNABLE_TO_INFER_SCHEMA — a prior zero-row write
+        # under dynamic overwrite) means "no state rows yet".  Any other
+        # read failure must fail the batch (silently treating it as empty
+        # would permanently drop that batch's cross pairs).
+        if not any(
+            s in str(e)
+            for s in (
+                "PATH_NOT_FOUND",
+                "Path does not exist",
+                "UNABLE_TO_INFER_SCHEMA",
+            )
+        ):
             raise
         has_state = False
     a = b.toDF("id_new", "bucket")
@@ -232,9 +241,18 @@ def _er_merge_batch(sess, batch_id: int, pairs_dir: str, assign_dir: str):
             )
         )
     except Exception as e:
-        # a zero-pair first batch writes no partition at all, so the
-        # pairs dir may not exist yet; anything else must fail the batch
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+        # a zero-pair first batch either writes no directory at all
+        # (PATH_NOT_FOUND) or — under dynamic partition overwrite — a
+        # bare directory with no parquet footers (UNABLE_TO_INFER_SCHEMA);
+        # both mean "no pairs yet".  Anything else must fail the batch.
+        if not any(
+            s in str(e)
+            for s in (
+                "PATH_NOT_FOUND",
+                "Path does not exist",
+                "UNABLE_TO_INFER_SCHEMA",
+            )
+        ):
             raise
         new_pairs = sess.createDataFrame([], "u long, v long")
     prev = _latest_snapshot(sess, assign_dir, batch_id)
@@ -295,7 +313,16 @@ def _latest_snapshot(
     try:
         snaps = sess.read.parquet(assign_dir)
     except Exception as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+        # missing dir OR footer-less dir from a prior zero-row dynamic
+        # overwrite both mean "no snapshot yet" (see _dedup_batch)
+        if not any(
+            s in str(e)
+            for s in (
+                "PATH_NOT_FOUND",
+                "Path does not exist",
+                "UNABLE_TO_INFER_SCHEMA",
+            )
+        ):
             raise
         return None
     snaps = snaps.where(F.col("batch_id") < before_batch)

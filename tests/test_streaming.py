@@ -434,3 +434,114 @@ def test_golden_scd2_stream(spark, tmp_path):
             r["cluster_id"] not in open_ids
             or r["cluster_id"] == ab_open[0]["cluster_id"]
         )
+
+
+def test_golden_scd2_stream_out_of_order_batches(spark, tmp_path):
+    """VERDICT r4 item 8: drops arriving OUT of timestamp order.  A rolling
+    crawl has no ordering guarantee — a mirror can deliver a STALE
+    re-crawl (older warc_ts than the version already ingested) and a
+    backfill can deliver a very old page that merges into a cluster formed
+    from newer data.  The SCD2 history must converge to the batch result
+    over latest-per-url records regardless of arrival order:
+
+      (a) final OPEN golden rows == batch pipeline golden records,
+      (b) a stale re-crawl (batch 1's c1@ts102 after batch 0's c1@ts300)
+          is survivorship-invisible — the c cluster's golden record never
+          changes, so scd2_merge must leave its ONE open version untouched
+          (no close/reopen churn from late no-op data),
+      (c) a late OLDEST-ts page (b1@ts50, batch 2) still merges into the
+          a-cluster and bumps its version — membership convergence does
+          not depend on timestamp monotonicity."""
+    from berkeley_entity_spark.operators.clustering import connected_components
+    from berkeley_entity_spark.operators.dedup import minhash_band_buckets
+    from berkeley_entity_spark.operators.survivorship import golden_records
+    from berkeley_entity_spark.streaming.ingest import (
+        start_golden_scd2_stream,
+    )
+
+    t1 = "quantum harbor lighthouse meridian obelisk paradox quarry riverbed sandstone timber"
+    t2 = "quantum harbor lighthouse meridian obelisk paradox quarry riverbed sandstone granite"
+    t3 = "completely different words entirely unrelated content spanning another topic altogether"
+    drops = [
+        # newest crawl of c1 arrives FIRST
+        [("a1", t1, 100), ("c1", t3 + " refreshed crawl body", 300)],
+        # stale re-crawl of c1 (older ts) arrives late + a2 joins a-cluster
+        [("a2", t1, 101), ("c1", t3, 102)],
+        # backfill: oldest-ts page, near-dup of t1, arrives last
+        [("b1", t2, 50)],
+    ]
+    root = str(tmp_path / "o_pages")
+    for rows in drops:
+        _ts_pages(spark, rows).coalesce(1).write.mode("append").parquet(root)
+
+    dirs = {k: str(tmp_path / ("o_" + k)) for k in
+            ("state", "pairs", "assign", "pstore", "golden", "ckpt")}
+    q = start_golden_scd2_stream(
+        spark, root, dirs["state"], dirs["pairs"], dirs["assign"],
+        dirs["pstore"], dirs["golden"], dirs["ckpt"],
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    hist = spark.read.parquet(dirs["golden"])
+    last = hist.agg(F.max("batch_id")).collect()[0][0]
+    assert last == 2  # one microbatch per drop
+    hist = hist.where(F.col("batch_id") == last).drop("batch_id")
+    open_rows = hist.where(F.col("valid_to").isNull()).collect()
+    closed_rows = hist.where(F.col("valid_to").isNotNull()).collect()
+
+    # (a) convergence: open rows == batch golden over latest-per-url
+    latest = (
+        spark.read.parquet(root)
+        .groupBy("url")
+        .agg(F.max_by(F.struct("warc_ts", "text", "lang"), "warc_ts").alias("r"))
+        .select("url", "r.warc_ts", "r.text", "r.lang")
+        .localCheckpoint(eager=True)
+    )
+    docs = latest.select(F.col("url").alias("doc_id"), "text")
+    b = minhash_band_buckets(docs)
+    pairs = (
+        b.toDF("id_a", "bucket")
+        .join(b.toDF("id_b", "bucket"), "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(F.xxhash64("id_a").alias("u"), F.xxhash64("id_b").alias("v"))
+        .distinct()
+    )
+    comp = connected_components(pairs).toDF("h", "cluster_id")
+    assign = (
+        latest.select("url", F.xxhash64("url").alias("h"))
+        .join(comp, "h", "left")
+        .select("url", F.coalesce("cluster_id", "h").alias("cluster_id"))
+    )
+    want = {tuple(r) for r in golden_records(latest, assign).collect()}
+    got = {
+        tuple(
+            (r[c] for c in (
+                "cluster_id", "n_members", "n_langs", "canonical_url",
+                "latest_url", "latest_ts", "best_text", "lang_majority",
+            ))
+        )
+        for r in open_rows
+    }
+    assert got == want and len(got) == 2  # {a1,a2,b1} cluster + c1 singleton
+
+    # (b) the stale re-crawl never perturbed the c cluster's history:
+    # one open version keeping the NEWER (first-arrived) crawl, zero
+    # closed versions — no close/reopen churn from a no-op late batch
+    c_open = [r for r in open_rows if r["canonical_url"] == "c1"]
+    assert len(c_open) == 1
+    assert c_open[0]["best_text"].endswith("refreshed crawl body")
+    assert c_open[0]["latest_ts"].timestamp() == 300
+    assert not [r for r in closed_rows if r["canonical_url"] == "c1"]
+
+    # (c) the ts-50 backfill merged: a-cluster versions 1 -> 2 -> 3
+    # members across the three batches, open version carrying all three
+    # with latest_ts still a2's 101 (b1's old ts never wins survivorship)
+    a_open = [r for r in open_rows if r["canonical_url"] == "a1"]
+    assert len(a_open) == 1 and a_open[0]["n_members"] == 3
+    assert a_open[0]["latest_url"] == "a2"
+    assert a_open[0]["latest_ts"].timestamp() == 101
+    a_closed = sorted(
+        r["n_members"] for r in closed_rows if r["canonical_url"] == "a1"
+    )
+    assert a_closed == [1, 2]
