@@ -2868,6 +2868,69 @@ def q_containment(spark, sf_dir):
     )
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (webgraph.hits — Kleinberg 1999 weighted
+    power iteration, L2-normalized half-steps, 4 fixed iterations) over
+    the same deterministic 3-links-per-page domain graph as
+    q_domain_pagerank — including the sink-only 'src20' (authority > 0,
+    hub 0) and the zero-in-degree src domains (authority 0).  The DuckDB
+    oracle unrolls every authority/hub half-step plus its L2 norm as
+    CTEs, so the full score trajectory is re-derived."""
+    from berkeley_entity_spark.operators.webgraph import (
+        domain_link_edges,
+        hits,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    dsts = [
+        F.concat(
+            F.lit("src"),
+            ((F.col("doc_id") * 7 + F.lit(k)) % 21).cast("string"),
+        )
+        for k in (1, 2, 3)
+    ]
+    links = d.select(
+        F.col("source").alias("src_domain"),
+        F.explode(F.array(*dsts)).alias("dst_domain"),
+    )
+    h = hits(domain_link_edges(links), iterations=4, weight_col="w")
+    return h.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text surface-form table (webgraph.anchor_text_table — the
+    crawl-side construction of the reference's surface->title counts,
+    WikipediaInterface.scala:56-62): deterministic anchors (two-token
+    windows of each doc at offsets 1/3/5) pointing at the q_domain_pagerank
+    targets, one corpus-sized (dst, anchor) groupBy, top-3 per target by
+    (count desc, anchor asc).  Full SQL oracle replays anchor synthesis,
+    counting, and the rank window."""
+    from berkeley_entity_spark.operators.dedup import tokens_col
+    from berkeley_entity_spark.operators.webgraph import anchor_text_table
+
+    d = _t(spark, sf_dir, "documents")
+    triples = [
+        F.struct(
+            F.concat(
+                F.lit("src"),
+                ((F.col("doc_id") * 7 + F.lit(k)) % 21).cast("string"),
+            ).alias("dst"),
+            F.array_join(F.slice(tokens_col(), 2 * k - 1, 2), " ").alias(
+                "anchor"
+            ),
+        )
+        for k in (1, 2, 3)
+    ]
+    links = d.select(F.explode(F.array(*triples)).alias("l")).select(
+        "l.dst", "l.anchor"
+    )
+    return anchor_text_table(links, k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness gate samples
     the FIRST 50 entries only (round-4 finding), so the least-proven queries
@@ -2984,6 +3047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_domain_pagerank": q_domain_pagerank,
         "q_containment": q_containment,
+        "q_hits": q_hits,
+        "q_anchor_text": q_anchor_text,
     }
 
 
@@ -3074,6 +3139,70 @@ SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
        round(inter * 1.0 / sb.sz, 6) AS cont_b_in_a
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE greatest(inter * 1.0 / sa.sz, inter * 1.0 / sb.sz) >= {threshold}
+"""
+
+
+def _hits_oracle(iters: int = 4) -> str:
+    """Unrolled-CTE replay of q_hits: link synthesis, weighted edges, and
+    every authority/hub half-step WITH its L2 normalization re-derived
+    (the pagerank/FS-EM unrolled-oracle precedent)."""
+    ctes = [
+        """links AS MATERIALIZED (
+  SELECT source AS src, 'src' || CAST((doc_id * 7 + k) % 21 AS VARCHAR) AS dst
+  FROM documents, unnest([1, 2, 3]) AS t(k)
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+  FROM links WHERE src <> dst GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""ra{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(e.w * h.hub) AS s
+  FROM edges e JOIN h{p} h ON h.node = e.src GROUP BY 1
+),
+na{i} AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS nz FROM ra{i}),
+a{i} AS MATERIALIZED (
+  SELECT nodes.node, coalesce(r.s, 0) / na{i}.nz AS authority
+  FROM nodes LEFT JOIN ra{i} r USING (node), na{i}
+),
+rh{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(e.w * a.authority) AS s
+  FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY 1
+),
+nh{i} AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS nz FROM rh{i}),
+h{i} AS MATERIALIZED (
+  SELECT nodes.node, coalesce(r.s, 0) / nh{i}.nz AS hub
+  FROM nodes LEFT JOIN rh{i} r USING (node), nh{i}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT h.node, round(h.hub, 6) AS hub, round(a.authority, 6) AS authority
+FROM h{iters} h JOIN a{iters} a USING (node)"""
+    )
+
+
+_ANCHOR_TEXT_ORACLE = f"""
+WITH links AS (
+  SELECT 'src' || CAST((doc_id * 7 + k) % 21 AS VARCHAR) AS dst,
+         array_to_string(list_slice({TOKQ}, 2 * k - 1, 2 * k), ' ') AS anchor
+  FROM documents, unnest([1, 2, 3]) AS t(k)
+),
+counts AS (
+  SELECT dst, anchor, count(*) AS n FROM links GROUP BY 1, 2
+)
+SELECT dst, CAST(rank AS INTEGER) AS rank, anchor, n FROM (
+  SELECT dst, anchor, n,
+         row_number() OVER (PARTITION BY dst ORDER BY n DESC, anchor ASC) AS rank
+  FROM counts
+) WHERE rank <= 3
 """
 
 
@@ -6473,4 +6602,6 @@ SELECT cluster_id, CAST(rn AS INTEGER) AS rank, term, n_tc, score FROM (
     out["q_warc_roundtrip"] = _WARC_ROUNDTRIP_ORACLE
     out["q_domain_pagerank"] = _pagerank_oracle(iters=5, damping=0.85)
     out["q_containment"] = _containment_oracle(n=3, threshold=0.7, max_df=500)
+    out["q_hits"] = _hits_oracle(iters=4)
+    out["q_anchor_text"] = _ANCHOR_TEXT_ORACLE
     return out

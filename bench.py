@@ -186,10 +186,11 @@ def run_headline() -> dict:
     # attach the committed sf1.0 soak evidence (tools/soak_sf1.py: the same
     # headline queries on a key-consistent 10x replica, with job/stage
     # counts) so BENCH_r{N}.json carries the at-scale numbers
-    soak_path = os.path.join(REPO, "BENCH", "soak_sf1.json")
-    if os.path.exists(soak_path):
-        with open(soak_path) as f:
-            out["sf1_soak"] = json.load(f)
+    for tag in ("sf1", "sf3"):
+        soak_path = os.path.join(REPO, "BENCH", f"soak_{tag}.json")
+        if os.path.exists(soak_path):
+            with open(soak_path) as f:
+                out[f"{tag}_soak"] = json.load(f)
     return out
 
 

@@ -823,13 +823,37 @@ def containment_pairs(
     )
     prefix = ranked.where(
         F.col("rn") <= F.floor((1.0 - threshold) * F.col("szc") + 1e-9) + 1
-    ).select("doc_id", "ngram")
+    )
+    # PPJoin positional filter, containment form — the sf3 soak showed the
+    # bare prefix x full-postings join hits ~500M rows on a corpus whose
+    # templated shingles sit just under the df cap (df up to ~480), and
+    # that volume flows into the pair-dedup exchange.  The position bound
+    # is side-agnostic (it only uses each doc's rank in the SHARED global
+    # (df, ngram) order): common ngrams strictly before a collision at
+    # ranks (rn_p, rn_f) number <= min(rn_p, rn_f) - 1, strictly after
+    # <= min(szc_p - rn_p, szc_f - rn_f), so cold-intersection <= that sum
+    # + 1.  Qualifying needs inter >= ceil(θ·min(sz_p, sz_f)) >=
+    # ceil(θ·min(szc_p, szc_f)) (cold set <= full set), so dropping
+    # collisions whose bound is below the cold requirement is lossless
+    # (-1e-9 before ceil only lowers the requirement).  The f side joins
+    # from `ranked` (not bare postings) solely to carry rn/szc for this
+    # predicate — same rows, extra two ints.
+    pos_ub = (
+        F.least(F.col("p.rn"), F.col("f.rn"))
+        + F.least(
+            F.col("p.szc") - F.col("p.rn"), F.col("f.szc") - F.col("f.rn")
+        )
+    )
+    req = F.ceil(
+        F.lit(threshold) * F.least(F.col("p.szc"), F.col("f.szc")) - 1e-9
+    )
     cand = (
         prefix.alias("p")
         .join(
-            cold.select("doc_id", "ngram").alias("f"),
+            ranked.alias("f"),
             (F.col("p.ngram") == F.col("f.ngram"))
-            & (F.col("p.doc_id") != F.col("f.doc_id")),
+            & (F.col("p.doc_id") != F.col("f.doc_id"))
+            & (pos_ub >= req),
         )
         .select(
             F.least(F.col("p.doc_id"), F.col("f.doc_id")).alias("id_a"),

@@ -103,6 +103,111 @@ def pagerank(
     return rank
 
 
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999, the weighted power-iteration
+    form) over an aggregated edge table -> (node, hub, authority).
+
+        a_{t+1}(v) = sum_{(u,v) in E} w(u,v) * h_t(u)      then L2-normalize
+        h_{t+1}(u) = sum_{(u,v) in E} w(u,v) * a_{t+1}(v)  then L2-normalize
+
+    Same scale shape as `pagerank`: the edge table is the bounded DOMAIN
+    graph, every iteration broadcasts the current score vector against it
+    (no edge shuffle after the upstream aggregation), normalization is a
+    1-row aggregate carried by crossJoin — no per-iteration driver round
+    trip.  Nodes with no in-edges get authority 0, no out-edges hub 0
+    (left join + coalesce), so the output covers every node.  Fixed
+    iteration count keeps it oracle-replayable (the DuckDB oracle unrolls
+    each half-step as a CTE, the pagerank/FS-EM precedent).
+    """
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    auth = None
+    for _ in range(iterations):
+        hub = hub.localCheckpoint(eager=True)
+        raw_a = (
+            e.join(F.broadcast(hub.withColumnRenamed("node", "src")), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("hub")).alias("s"))
+        )
+        norm_a = raw_a.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nz"))
+        auth = (
+            nodes.join(raw_a, "node", "left")
+            .crossJoin(F.broadcast(norm_a))
+            .select(
+                "node",
+                (F.coalesce("s", F.lit(0.0)) / F.col("nz")).alias("authority"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        raw_h = (
+            e.join(
+                F.broadcast(auth.withColumnRenamed("node", "dst")), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("authority")).alias("s"))
+        )
+        norm_h = raw_h.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nz"))
+        hub = (
+            nodes.join(raw_h, "node", "left")
+            .crossJoin(F.broadcast(norm_h))
+            .select(
+                "node",
+                (F.coalesce("s", F.lit(0.0)) / F.col("nz")).alias("hub"),
+            )
+        )
+    return hub.join(auth, "node").select("node", "hub", "authority")
+
+
+def anchor_text_table(
+    links: DataFrame,
+    k: int = 3,
+    target_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target top-k anchor phrases -> (dst, rank, anchor, n) — the
+    web-native surface-form dictionary.  Aggregated anchor text is how a
+    web corpus expresses the reference's surface->title counts
+    (WikipediaInterface.scala:56-62 builds them from wiki-internal links;
+    on a crawl the same table comes from <a> anchors): the top anchors of
+    a target ARE its canonical surface forms, feeding title_given_surface
+    and the query-denotation chooser unchanged.
+
+    Scale shape: one corpus-sized groupBy (target, anchor) with map-side
+    combine — the only pass over link rows — then top-k per target by
+    (n desc, anchor asc) over the much smaller distinct-phrase table.
+    The rank window partitions by target; a pathological target with
+    millions of DISTINCT anchor phrases would skew that window, which is
+    the same bounded risk the salted two-phase top-k (A9) covers — swap
+    it in via that operator if a crawl exhibits it.
+    """
+    from pyspark.sql import Window
+
+    counts = links.groupBy(
+        F.col(target_col).alias("dst"), F.col(anchor_col).alias("anchor")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("anchor"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("dst", F.col("rank").cast("int").alias("rank"), "anchor", "n")
+    )
+
+
 def domain_link_edges(
     pages: DataFrame,
     src_col: str = "src_domain",

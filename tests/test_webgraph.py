@@ -83,3 +83,79 @@ def test_domain_link_edges_aggregates_and_drops_self(spark):
         for r in domain_link_edges(pages).collect()
     }
     assert got == {("x", "y"): 2, ("y", "x"): 1}
+
+
+def _numpy_hits(nodes, edges, iterations=4):
+    """Dense replay of webgraph.hits' exact update rule."""
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(iterations):
+        a = np.zeros(n)
+        for s, d, w in edges:
+            a[idx[d]] += w * h[idx[s]]
+        a = a / np.sqrt((a * a).sum())
+        h = np.zeros(n)
+        for s, d, w in edges:
+            h[idx[s]] += w * a[idx[d]]
+        h = h / np.sqrt((h * h).sum())
+    return (
+        {v: h[idx[v]] for v in nodes},
+        {v: a[idx[v]] for v in nodes},
+    )
+
+
+def test_hits_matches_dense_replay(tiny_edges):
+    from berkeley_entity_spark.operators.webgraph import hits
+
+    rows, edges = tiny_edges
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(edges, iterations=4, weight_col="w").collect()
+    }
+    want_h, want_a = _numpy_hits(["a", "b", "c"], rows, iterations=4)
+    assert set(got) == {"a", "b", "c"}
+    for v in want_h:
+        assert got[v][0] == pytest.approx(want_h[v], abs=1e-12)
+        assert got[v][1] == pytest.approx(want_a[v], abs=1e-12)
+    # structure: a is a pure hub (no in-edges -> authority 0), c a pure
+    # authority (no out-edges -> hub 0)
+    assert got["a"][1] == 0.0 and got["c"][0] == 0.0
+    assert got["c"][1] > got["b"][1] > 0
+
+
+def test_hits_l2_normalized(tiny_edges):
+    from berkeley_entity_spark.operators.webgraph import hits
+
+    _, edges = tiny_edges
+    rows = hits(edges, iterations=3, weight_col="w").collect()
+    assert sum(r["hub"] ** 2 for r in rows) == pytest.approx(1.0, abs=1e-9)
+    assert sum(r["authority"] ** 2 for r in rows) == pytest.approx(
+        1.0, abs=1e-9
+    )
+
+
+def test_anchor_text_table_topk_and_ties(spark):
+    from berkeley_entity_spark.operators.webgraph import anchor_text_table
+
+    links = spark.createDataFrame(
+        [("t1", "acme corp")] * 3
+        + [("t1", "acme")] * 2
+        + [("t1", "the acme company")] * 2  # ties 'acme' -> anchor asc
+        + [("t1", "rare form")]
+        + [("t2", "solo")],
+        "dst string, anchor string",
+    )
+    got = [
+        (r["dst"], r["rank"], r["anchor"], r["n"])
+        for r in anchor_text_table(links, k=3)
+        .orderBy("dst", "rank")
+        .collect()
+    ]
+    assert got == [
+        ("t1", 1, "acme corp", 3),
+        ("t1", 2, "acme", 2),
+        ("t1", 3, "the acme company", 2),
+        ("t2", 1, "solo", 1),
+    ]

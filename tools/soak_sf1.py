@@ -139,6 +139,13 @@ def run_soak(spark) -> dict:
         per[name] = {"sec": dt, "jobs": n_jobs, "stages": stages}
         total += dt
         print(f"{name}: {dt}s {n_jobs} jobs {stages} stages")
+        # shuffle-file hygiene between queries (see soak_sf3.py): let
+        # ContextCleaner drop the finished query's shuffle files and any
+        # leaked persists before the next query's spill needs the disk
+        import gc as _gc
+
+        _gc.collect()
+        sc._jvm.System.gc()
     # q_ann_lsh above runs the ORACLE sizing (n_planes=4, fixed so the
     # DuckDB oracle can embed the plane literals — expected bucket 2k/16 is
     # fine at sf0.01 but degenerates to brute-force candidate volume at
