@@ -786,17 +786,35 @@ def containment_pairs(
     ngram_jaccard_pairs cannot express.
 
     Candidate generation is the SINGLE-SIDED prefix filter (the
-    containment/overlap variant of PPJoin's prefix principle): a
-    qualifying pair needs |A∩B| >= ceil(θ·min(szc_a, szc_b)); order each
-    doc's cold shingles by the global (df asc, ngram) total order and take
-    its first floor((1-θ)·szc)+1 as the prefix — if the MIN side's
-    intersection requirement holds, its prefix must hit the OTHER DOC'S
-    FULL posting list (single-sided: only one side shortens, so the
-    filter is lossless without knowing which side is smaller — every
-    pair is probed from both directions and normalized).  The float
-    guard (+1e-9 before floor) only lengthens prefixes.  Join volume per
-    cold ngram is prefix_postings x full_postings, bounded by the df cap
-    exactly as in ngram_jaccard_pairs.
+    containment/overlap variant of PPJoin's prefix principle), with two
+    lossless tightenings the cold-numerator/full-denominator semantics
+    make possible:
+
+    * CONTAINED-FEASIBILITY (the load-bearing one; found by the sf3
+      soak): a direction A-contained-in-B needs inter >= θ·sz_A, and
+      inter <= szc_A always, so only a doc with szc >= θ·sz — cold
+      fraction at least θ — can EVER be the contained side.  The prefix
+      (probe) side is restricted to those docs: the contained side's
+      prefix is the one the prefix principle guarantees collides with
+      the container's FULL posting list (if A's first
+      floor((1-θ)·szc_A)+1 cold shingles, rarest-first, all miss B,
+      then inter < θ·szc_A <= θ·sz_A — contradiction).  On a
+      templated-web corpus where most docs' shingles are mostly
+      mid-df — cold under the cap but shared by tens-to-hundreds of
+      docs — this collapses the join: those docs can never qualify as
+      quotes/mirrors of anything (their cold fraction is too low) and
+      stop probing entirely (measured at a 10x replica: 30.4M candidate
+      pairs -> the true-pair neighborhood).
+    * Per-collision bounds against the FULL size: the container must
+      have szc_f >= θ·sz_p cold shingles at all, and the PPJoin
+      positional bound (rank arithmetic in the shared (df, ngram)
+      order, side-agnostic) must reach ceil(θ·sz_p).  Pairs qualifying
+      only in the f-contained direction are captured by the mirrored
+      collision row (f is then in the feasible prefix set itself).
+
+    All float guards (+/-1e-9) only ever widen the filters.  Survivors
+    are verified exactly (array_intersect over full cold sets), so the
+    output is identical to the unfiltered all-cold-pairs join.
 
     Semantics mirror ngram_jaccard_pairs: intersections count COLD
     shingles only (hot shingles — df > max_ngram_df — carry no pair
@@ -820,39 +838,36 @@ def containment_pairs(
         "ngram",
         F.row_number().over(wdoc).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("szc"),
-    )
+    ).join(sizes, "doc_id")
+    # contained-feasibility (docstring): only docs with cold fraction
+    # >= θ can be the contained side, and only the contained side's
+    # prefix is needed for losslessness — everyone else stops probing
     prefix = ranked.where(
-        F.col("rn") <= F.floor((1.0 - threshold) * F.col("szc") + 1e-9) + 1
+        (F.col("rn") <= F.floor((1.0 - threshold) * F.col("szc") + 1e-9) + 1)
+        & (F.col("szc") >= F.lit(threshold) * F.col("sz") - 1e-9)
     )
-    # PPJoin positional filter, containment form — the sf3 soak showed the
-    # bare prefix x full-postings join hits ~500M rows on a corpus whose
-    # templated shingles sit just under the df cap (df up to ~480), and
-    # that volume flows into the pair-dedup exchange.  The position bound
-    # is side-agnostic (it only uses each doc's rank in the SHARED global
-    # (df, ngram) order): common ngrams strictly before a collision at
-    # ranks (rn_p, rn_f) number <= min(rn_p, rn_f) - 1, strictly after
-    # <= min(szc_p - rn_p, szc_f - rn_f), so cold-intersection <= that sum
-    # + 1.  Qualifying needs inter >= ceil(θ·min(sz_p, sz_f)) >=
-    # ceil(θ·min(szc_p, szc_f)) (cold set <= full set), so dropping
-    # collisions whose bound is below the cold requirement is lossless
-    # (-1e-9 before ceil only lowers the requirement).  The f side joins
-    # from `ranked` (not bare postings) solely to carry rn/szc for this
-    # predicate — same rows, extra two ints.
+    # per-collision bounds for the p-contained direction (inter >=
+    # θ·sz_p): the container must hold at least that many cold shingles,
+    # and the PPJoin positional bound — common ngrams strictly before a
+    # collision at ranks (rn_p, rn_f) number <= min(rn_p, rn_f) - 1,
+    # strictly after <= min(szc_p - rn_p, szc_f - rn_f), intersection
+    # <= that sum + 1 — must reach the requirement.  Both are upper
+    # bounds on inter, so every collision of a qualifying direction
+    # survives (lossless).
     pos_ub = (
         F.least(F.col("p.rn"), F.col("f.rn"))
         + F.least(
             F.col("p.szc") - F.col("p.rn"), F.col("f.szc") - F.col("f.rn")
         )
     )
-    req = F.ceil(
-        F.lit(threshold) * F.least(F.col("p.szc"), F.col("f.szc")) - 1e-9
-    )
+    req = F.ceil(F.lit(threshold) * F.col("p.sz") - 1e-9)
     cand = (
         prefix.alias("p")
         .join(
             ranked.alias("f"),
             (F.col("p.ngram") == F.col("f.ngram"))
             & (F.col("p.doc_id") != F.col("f.doc_id"))
+            & (F.col("f.szc") >= req)
             & (pos_ub >= req),
         )
         .select(
