@@ -785,36 +785,31 @@ def containment_pairs(
     quote/mirror detection is a standard Common-Crawl dedup pass that
     ngram_jaccard_pairs cannot express.
 
-    Candidate generation is the SINGLE-SIDED prefix filter (the
-    containment/overlap variant of PPJoin's prefix principle), with two
-    lossless tightenings the cold-numerator/full-denominator semantics
-    make possible:
+    Execution shape: ARRAY-FREE COUNTING (the sf3 soak's lesson).  The
+    first two cuts of this operator used PPJoin-style prefix candidates
+    + an array_intersect verify over collected docsets, like
+    ngram_jaccard_pairs — and the soak killed both on disk: at θ=0.7 the
+    prefix/positional bounds barely prune a templated corpus whose
+    shingles are almost all cold-but-mid-df (496M collision rows, 30M+
+    candidate pairs at a 10x replica), and every candidate then dragged
+    two multi-KB shingle arrays through a sort-merge join — hundreds of
+    GB of sort spill for a ~2M-pair answer.  Containment (unlike
+    Jaccard) gets no leverage from prefixes here, so the operator counts
+    instead: one self-join of the cold postings on ngram, partial-agg
+    COUNT per (id_a, id_b) — 16-byte rows end to end, no docset arrays,
+    no wide sorts; per-ngram work is bounded by the df cap (worst case
+    max_ngram_df x |postings| narrow rows through a streaming
+    hash-aggregate), which is the same bound the cap already promises.
 
-    * CONTAINED-FEASIBILITY (the load-bearing one; found by the sf3
-      soak): a direction A-contained-in-B needs inter >= θ·sz_A, and
-      inter <= szc_A always, so only a doc with szc >= θ·sz — cold
-      fraction at least θ — can EVER be the contained side.  The prefix
-      (probe) side is restricted to those docs: the contained side's
-      prefix is the one the prefix principle guarantees collides with
-      the container's FULL posting list (if A's first
-      floor((1-θ)·szc_A)+1 cold shingles, rarest-first, all miss B,
-      then inter < θ·szc_A <= θ·sz_A — contradiction).  On a
-      templated-web corpus where most docs' shingles are mostly
-      mid-df — cold under the cap but shared by tens-to-hundreds of
-      docs — this collapses the join: those docs can never qualify as
-      quotes/mirrors of anything (their cold fraction is too low) and
-      stop probing entirely (measured at a 10x replica: 30.4M candidate
-      pairs -> the true-pair neighborhood).
-    * Per-collision bounds against the FULL size: the container must
-      have szc_f >= θ·sz_p cold shingles at all, and the PPJoin
-      positional bound (rank arithmetic in the shared (df, ngram)
-      order, side-agnostic) must reach ceil(θ·sz_p).  Pairs qualifying
-      only in the f-contained direction are captured by the mirrored
-      collision row (f is then in the feasible prefix set itself).
-
-    All float guards (+/-1e-9) only ever widen the filters.  Survivors
-    are verified exactly (array_intersect over full cold sets), so the
-    output is identical to the unfiltered all-cold-pairs join.
+    One lossless pruning the cold-numerator/full-denominator semantics
+    allow survives from the candidate design: CONTAINED-FEASIBILITY — a
+    direction A-contained-in-B needs inter >= θ·sz_A, and inter <= szc_A
+    always, so only a doc with cold fraction >= θ can ever be the
+    contained side.  The probe side of the self-join keeps only those
+    docs; a pair with no feasible side cannot qualify and is never
+    counted.  (The -1e-9 guard only widens the filter.)  Double-count
+    control: both-feasible pairs join only as (probe < full), pairs with
+    exactly one feasible side join from that side regardless of order.
 
     Semantics mirror ngram_jaccard_pairs: intersections count COLD
     shingles only (hot shingles — df > max_ngram_df — carry no pair
@@ -831,60 +826,40 @@ def containment_pairs(
     dn.count()
     sizes = dn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     df_tab = dn.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
-    cold = dn.join(df_tab.where(F.col("df") <= max_ngram_df), "ngram")
-    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("ngram"))
-    ranked = cold.select(
+    cold = dn.join(
+        df_tab.where(F.col("df") <= max_ngram_df), "ngram"
+    ).select("doc_id", "ngram")
+    # contained-feasibility (docstring): inter <= szc always and a
+    # qualifying direction needs inter >= θ·sz of its contained side, so
+    # only docs with cold fraction >= θ can ever be contained — the probe
+    # side keeps exactly those.  feas rides along as a flag so each pair
+    # is counted once: both-feasible pairs only via the (a < b) rows,
+    # one-feasible pairs via the feasible probe regardless of order.
+    szc_t = cold.groupBy("doc_id").agg(F.count(F.lit(1)).alias("szc"))
+    feas_t = szc_t.join(sizes, "doc_id").select(
         "doc_id",
-        "ngram",
-        F.row_number().over(wdoc).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("szc"),
-    ).join(sizes, "doc_id")
-    # contained-feasibility (docstring): only docs with cold fraction
-    # >= θ can be the contained side, and only the contained side's
-    # prefix is needed for losslessness — everyone else stops probing
-    prefix = ranked.where(
-        (F.col("rn") <= F.floor((1.0 - threshold) * F.col("szc") + 1e-9) + 1)
-        & (F.col("szc") >= F.lit(threshold) * F.col("sz") - 1e-9)
+        (F.col("szc") >= F.lit(threshold) * F.col("sz") - 1e-9).alias("feas"),
     )
-    # per-collision bounds for the p-contained direction (inter >=
-    # θ·sz_p): the container must hold at least that many cold shingles,
-    # and the PPJoin positional bound — common ngrams strictly before a
-    # collision at ranks (rn_p, rn_f) number <= min(rn_p, rn_f) - 1,
-    # strictly after <= min(szc_p - rn_p, szc_f - rn_f), intersection
-    # <= that sum + 1 — must reach the requirement.  Both are upper
-    # bounds on inter, so every collision of a qualifying direction
-    # survives (lossless).
-    pos_ub = (
-        F.least(F.col("p.rn"), F.col("f.rn"))
-        + F.least(
-            F.col("p.szc") - F.col("p.rn"), F.col("f.szc") - F.col("f.rn")
-        )
+    tagged = cold.join(feas_t, "doc_id")
+    probe = tagged.where("feas").select(
+        F.col("doc_id").alias("id_p"), "ngram"
     )
-    req = F.ceil(F.lit(threshold) * F.col("p.sz") - 1e-9)
-    cand = (
-        prefix.alias("p")
-        .join(
-            ranked.alias("f"),
-            (F.col("p.ngram") == F.col("f.ngram"))
-            & (F.col("p.doc_id") != F.col("f.doc_id"))
-            & (F.col("f.szc") >= req)
-            & (pos_ub >= req),
-        )
-        .select(
-            F.least(F.col("p.doc_id"), F.col("f.doc_id")).alias("id_a"),
-            F.greatest(F.col("p.doc_id"), F.col("f.doc_id")).alias("id_b"),
-        )
-        .distinct()
-    )
-    docsets = cold.groupBy("doc_id").agg(F.collect_list("ngram").alias("arr"))
     inter = (
-        cand.join(docsets.toDF("id_a", "arr_a"), "id_a")
-        .join(docsets.toDF("id_b", "arr_b"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("arr_a", "arr_b")).alias("inter"),
+        probe.join(
+            tagged.select(
+                F.col("doc_id").alias("id_f"), "ngram", "feas"
+            ),
+            "ngram",
         )
+        .where(
+            (F.col("id_p") < F.col("id_f"))
+            | (~F.col("feas") & (F.col("id_p") != F.col("id_f")))
+        )
+        .groupBy(
+            F.least("id_p", "id_f").alias("id_a"),
+            F.greatest("id_p", "id_f").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
         inter.join(sizes.toDF("id_a", "sz_a"), "id_a")
