@@ -15,9 +15,13 @@ formats decodable with the standard library alone:
     filters (None/Sub/Up/Average/Paeth) reconstructed per the spec; the
     encoder emits filter-0 RGB.  This is a full compressed-image codec with
     zero third-party dependencies.
+  * JPEG (baseline sequential DCT, 4:4:4 / 4:2:2 / 4:2:0, grayscale,
+    restart markers) — full spec implementation in `operators/jpeg.py`:
+    Huffman entropy decode from the file's own DHT tables, dequant, IDCT,
+    chroma upsample; plus an encoder with the Annex-K tables.
 
-Entropy-coded formats that genuinely need codec libraries (JPEG/MP3/MP4,
-interlaced or 16-bit PNG) still raise NotImplementedError; the magic-byte
+Formats still out of scope (MP3/MP4 audio-video entropy coders, progressive
+JPEG, interlaced/16-bit PNG) raise NotImplementedError; the magic-byte
 dispatch and the error message say so explicitly.  `fake=True` remains as
 the deterministic stand-in for exercising the distributed path with
 arbitrary payload bytes.
@@ -285,13 +289,17 @@ def _real_features(payload: bytes, dim: int) -> np.ndarray:
         return _image_features(decode_bmp(payload), dim)
     if payload[:8] == _PNG_SIG:
         return _image_features(decode_png(payload), dim)
+    if payload[:2] == b"\xff\xd8":
+        from berkeley_entity_spark.operators.jpeg import decode_jpeg
+
+        return _image_features(decode_jpeg(payload), dim)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         x, _ = decode_wav(payload)
         return _audio_features(x, dim)
     raise NotImplementedError(
-        "real decoding is implemented for BMP, PNG and WAV (stdlib-"
-        "parseable); JPEG/MP3/MP4/... require codec libraries not present "
-        "in this environment"
+        "real decoding is implemented for BMP, PNG, baseline JPEG and WAV "
+        "(spec implementations, no codec libraries); MP3/MP4/... would "
+        "require codec libraries not present in this environment"
     )
 
 
@@ -352,10 +360,18 @@ def resize_media(
             img, enc = decode_bmp(p), encode_bmp
         elif p[:8] == _PNG_SIG:
             img, enc = decode_png(p), encode_png
+        elif p[:2] == b"\xff\xd8":
+            from berkeley_entity_spark.operators.jpeg import (
+                decode_jpeg,
+                encode_jpeg,
+            )
+
+            img, enc = decode_jpeg(p), encode_jpeg
         else:
             raise NotImplementedError(
-                "real resizing is implemented for BMP and PNG payloads; "
-                "other formats require codec libraries not present here"
+                "real resizing is implemented for BMP, PNG and JPEG "
+                "payloads; other formats require codec libraries not "
+                "present here"
             )
         h, w, _ = img.shape
         yi = (np.arange(height) * h // height).clip(0, h - 1)
