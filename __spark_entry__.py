@@ -2931,6 +2931,63 @@ def q_anchor_text(spark, sf_dir):
     return anchor_text_table(links, k=3)
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal compressed-codec path, SQL-oracled end-to-end: synthesize
+    a deterministic 16x12 RGB image per document (pixel = (7x + 13y + 29c
+    + doc_id) mod 256), compress it through the REAL PNG codec
+    (operators/multimodal.py: stdlib-zlib deflate + filter reconstruction),
+    decode through the real mapInPandas media path, and emit the 4x4x3
+    grid-mean features as EXACT integer pixel sums (mean * cell_px * 255 —
+    float32 noise is ~1e-4 of a unit, so the round is exact).  The DuckDB
+    oracle recomputes every cell sum straight from the pixel formula, so a
+    single corrupted byte anywhere in encode->deflate->inflate->unfilter->
+    feature would break the match.  Scale shape: one mapInPandas encode,
+    one mapInPandas decode, one generator projection — binary columns never
+    shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from berkeley_entity_spark.operators.multimodal import (
+        decode_media,
+        encode_png,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 120)
+    )
+
+    def gen(batches):
+        y, x = np.mgrid[0:16, 0:12]
+        for pdf in batches:
+            ids = [int(v) for v in pdf["doc_id"]]
+            payloads = [
+                encode_png(
+                    np.stack(
+                        [(x * 7 + y * 13 + c * 29 + did) % 256 for c in range(3)],
+                        axis=-1,
+                    ).astype(np.uint8)
+                )
+                for did in ids
+            ]
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": "image", "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        gen, schema="media_id bigint, kind string, payload binary"
+    )
+    feats = decode_media(media, dim=48, fake=False)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("idx", "val")
+    ).select(
+        "media_id",
+        F.col("idx").cast("int").alias("idx"),
+        F.round(F.col("val") * F.lit(12 * 255)).cast("long").alias("px_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver's correctness gate samples
     the FIRST 50 entries only (round-4 finding), so the least-proven queries
@@ -3049,10 +3106,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_containment": q_containment,
         "q_hits": q_hits,
         "q_anchor_text": q_anchor_text,
+        "q_media_features": q_media_features,
     }
 
 
 # ------------------------------------------------------------------- oracles
+_MEDIA_FEATURES_ORACLE = """
+WITH px AS (
+  SELECT d.doc_id,
+         y.y, x.x, c.c,
+         (x.x * 7 + y.y * 13 + c.c * 29 + d.doc_id) % 256 AS v
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 120) d,
+       generate_series(0, 15) AS y(y),
+       generate_series(0, 11) AS x(x),
+       generate_series(0, 2)  AS c(c)
+)
+SELECT doc_id AS media_id,
+       CAST((y // 4) * 12 + (x // 3) * 3 + c AS INT) AS idx,
+       CAST(sum(v) AS BIGINT) AS px_sum
+FROM px
+GROUP BY 1, 2
+"""
+
 _WARC_ROUNDTRIP_ORACLE = """
 SELECT CAST(doc_id AS VARCHAR) AS url,
        md5(CAST(doc_id AS VARCHAR)) AS record_id,
@@ -6604,4 +6679,5 @@ SELECT cluster_id, CAST(rn AS INTEGER) AS rank, term, n_tc, score FROM (
     out["q_containment"] = _containment_oracle(n=3, threshold=0.7, max_df=500)
     out["q_hits"] = _hits_oracle(iters=4)
     out["q_anchor_text"] = _ANCHOR_TEXT_ORACLE
+    out["q_media_features"] = _MEDIA_FEATURES_ORACLE
     return out
