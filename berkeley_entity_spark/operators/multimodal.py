@@ -19,6 +19,10 @@ formats decodable with the standard library alone:
     restart markers) — full spec implementation in `operators/jpeg.py`:
     Huffman entropy decode from the file's own DHT tables, dequant, IDCT,
     chroma upsample; plus an encoder with the Annex-K tables.
+  * GIF  (87a/89a first frame) — full LZW decompression (variable code
+    width, Clear/End, 4096-entry dictionary, the KwKwK case), global and
+    local color tables, interlace; encoder emits a spec-valid
+    root-code-literal LZW stream.
 
 Formats still out of scope (MP3/MP4 audio-video entropy coders, progressive
 JPEG, interlaced/16-bit PNG) raise NotImplementedError; the magic-byte
@@ -221,6 +225,171 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img[:, :, :3]
 
 
+def encode_gif(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB with <=256 distinct colors -> GIF89a bytes.
+    Palette built from the image; LZW stream written as literal root codes
+    with periodic Clear codes (spec-valid, modestly compressed)."""
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif supports <=256 distinct colors")
+    # palette size must be a power of two, >= 2
+    bits = max(2, int(len(colors) - 1).bit_length())
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    min_code = max(2, bits)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out.append(min_code)
+    acc = n = 0
+    data = bytearray()
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, n
+        acc |= code << n  # GIF packs LSB-first
+        n += width
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+
+    width = min_code + 1
+    put(clear, width)
+    # Literal (root-code-only) emission: the decoder still adds one
+    # dictionary entry per code after the first, so the code width must be
+    # widened in lockstep with the decoder's table size; at 4096 both sides
+    # freeze (no clear needed — literals always stay below the table size).
+    next_code = end + 1
+    first = True
+    for idx in inverse:
+        put(int(idx), width)
+        if first:
+            first = False
+        elif next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+    put(end, width)
+    if n:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a bytes -> (H, W, 3) uint8 RGB of the FIRST frame: full
+    LZW decompression (variable code width, Clear/End codes, 4096-entry
+    dictionary), global/local color tables, Adam-style interlace.
+    Stdlib-only, from the spec."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        ncol = 2 << (flags & 7)
+        gct = np.frombuffer(payload, np.uint8, ncol * 3, pos).reshape(-1, 3)
+        pos += ncol * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            x0, y0, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                ncol = 2 << (iflags & 7)
+                pal = np.frombuffer(payload, np.uint8, ncol * 3, pos).reshape(-1, 3)
+                pos += ncol * 3
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            indices = _gif_lzw_decode(bytes(data), min_code, w * h)
+            grid = np.zeros(w * h, dtype=np.int64)
+            grid[: len(indices)] = indices[: w * h]
+            grid = grid.reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                de = np.zeros_like(grid)
+                de[order] = grid[: len(order)]
+                grid = de
+            return pal[np.clip(grid, 0, len(pal) - 1)]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02X}")
+    raise ValueError("GIF contains no image data")
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, max_px: int) -> list[int]:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    acc = n = pos = 0
+    width = min_code + 1
+
+    def get() -> int:
+        nonlocal acc, n, pos
+        while n < width:
+            if pos >= len(data):
+                return end
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        return v
+
+    table: list[list[int]] = [[i] for i in range(1 << min_code)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    while len(out) < max_px:
+        code = get()
+        if code == clear:
+            table = table[: (1 << min_code) + 2]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """float array in [-1, 1] -> 16-bit PCM mono WAV bytes (stdlib wave)."""
     pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
@@ -293,6 +462,8 @@ def _real_features(payload: bytes, dim: int) -> np.ndarray:
         from berkeley_entity_spark.operators.jpeg import decode_jpeg
 
         return _image_features(decode_jpeg(payload), dim)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _image_features(decode_gif(payload), dim)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         x, _ = decode_wav(payload)
         return _audio_features(x, dim)

@@ -183,6 +183,115 @@ def test_png_decode_and_resize_distributed(spark):
     assert np.array_equal(out, img[yi][:, xi])
 
 
+def _lzw_encode_true(indices, min_code):
+    """Canonical greedy-longest-match GIF LZW (test-side reference
+    encoder): exercises multi-pixel dictionary entries, the KwKwK case,
+    width growth at assigned-value==2^width, and the 4096 dictionary cap
+    — everything the repo's root-code-literal encoder deliberately
+    avoids."""
+    table = {(i,): i for i in range(1 << min_code)}
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    next_code = end + 1
+    width = min_code + 1
+    acc = n = 0
+    data = bytearray()
+
+    def emit(code):
+        nonlocal acc, n
+        acc |= code << n
+        n += width
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+
+    emit(clear)
+    w = (indices[0],)
+    for k in indices[1:]:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code <= 4095:
+            table[wk] = next_code
+            v = next_code
+            next_code += 1
+            if v == (1 << width) and width < 12:
+                width += 1
+        w = (k,)
+    emit(table[w])
+    emit(end)
+    if n:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def test_gif_roundtrip():
+    import numpy as np
+
+    from berkeley_entity_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(1)
+    pal = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 5, (23, 31))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+    # 256 colors, enough pixels to push codes to 12 bits
+    pal2 = np.array([[i, 255 - i, (i * 7) % 256] for i in range(256)], dtype=np.uint8)
+    img2 = pal2[rng.integers(0, 256, (80, 80))]
+    assert np.array_equal(decode_gif(encode_gif(img2)), img2)
+
+
+def test_gif_true_lzw_and_kwkwk():
+    from berkeley_entity_spark.operators.multimodal import _gif_lzw_decode
+
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    seq = list(range(4)) * 50 + [0, 0, 0, 0, 0, 1, 1, 1, 1] * 30 + list(
+        rng.integers(0, 4, 200)
+    )
+    assert _gif_lzw_decode(_lzw_encode_true(seq, 2), 2, len(seq)) == list(seq)
+    seq2 = [0, 1] * 100  # forces the code==len(table) (KwKwK) path
+    assert _gif_lzw_decode(_lzw_encode_true(seq2, 2), 2, 200) == seq2
+    seq3 = list(rng.integers(0, 256, 9000))  # 12-bit width + dict cap
+    assert _gif_lzw_decode(_lzw_encode_true(seq3, 8), 8, 9000) == seq3
+
+
+def test_gif_interlaced_decode():
+    import struct
+
+    import numpy as np
+
+    from berkeley_entity_spark.operators.multimodal import decode_gif
+
+    rng = np.random.default_rng(4)
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    idx = rng.integers(0, 4, (13, 6))
+    h, w = idx.shape
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    data = _lzw_encode_true(list(idx[order].reshape(-1)), 2)
+    gif = bytearray(b"GIF89a") + struct.pack(
+        "<HHBBB", w, h, 0x80 | (1 << 4) | 1, 0, 0
+    )
+    gif += pal.tobytes()
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)
+    gif.append(2)
+    for i in range(0, len(data), 255):
+        ch = data[i : i + 255]
+        gif.append(len(ch))
+        gif += ch
+    gif += b"\x00\x3b"
+    assert np.array_equal(decode_gif(bytes(gif)), pal[idx])
+
+
 def test_wav_roundtrip():
     import numpy as np
 
