@@ -5,14 +5,18 @@ web-scale crawl payloads are overwhelmingly JPEG, and this container has no
 image libraries, so the codec is implemented from the public spec
 (ITU-T T.81 / ISO 10918-1) directly:
 
-  decoder — marker walk (SOI/APP/DQT/SOF0/DHT/DRI/SOS/EOI), canonical
+  decoder — marker walk (SOI/APP/DQT/SOF/DHT/DRI/SOS/EOI), canonical
     Huffman tables built FROM THE FILE'S OWN DHT segments (so real-world
-    baseline JPEGs decode, not just this module's output), byte-unstuffed
-    bitstream reader with RSTn restart handling, DC prediction, zigzag
+    JPEGs decode, not just this module's output), byte-unstuffed bitstream
+    reader with RSTn restart handling, DC prediction, zigzag
     dequantization, orthonormal-matrix IDCT, per-component plane assembly
     for arbitrary 1-2x sampling factors (4:4:4 / 4:2:2 / 4:2:0), nearest
-    chroma upsample, JFIF YCbCr->RGB.  Progressive (SOF2), arithmetic,
-    12-bit, and hierarchical profiles raise NotImplementedError.
+    chroma upsample, JFIF YCbCr->RGB.  Baseline (SOF0), extended
+    sequential (SOF1), AND PROGRESSIVE (SOF2) streams are supported —
+    progressive with both spectral selection (multi-scan band splits, EOB
+    run-lengths) and successive approximation (point-transformed first
+    passes + T.81 G.1.2.3 correction-bit refinement).  Arithmetic-coded,
+    lossless, hierarchical, and 12-bit profiles raise NotImplementedError.
 
   encoder — JFIF RGB->YCbCr, optional 2x2 box chroma subsampling, FDCT,
     Annex-K quantization tables under the classic quality scaling rule,
@@ -442,54 +446,218 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _decode_block(br, dc_tab, ac_tab, qtab, prev_dc) -> tuple[np.ndarray, int]:
-    zz = np.zeros(64, dtype=np.int64)
-    s = _read_symbol(br, dc_tab)
-    diff = _extend(br.bits(s), s) if s else 0
-    dc = prev_dc + diff
-    zz[0] = dc
-    i = 1
-    while i < 64:
-        sym = _read_symbol(br, ac_tab)
-        if sym == 0x00:  # EOB
-            break
-        run, s = sym >> 4, sym & 0xF
+class _ScanState:
+    """Per-scan entropy state: DC predictors (by component index) and the
+    progressive EOB-run counter."""
+
+    def __init__(self, n_comps: int) -> None:
+        self.pred = [0] * n_comps
+        self.eobrun = 0
+
+    def reset(self) -> None:
+        self.pred = [0] * len(self.pred)
+        self.eobrun = 0
+
+
+def _decode_band_first(br, zz, ci, comp, st, ss, se, al) -> None:
+    """First (Ah==0) pass over spectral band [ss, se] of one block: covers
+    baseline (ss=0, se=63, al=0), progressive DC-first (se=0), and
+    progressive AC-first (ss>=1) scans with EOB runs."""
+    k = ss
+    if ss == 0:
+        s = _read_symbol(br, comp["dc"])
+        diff = _extend(br.bits(s), s) if s else 0
+        st.pred[ci] += diff
+        zz[0] = st.pred[ci] << al
+        k = 1
+    if k > se:
+        return
+    if st.eobrun > 0:
+        st.eobrun -= 1
+        return
+    while k <= se:
+        sym = _read_symbol(br, comp["ac"])
+        r, s = sym >> 4, sym & 0xF
         if s == 0:
-            if run != 15:
-                raise ValueError(f"bad AC symbol 0x{sym:02X}")
-            i += 16  # ZRL
-            continue
-        i += run
-        if i >= 64:
-            raise ValueError("AC run past block end")
-        zz[i] = _extend(br.bits(s), s)
-        i += 1
-    coefs = np.zeros(64, dtype=np.float64)
-    # zz is zigzag-ordered; pick the quant values in the same order before
-    # scattering back to natural order
-    coefs[ZIGZAG] = zz * qtab[ZIGZAG]
-    return idct8(coefs.reshape(8, 8)), dc
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            st.eobrun = (1 << r) - 1
+            if r:
+                st.eobrun += br.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        zz[k] = _extend(br.bits(s), s) << al
+        k += 1
+
+
+def _decode_band_refine(br, zz, comp, st, ss, se, al) -> None:
+    """Successive-approximation refinement (Ah>0) pass — the T.81 G.1.2.3
+    correction-bit algorithm (history coefficients absorb one bit each;
+    newly-nonzero coefficients arrive as (run, 1) symbols + sign)."""
+    p1, m1 = 1 << al, -1 << al
+    if ss == 0:  # DC refinement: one bit (se==0 in DC scans)
+        if br.bits(1):
+            zz[0] = int(zz[0]) | p1
+        return
+    k = ss
+    if st.eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(br, comp["ac"])
+            r, s = sym >> 4, sym & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    # unlike the first pass, the EOB run INCLUDES the
+                    # current block: its remaining history coefficients
+                    # still carry correction bits, consumed by the final
+                    # walk below (which then decrements the run)
+                    st.eobrun = 1 << r
+                    if r:
+                        st.eobrun += br.bits(r)
+                    break
+                # r == 15: skip over 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan with size > 1")
+                val = p1 if br.bits(1) else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if br.bits(1) and (int(zz[k]) & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if st.eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if br.bits(1) and (int(zz[k]) & p1) == 0:
+                    zz[k] += p1 if zz[k] > 0 else m1
+            k += 1
+        st.eobrun -= 1
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Scan forward to the next real marker (skipping entropy bytes,
+    stuffed FF00s, and fill FFs)."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_scan(
+    payload: bytes,
+    pos: int,
+    body: bytes,
+    comps: list[dict],
+    htabs: dict,
+    coef: list[np.ndarray],
+    mcus_x: int,
+    mcus_y: int,
+    hmax: int,
+    vmax: int,
+    w_img: int,
+    h_img: int,
+    restart_interval: int,
+) -> int:
+    """Decode one entropy-coded scan starting at `pos`; returns the
+    position of the marker that follows it.  Handles interleaved and
+    single-component scans, baseline full-band and progressive
+    spectral-selection / successive-approximation passes."""
+    ns = body[0]
+    scan_comps = []
+    for c in range(ns):
+        cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+        for ci, comp in enumerate(comps):
+            if comp["id"] == cid:
+                sc = dict(comp)
+                sc["dc"] = htabs.get((0, tt >> 4))
+                sc["ac"] = htabs.get((1, tt & 0xF))
+                scan_comps.append((ci, sc))
+    ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+    ah, al = a >> 4, a & 0xF
+    br = _BitReader(payload, pos)
+    st = _ScanState(len(comps))
+
+    def one_block(ci: int, sc: dict, by: int, bx: int) -> None:
+        zz = coef[ci][by, bx]
+        if ah == 0:
+            _decode_band_first(br, zz, ci, sc, st, ss, se, al)
+        else:
+            _decode_band_refine(br, zz, sc, st, ss, se, al)
+
+    try:
+        if ns > 1:  # interleaved: MCU order
+            count = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and count and count % restart_interval == 0:
+                        br.align_and_eat_rst()
+                        st.reset()
+                    count += 1
+                    for ci, sc in scan_comps:
+                        for vy in range(sc["v"]):
+                            for vx in range(sc["h"]):
+                                one_block(
+                                    ci, sc, my * sc["v"] + vy, mx * sc["h"] + vx
+                                )
+        else:  # non-interleaved: raster over the component's OWN block grid
+            ci, sc = scan_comps[0]
+            cw = -(-(w_img * sc["h"]) // hmax)  # ceil
+            ch = -(-(h_img * sc["v"]) // vmax)
+            wb, hb = -(-cw // 8), -(-ch // 8)
+            count = 0
+            for by in range(hb):
+                for bx in range(wb):
+                    if restart_interval and count and count % restart_interval == 0:
+                        br.align_and_eat_rst()
+                        st.reset()
+                    count += 1
+                    one_block(ci, sc, by, bx)
+    except _RestartMarker:
+        raise ValueError("restart marker misaligned with DRI interval")
+    return _next_marker(payload, br.pos)
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (H, W, 3) uint8 RGB.  Grayscale scans are
-    broadcast to RGB.  Progressive/arithmetic/12-bit raise
-    NotImplementedError."""
+    """JPEG bytes -> (H, W, 3) uint8 RGB.  Supports baseline (SOF0) and
+    extended sequential (SOF1) Huffman streams, PROGRESSIVE (SOF2) streams
+    with spectral selection and successive approximation, restart markers,
+    4:4:4 / 4:2:2 / 4:2:0 sampling, and grayscale (broadcast to RGB).
+    Arithmetic-coded, lossless, hierarchical, and 12-bit profiles raise
+    NotImplementedError.  Coefficients accumulate across scans; dequant +
+    IDCT run once at EOI (the progressive decode model, also correct for
+    the single baseline scan)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
     comps: list[dict] = []
+    coef: list[np.ndarray] | None = None
     h_img = w_img = 0
+    hmax = vmax = mcus_x = mcus_y = 0
     restart_interval = 0
-    scan_pos = None
-    while pos + 4 <= len(payload):
+    saw_scan = False
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
+            pos += 2
+            continue
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
@@ -503,20 +671,26 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tab[ZIGZAG] = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8)
                 qtabs[tq] = tab
                 b += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"only baseline sequential DCT (SOF0) is supported, got SOF "
-                f"marker 0xFF{marker:02X} (progressive/extended/arithmetic)"
+                f"unsupported SOF marker 0xFF{marker:02X} (arithmetic/"
+                f"lossless/hierarchical); SOF0/SOF1/SOF2 are supported"
             )
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h_img, w_img, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
-                )
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (w_img + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h_img + 8 * vmax - 1) // (8 * vmax)
+            coef = [
+                np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+                for c in comps
+            ]
         elif marker == 0xC4:  # DHT
             b = 0
             while b < len(body):
@@ -529,57 +703,34 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
-            ns = body[0]
-            for c in range(ns):
-                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
-                for comp in comps:
-                    if comp["id"] == cid:
-                        comp["dc"] = htabs[(0, tt >> 4)]
-                        comp["ac"] = htabs[(1, tt & 0xF)]
-            scan_pos = pos
-            break
-    if scan_pos is None or not comps:
+            if coef is None:
+                raise ValueError("SOS before SOF")
+            pos = _decode_scan(
+                payload, pos, body, comps, htabs, coef,
+                mcus_x, mcus_y, hmax, vmax, w_img, h_img, restart_interval,
+            )
+            saw_scan = True
+        # other markers (APPn, COM, DNL): skipped by the generic length walk
+    if coef is None or not saw_scan:
         raise ValueError("no SOS/SOF in JPEG stream")
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w_img + mcu_w - 1) // mcu_w
-    mcus_y = (h_img + mcu_h - 1) // mcu_h
-    planes = [
-        np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), dtype=np.float64)
-        for c in comps
-    ]
-    br = _BitReader(payload, scan_pos)
-    prev = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.align_and_eat_rst()
-                prev = [0] * len(comps)
-            try:
-                for ci, c in enumerate(comps):
-                    q = qtabs[c["tq"]]
-                    for vy in range(c["v"]):
-                        for vx in range(c["h"]):
-                            blk, prev[ci] = _decode_block(
-                                br, c["dc"], c["ac"], q, prev[ci]
-                            )
-                            y0 = (my * c["v"] + vy) * 8
-                            x0 = (mx * c["h"] + vx) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
-            except _RestartMarker:
-                raise ValueError("restart marker misaligned with DRI interval")
-            mcu_count += 1
 
     full = []
     for ci, c in enumerate(comps):
-        p = planes[ci] + 128.0
+        q = qtabs[c["tq"]][ZIGZAG].astype(np.float64)
+        zzall = coef[ci].reshape(-1, 64).astype(np.float64) * q
+        nat = np.zeros_like(zzall)
+        nat[:, ZIGZAG] = zzall
+        blocks = nat.reshape(-1, 8, 8)
+        # batched IDCT: T.T @ B @ T for every block
+        px = np.einsum("ij,njk,kl->nil", _T.T, blocks, _T) + 128.0
+        bh, bw = coef[ci].shape[:2]
+        plane = (
+            px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h_img, :w_img])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h_img, :w_img])
     if len(comps) == 1:
         g = np.clip(full[0].round(), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
