@@ -776,23 +776,30 @@ def q_er_pipeline(spark, sf_dir):
 
 
 def q_ner_tags(spark, sf_dir):
-    """P5/M9: BIO NER tagging via per-sentence Viterbi over reference-ported
-    shape/class features + broadcast dictionaries.  Returns the per-label
-    invariant summary (count + xor checksum over full tag rows); the oracle
-    pins these golden values (tools/pin_invariants.py).  Viterbi exactness
-    vs brute force is tested in tests/test_ner.py."""
+    """P5/M9: BIO NER tagging via per-sentence Viterbi over the TRAINED CRF
+    emissions (reference NerSystemLabeled.tagBIO) on the fixture-pinned
+    synthetic corpus.  DE-PINNED in round 5: the full tag rows are compared
+    against a DuckDB oracle that re-derives the ENTIRE path in SQL —
+    sentence splits, whitespace tokens, NerFeaturizer shape/class/affix
+    features, the frozen emission weights as literals, and Viterbi as a
+    recursive CTE with first-max tie-breaking (_ner_tags_oracle).  The
+    weights are quantized to multiples of 2^-20 (exact float64) so every
+    emission / DP sum is EXACT on both engines and the argmax can never be
+    flipped by summation order; Viterbi exactness vs brute force stays
+    covered by tests/test_ner.py."""
+    import numpy as np
+
     from berkeley_entity_spark.config import SynthConfig
-    from berkeley_entity_spark.operators.ner import ner_tag_pages
+    from berkeley_entity_spark.operators.ner import (
+        load_default_ner_weights,
+        ner_tag_pages,
+    )
     from berkeley_entity_spark.synth import generate_webpages
 
-    pages, _ = generate_webpages(spark, SynthConfig(n_pages=200, n_entities=30))
-    tags = ner_tag_pages(pages.where("lang = 'en'"))
-    return tags.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.bit_xor(
-            F.xxhash64("url", "sent_idx", "tok_idx", "token", "label")
-        ).alias("rows_hash"),
-    )
+    fi, W = load_default_ner_weights()
+    wq = (fi, np.round(W * 2**20) / 2**20)
+    pages, _ = generate_webpages(spark, SynthConfig(n_pages=300, n_entities=40))
+    return ner_tag_pages(pages.where("lang = 'en'"), crf_weights=wq)
 
 
 def q_bcubed(spark, sf_dir):
@@ -3886,9 +3893,9 @@ def _sql_lit(v) -> str:
 
 
 def _golden_oracle(name: str, cols: list[tuple[str, str]]) -> str | None:
-    """VALUES-pinned golden oracle from INVARIANTS.json — used for the two
-    queries whose full outputs are not SQL-derivable (iterative CC, Viterbi
-    DP) but whose deterministic-seed invariants are pinnable.  Regenerate
+    """VALUES-pinned golden oracle from INVARIANTS.json — used only for
+    q_joint_entity since the round-5 de-pinnings (q_er_pipeline and
+    q_ner_tags now have full SQL re-derivation oracles).  Regenerate
     with tools/pin_invariants.py after any DELIBERATE change to the synth
     corpus, extract kernel, scorer, or clustering; an unexplained mismatch
     is a regression."""
@@ -4474,6 +4481,302 @@ SELECT c.comp AS rep_name,
        CAST(sum(s.n_mentions) AS BIGINT) AS n_mentions
 FROM comp c JOIN surf s USING (norm_name)
 GROUP BY c.comp
+"""
+
+
+def _ner_tags_oracle() -> str:
+    """Full SQL re-derivation of q_ner_tags (trained-CRF BIO tagging) from
+    the committed corpus fixture — the round-5 de-pinning of the second of
+    the three r4 pins.  Replays, in DuckDB, every stage of the Spark query
+    (ner.ner_tag_pages over NerSystemLabeled.tagBIO semantics,
+    NerDriver.scala:40-77 / NerFeaturizer.scala:37-120):
+
+      1. sentence splitting — candidate boundaries via non-overlapping
+         regexp marker insertion (the SentEndPattern scan), prev/next-word
+         bookkeeping incl. the no-space-on-either-side drops, then the
+         deterministic accept rule (abbreviation + initial + open-class
+         checks), empty sentences consuming indices (enumerate semantics);
+      2. whitespace tokenization;
+      3. NerFeaturizer features: the quirky shape RLE (3rd repeat of a
+         classified char -> 'e', further repeats dropped) as lag()
+         comparisons over unnested chars (lambda-free: DuckDB list_reduce
+         showed cross-row nondeterminism), word-class (INITC/CAPS/LC,
+         NUM/DASH, suffix taxonomy incl. the -s sibilant exception),
+         prefix/suffix, bias/pos0, and the three broadcast gazetteers;
+      4. the trained CRF emission weights embedded as literals, QUANTIZED
+         to multiples of 2^-20 (exact float64, matching the Spark side's
+         identically-quantized copy) so every emission sum and Viterbi DP
+         addition is EXACT on both engines — argmax can never be flipped
+         by summation order;
+      5. Viterbi as a recursive CTE: I-X reachable only from B-X/I-X
+         (+0.5 continuation bonus, -1e9 otherwise — ner.transition_matrix),
+         first-max tie-breaking on BOTH the per-step argmax (lowest
+         from-index) and the final path pick (lowest label index), exactly
+         the numpy decoder's np.argmax semantics.
+
+    Viterbi exactness vs brute-force path enumeration stays covered by
+    tests/test_ner.py; fixture == generator output is asserted by
+    tests/test_synth.py."""
+    import os
+
+    import numpy as np
+
+    from berkeley_entity_spark.operators.ner import (
+        LABELS,
+        LOC_GAZETTEER,
+        load_default_ner_weights,
+    )
+    from berkeley_entity_spark.preprocess.sentence import ABBREVIATIONS
+    from berkeley_entity_spark.synth import FIRST, LAST, ORG_SUF, ORG_W1, ORG_W2
+
+    fi, W = load_default_ner_weights()
+    Wq = np.round(W * 2**20) / 2**20  # exact float64 multiples of 2^-20
+
+    def sql_str(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def in_list(words) -> str:
+        return ", ".join(sql_str(w) for w in sorted(words))
+
+    persons = in_list({w.lower() for w in FIRST + LAST})
+    orgs = in_list({w.lower() for w in ORG_W1 + ORG_W2 + ORG_SUF})
+    locs = in_list(LOC_GAZETTEER)
+    abbrevs = in_list(ABBREVIATIONS)
+
+    wt_rows = ",\n".join(
+        f"({sql_str(f)}, [{', '.join(repr(float(Wq[j, i])) for j in range(len(LABELS)))}])"
+        for f, i in sorted(fi.items())
+    )
+    labels_rows = ", ".join(f"({j}, {sql_str(lb)})" for j, lb in enumerate(LABELS))
+    # transition weights: I-X only after B-X/I-X (else -1e9), continuation
+    # bonus 0.5; everything else 0 — transition_matrix() in ner.py
+    tr_rows = []
+    for j, to in enumerate(LABELS):
+        for i, frm in enumerate(LABELS):
+            if to.startswith("I-"):
+                t = to[2:]
+                w = "0.5" if frm in (f"B-{t}", f"I-{t}") else "-1000000000.0"
+            else:
+                w = "0.0"
+            tr_rows.append(f"({i}, {j}, {w})")
+    tr_vals = ", ".join(tr_rows)
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures",
+        "synth_pages_300_40_en.parquet",
+    )
+    return f"""
+WITH RECURSIVE
+pages AS (SELECT url, text FROM read_parquet('{fixture}')),
+marked AS (
+  SELECT url,
+         string_split(
+           regexp_replace(text, '([.?!]("|''''|``|''|\\))?) ', '\\1' || chr(1), 'g'),
+           chr(1)) AS segs
+  FROM pages
+),
+segs AS (
+  SELECT url, generate_subscripts(segs, 1) AS i, unnest(segs) AS seg,
+         len(segs) AS m
+  FROM marked
+),
+bounds AS (
+  SELECT url, i AS k, seg,
+         lead(seg) OVER (PARTITION BY url ORDER BY i) AS seg1,
+         m
+  FROM segs
+),
+acc AS (
+  SELECT url, k,
+         CASE WHEN pw = '' THEN ' ' ELSE pw END AS pw,
+         CASE WHEN fw = '' THEN ' ' ELSE fw END AS fw
+  FROM (
+    SELECT url, k,
+           CASE WHEN seg LIKE '% %' THEN regexp_extract(seg, '[^ ]*$')
+                WHEN k > 1 THEN seg END AS pw,
+           CASE WHEN seg1 LIKE '% %' THEN split_part(seg1, ' ', 1)
+                WHEN k + 1 < m THEN seg1 END AS fw
+    FROM bounds WHERE k < m
+  )
+  WHERE pw IS NOT NULL AND fw IS NOT NULL
+),
+decided AS (
+  SELECT url, k,
+    (NOT (ends_dot AND (core IN ({abbrevs}) OR lower(pw) IN ({abbrevs})))
+     AND NOT (ends_dot AND regexp_matches(pw, '(^|[ .])[A-Za-z]\\.$'))
+     AND (c BETWEEN 'A' AND 'Z' OR c BETWEEN '0' AND '9'
+          OR c IN ('`', '''', '"', '('))) AS accept
+  FROM (
+    SELECT url, k, pw,
+           pw LIKE '%.' AS ends_dot,
+           CASE WHEN pw LIKE '%.'
+                THEN lower(rtrim(pw, $$."')`$$)) || '.'
+                ELSE lower(pw) END AS core,
+           substr(fw, 1, 1) AS c
+    FROM acc
+  )
+),
+seg_sent AS (
+  SELECT s.url, s.i, s.seg,
+         COALESCE(SUM(CASE WHEN d.accept THEN 1 ELSE 0 END) OVER (
+           PARTITION BY s.url ORDER BY s.i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_idx
+  FROM segs s
+  LEFT JOIN decided d ON d.url = s.url AND d.k = s.i
+),
+sentences AS (
+  SELECT url, CAST(sent_idx AS INT) AS sent_idx,
+         string_agg(seg, ' ' ORDER BY i) AS sent
+  FROM seg_sent GROUP BY url, sent_idx
+),
+toks AS (
+  SELECT url, sent_idx,
+         CAST(generate_subscripts(lst, 1) - 1 AS INT) AS t,
+         unnest(lst) AS token,
+         len(lst) AS n_toks
+  FROM (
+    SELECT url, sent_idx,
+           list_filter(string_split(sent, ' '), x -> x <> '') AS lst
+    FROM sentences
+  )
+  WHERE len(lst) > 0
+),
+labels(j, label) AS (VALUES {labels_rows}),
+wt AS (
+  SELECT f, generate_subscripts(w, 1) - 1 AS j, unnest(w) AS w
+  FROM (SELECT * FROM (VALUES
+{wt_rows}
+  ) AS raw(f, w))
+),
+tr(frm, toj, tw) AS (VALUES {tr_vals}),
+shapes AS (
+  SELECT url, sent_idx, t, string_agg(o, '' ORDER BY ci) AS shape
+  FROM (
+    SELECT url, sent_idx, t, ci,
+           CASE WHEN cc = lag(cc, 1) OVER w AND cc = lag(cc, 2) OVER w
+                THEN CASE WHEN cc = lag(cc, 3) OVER w THEN '' ELSE 'e' END
+                ELSE cc END AS o
+    FROM (
+      SELECT url, sent_idx, t, ci,
+             CASE WHEN c BETWEEN 'A' AND 'Z' THEN 'X'
+                  WHEN c BETWEEN 'a' AND 'z' THEN 'x'
+                  WHEN c BETWEEN '0' AND '9' THEN 'd' ELSE c END AS cc
+      FROM (
+        SELECT url, sent_idx, t, generate_subscripts(ch, 1) AS ci,
+               unnest(ch) AS c
+        FROM (SELECT url, sent_idx, t, regexp_extract_all(token, '.') AS ch
+              FROM toks)
+      )
+    )
+    WINDOW w AS (PARTITION BY url, sent_idx, t ORDER BY ci)
+  )
+  GROUP BY url, sent_idx, t
+),
+feats AS (
+  SELECT url, sent_idx, t, unnest(fl) AS f
+  FROM (
+    SELECT fb.url, fb.sent_idx, fb.t,
+      ['shape=' || sh.shape,
+       'class=' || cls,
+       'pref=' || substr(low, 1, 4),
+       'suf=' || CASE WHEN length(low) > 4
+                      THEN substr(low, length(low) - 3) ELSE low END,
+       'bias']
+      || (CASE WHEN fb.t = 0 THEN ['pos0'] ELSE [] END)
+      || (CASE WHEN low IN ({persons}) THEN ['dict_per'] ELSE [] END)
+      || (CASE WHEN low IN ({orgs}) THEN ['dict_org'] ELSE [] END)
+      || (CASE WHEN low IN ({locs}) THEN ['dict_loc'] ELSE [] END)
+      AS fl
+    FROM (
+      SELECT url, sent_idx, t, token, lower(rtrim(token, '.')) AS low,
+        (CASE WHEN substr(token, 1, 1) BETWEEN 'A' AND 'Z'
+              THEN CASE WHEN num_caps = 1 THEN '-INITC' ELSE '-CAPS' END
+              WHEN NOT regexp_matches(substr(token, 1, 1), '[A-Za-z]')
+                   AND num_caps > 0 THEN '-CAPS'
+              WHEN num_caps < length(token) THEN '-LC'
+              ELSE '' END)
+        || (CASE WHEN regexp_matches(token, '[0-9]') THEN '-NUM' ELSE '' END)
+        || (CASE WHEN contains(token, '-') THEN '-DASH' ELSE '' END)
+        || (CASE
+              WHEN lowered LIKE '%s' AND length(token) >= 3 THEN
+                CASE WHEN substr(lowered, length(token) - 1, 1)
+                          IN ('s', 'i', 'u') THEN '' ELSE '-s' END
+              WHEN length(token) >= 5 AND NOT contains(token, '-')
+                   AND NOT (regexp_matches(token, '[0-9]') AND num_caps > 0)
+              THEN CASE
+                WHEN lowered LIKE '%ed' THEN '-ed'
+                WHEN lowered LIKE '%ing' THEN '-ing'
+                WHEN lowered LIKE '%ion' THEN '-ion'
+                WHEN lowered LIKE '%er' THEN '-er'
+                WHEN lowered LIKE '%est' THEN '-est'
+                WHEN lowered LIKE '%ly' THEN '-ly'
+                WHEN lowered LIKE '%ity' THEN '-ity'
+                WHEN lowered LIKE '%y' THEN '-y'
+                WHEN lowered LIKE '%al' THEN '-al'
+                ELSE '' END
+              ELSE '' END) AS cls
+      FROM (
+        SELECT url, sent_idx, t, token,
+               lower(token) AS lowered,
+               length(regexp_replace(token, '[^A-Z]', '', 'g')) AS num_caps
+        FROM toks
+      )
+    ) fb
+    JOIN shapes sh ON sh.url = fb.url AND sh.sent_idx = fb.sent_idx
+                  AND sh.t = fb.t
+  )
+),
+em AS (
+  SELECT tk.url, tk.sent_idx, tk.t, tk.n_toks, lb.j, lb.label,
+         COALESCE(s.e, 0.0) AS e
+  FROM toks tk
+  CROSS JOIN labels lb
+  LEFT JOIN (
+    SELECT f2.url, f2.sent_idx, f2.t, wt.j, SUM(wt.w) AS e
+    FROM feats f2 JOIN wt ON wt.f = f2.f
+    GROUP BY f2.url, f2.sent_idx, f2.t, wt.j
+  ) s ON s.url = tk.url AND s.sent_idx = tk.sent_idx AND s.t = tk.t
+     AND s.j = lb.j
+),
+vit AS (
+  SELECT url, sent_idx, t, n_toks, j,
+         CASE WHEN label LIKE 'I-%' THEN -1000000000.0 ELSE e END AS score,
+         CAST(j AS VARCHAR) AS path
+  FROM em WHERE t = 0
+  UNION ALL
+  SELECT url, sent_idx, t, n_toks, j, score, path FROM (
+    SELECT e.url, e.sent_idx, e.t, e.n_toks, e.j,
+           p.score + tr.tw + e.e AS score,
+           p.path || ',' || CAST(e.j AS VARCHAR) AS path,
+           row_number() OVER (
+             PARTITION BY e.url, e.sent_idx, e.j
+             ORDER BY p.score + tr.tw DESC, p.j ASC) AS rn
+    FROM vit p
+    JOIN tr ON tr.frm = p.j
+    JOIN em e ON e.url = p.url AND e.sent_idx = p.sent_idx
+             AND e.t = p.t + 1 AND e.j = tr.toj
+  ) WHERE rn = 1
+),
+best AS (
+  SELECT url, sent_idx, path FROM (
+    SELECT url, sent_idx, path,
+           row_number() OVER (PARTITION BY url, sent_idx
+                              ORDER BY score DESC, j ASC) AS rn
+    FROM vit WHERE t = n_toks - 1
+  ) WHERE rn = 1
+),
+tagged AS (
+  SELECT url, sent_idx,
+         CAST(generate_subscripts(pl, 1) - 1 AS INT) AS t,
+         CAST(unnest(pl) AS INT) AS j
+  FROM (SELECT url, sent_idx, string_split(path, ',') AS pl FROM best)
+)
+SELECT tk.url, tk.sent_idx, tk.t AS tok_idx, tk.token, lb.label
+FROM toks tk
+JOIN tagged tg ON tg.url = tk.url AND tg.sent_idx = tk.sent_idx
+              AND tg.t = tk.t
+JOIN labels lb ON lb.j = tg.j
 """
 
 
@@ -6658,12 +6961,7 @@ SELECT cluster_id, CAST(rn AS INTEGER) AS rank, term, n_tc, score FROM (
         out["q_quality_classifier"] = qc
     out["q_er_clusters"] = _er_clusters_oracle()
     out["q_er_pipeline"] = _er_pipeline_oracle()
-    g = _golden_oracle(
-        "q_ner_tags",
-        [("label", "VARCHAR"), ("n", "BIGINT"), ("rows_hash", "BIGINT")],
-    )
-    if g:
-        out["q_ner_tags"] = g
+    out["q_ner_tags"] = _ner_tags_oracle()
     # q_joint_entity's pin is collected at sf0.01 (the driver's correctness
     # scale — unlike the two synth-corpus pins above, this query reads
     # sf_dir); pin_invariants.py gates the repin on the joint kernel's

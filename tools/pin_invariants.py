@@ -1,8 +1,9 @@
-"""Regenerate INVARIANTS.json — the pinned golden values for the two driver
-queries whose full outputs are not SQL-derivable (q_er_pipeline: full
-trained-model ER pipeline with iterative connected components; q_ner_tags:
-Viterbi DP) but whose deterministic-seed invariant summaries are stable
-across partitioning, parallelism and reruns.
+"""Regenerate INVARIANTS.json — the pinned golden values for the driver
+queries whose full outputs are not SQL-derivable.  Since the round-5
+de-pinnings (q_er_pipeline r5-early, q_ner_tags r5 — both now have full
+DuckDB SQL re-derivation oracles), only q_joint_entity (iterative BP)
+remains pinned; its deterministic-seed invariant summary is stable across
+partitioning, parallelism and reruns.
 
 These are GOLDEN-PINNED oracles (self-derived), not independent SQL
 re-derivations — they prove determinism/regression only.  To keep a repin
@@ -28,14 +29,10 @@ import __spark_entry__ as entrymod  # noqa: E402
 from berkeley_entity_spark.session import get_spark  # noqa: E402
 
 OUT = "/root/repo/INVARIANTS.json"
-# query -> the sf dir its pin is collected at.  The two synth-corpus
-# queries ignore sf_dir; q_joint_entity reads it, so its pin uses sf0.01 —
-# the scale the driver's correctness gate runs at.
-PINNED = {
-    "q_er_pipeline": "/root/testdata/sf0.001",
-    "q_ner_tags": "/root/testdata/sf0.001",
-    **entrymod.PIN_SF_DIR,
-}
+# query -> the sf dir its pin is collected at.  q_joint_entity reads
+# sf_dir, so its pin uses sf0.01 — the scale the driver's correctness gate
+# runs at.
+PINNED = {**entrymod.PIN_SF_DIR}
 MIN_F1 = 0.99
 
 
